@@ -1,0 +1,129 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative connected components in DataFrame joins — the alternating
+  * large-star / small-star algorithm ("Finding connected components in
+  * map-reduce in logarithmic rounds", ICDE 2013; PAPERS.md). Replaces the
+  * reference's in-memory BFS flood fill
+  * (/root/reference/src/graph/undirected_graph.rs:346-380) with an
+  * O(log² n)-round shuffle algorithm that survives planet-scale inputs.
+  *
+  * Each round is two self-aggregating joins; lineage is truncated with
+  * `localCheckpoint` every round (or durable checkpoints via
+  * [[graft.runtime.IterationCheckpointer]] for resumability). The fixpoint
+  * test is an order-independent XOR-fingerprint + count of the edge set —
+  * one cheap aggregate per round instead of a full `except`.
+  *
+  * Output label = **min nid of the component**, matching the reference's
+  * BTreeMap-first `root_nodeid` (/root/reference/src/way_group.rs:27-36).
+  * Deterministic: rounds and labels are identical at any parallelism.
+  */
+object ConnectedComponents {
+
+  final case class Result(labels: DataFrame, rounds: Int)
+
+  /** @param edges DataFrame with two Long columns `src`, `dst` (undirected,
+    *              self-loops/duplicates tolerated).
+    * @param checkpointer optional durable per-round checkpoint hook
+    *                     (round, labelsOrEdges) => possibly-reloaded frame.
+    * @return labels (nid, comp) covering every nid present in `edges`.
+    */
+  def run(
+      edges: DataFrame,
+      maxRounds: Int = 50,
+      checkpointer: Option[(Int, DataFrame) => DataFrame] = None): Result = {
+
+    var e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var rounds = 0
+    var prev = fingerprint(e)
+    var done = false
+
+    while (!done && rounds < maxRounds) {
+      val ls = largeStar(e)
+      val ss = smallStar(ls)
+      val next = checkpointer match {
+        case Some(cp) => cp(rounds, ss)
+        case None     => ss.localCheckpoint(true)
+      }
+      val fp = fingerprint(next)
+      done = fp == prev
+      prev = fp
+      e = next
+      rounds += 1
+    }
+
+    // Converged edge set is a star forest: (child, root) with root = min.
+    val roots = e.select(col("dst").as("nid"), col("dst").as("comp")).distinct()
+    val labels = e
+      .select(col("src").as("nid"), col("dst").as("comp"))
+      .union(roots)
+      .groupBy("nid")
+      .agg(min("comp").as("comp"))
+    Result(labels, rounds)
+  }
+
+  /** Convenience: labels for every node in `edges`, singletons included
+    * when a `nodes` frame (single `nid` column) is supplied.
+    */
+  def labelsWithSingletons(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val r = run(edges)
+    nodes
+      .select(col("nid"))
+      .distinct()
+      .join(r.labels.withColumnRenamed("nid", "lnid"),
+        col("nid") === col("lnid"), "left")
+      .select(col("nid"), coalesce(col("comp"), col("nid")).as("comp"))
+  }
+
+  /** Large-star: every strictly-larger neighbour of u re-points at the
+    * minimum of u's closed neighbourhood.
+    */
+  private[graph] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym
+      .groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("m"))
+      .withColumnRenamed("src", "u")
+    sym
+      .filter(col("dst") > col("src"))
+      .join(mins, col("src") === col("u"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: every ≤-neighbour (and u itself) re-points at the
+    * minimum of u's smaller neighbourhood.
+    */
+  private[graph] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir
+      .join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Order-independent fingerprint of an edge set: (count, xor of row
+    * hashes). One aggregate; no sort, no except.
+    */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val row = e
+      .agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("x"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.graph
+
+import graft.model.Edge
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Way → contracted edge extraction (SURVEY.md §2.1 S1 + §2.3 G1/G2).
+  *
+  * Reference: degree census at
+  * /root/reference/src/bin/osm-lump-ways/main.rs:256-299, segmentation at
+  * main.rs:352-378 (+ consecutive-duplicate dedup in the directed variant,
+  * /root/reference/src/bin/osm-lump-ways-down/main.rs:385-393).
+  *
+  * Scale shape: one explode + one shuffle-join on nid + one regroup by wid.
+  * The pillar set (degree ≠ 2 nodes, ~5 % of all nodes) is never collected;
+  * it flows through the join. Contraction happens *before* the CC shuffle —
+  * the single most important data reduction of the whole pipeline.
+  */
+object GraphBuild {
+
+  /** S1 — per-node "vertex degree": endpoints +1, interior +2, saturating
+    * at 255 (the reference uses a saturating u8).
+    * Input: ways(wid, nids). Output: (nid, degree).
+    */
+  def degreeCensus(ways: DataFrame): DataFrame = {
+    ways
+      .select(posexplode(col("nids")).as(Seq("pos", "nid")),
+        size(col("nids")).as("n"))
+      .select(col("nid"),
+        when(col("pos") === 0 || col("pos") === col("n") - 1, 1)
+          .otherwise(2).as("w"))
+      .groupBy("nid")
+      .agg(least(sum(col("w")), lit(255L)).as("degree"))
+  }
+
+  /** Pure segmentation of one way's node list given the pillar predicate:
+    * cut at pillar nodes and way ends, contracting interior nodes into
+    * `inter`. Consecutive duplicate nodes are dropped first
+    * (down/main.rs:385-393); self-loop segments are skipped.
+    */
+  def segmentNids(wid: Long, nids: IndexedSeq[Long], isPillar: Long => Boolean): Seq[Edge] = {
+    val dedup = new scala.collection.mutable.ArrayBuffer[Long](nids.length)
+    nids.foreach { n => if (dedup.isEmpty || dedup.last != n) dedup += n }
+    if (dedup.length < 2) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Edge]
+    var start = 0
+    var i = 1
+    while (i < dedup.length) {
+      if (i == dedup.length - 1 || isPillar(dedup(i))) {
+        val src = dedup(start)
+        val dst = dedup(i)
+        if (src != dst) {
+          out += Edge(src, dst, dedup.slice(start + 1, i).toSeq, wid)
+        }
+        start = i
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** G1 — contracted edge extraction over a ways DataFrame.
+    *
+    * Plan: explode(nids) → join degree census on nid (sort-merge; the
+    * census is ~#nodes rows, not broadcastable at planet scale) → regroup
+    * by wid in nid order → segment. Returns one row per contracted
+    * segment with the interior chain inline (replaces InterStore,
+    * /root/reference/src/inter_store.rs).
+    */
+  def contractedEdges(ways: DataFrame, spark: SparkSession): Dataset[Edge] = {
+    import spark.implicits._
+    val census = degreeCensus(ways)
+    val exploded = ways.select(col("wid"), posexplode(col("nids")).as(Seq("pos", "nid")))
+    exploded
+      .join(census.withColumnRenamed("nid", "cnid"),
+        exploded("nid") === col("cnid"), "left")
+      .select(col("wid"), col("pos"), col("nid"),
+        (coalesce(col("degree"), lit(0L)) =!= 2L).as("pillar"))
+      .groupBy("wid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("nid"), col("pillar"))))
+        .as("pts"))
+      .as[(Long, Seq[(Int, Long, Boolean)])]
+      .flatMap { case (wid, pts) =>
+        val nids = pts.map(_._2).toIndexedSeq
+        val pillarSet = pts.filter(_._3).map(_._2).toSet
+        segmentNids(wid, nids, pillarSet.contains)
+      }
+  }
+
+  /** G2 — canonical undirected edge set: `src < dst`, deduplicated with
+    * lowest-wid-wins (deterministic stand-in for the reference's
+    * order-dependent duplicate-edge backoff, main.rs:360-376).
+    */
+  def canonicalUndirected(edges: Dataset[Edge]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .map { e =>
+        if (e.src <= e.dst) e
+        else Edge(e.dst, e.src, e.inter.reverse, e.wid)
+      }
+      .toDF()
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src", "dst").orderBy("wid")))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,178 @@
+package graft.graph
+
+import scala.collection.mutable
+
+/** Per-component local graph algorithms (SURVEY.md §2.5) — pure Scala,
+  * executed inside `groupByKey(comp).flatMapGroups` so components run in
+  * parallel across the cluster while each walk stays sequential (the
+  * algorithms are inherently order-dependent).
+  */
+object Local {
+
+  /** Sorted undirected adjacency (BTreeMap-order parity: the reference
+    * iterates neighbours in sorted order, which fixes MultiLineString part
+    * order — /root/reference/src/graph/undirected_graph.rs:186-190).
+    */
+  def sortedAdjacency(edges: Seq[(Long, Long)]): mutable.SortedMap[Long, mutable.TreeSet[Long]] = {
+    val adj = mutable.SortedMap.empty[Long, mutable.TreeSet[Long]]
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, mutable.TreeSet.empty) += b
+        adj.getOrElseUpdate(b, mutable.TreeSet.empty) += a
+      }
+    }
+    adj
+  }
+
+  /** P1 — `into_lines_random`
+    * (/root/reference/src/graph/undirected_graph.rs:382-426): repeatedly
+    * peel maximal non-repeating walks. Start preference: a degree-1 vertex
+    * among the first 100 vertexes, else the first vertex; extend to the
+    * first (sorted-order) neighbour, consuming edges, until stuck.
+    */
+  def peelLines(edges: Seq[(Long, Long)]): Seq[Seq[Long]] = {
+    val adj = sortedAdjacency(edges)
+    val out = mutable.ArrayBuffer.empty[Seq[Long]]
+    while (adj.nonEmpty) {
+      val first100 = adj.keysIterator.take(100).toSeq
+      val start = first100
+        .find(v => adj(v).size == 1)
+        .getOrElse(adj.firstKey)
+      val line = mutable.ArrayBuffer(start)
+      var cur = start
+      var stuck = false
+      while (!stuck) {
+        adj.get(cur).flatMap(_.headOption) match {
+          case Some(nxt) =>
+            adj(cur) -= nxt
+            if (adj(cur).isEmpty) adj.remove(cur)
+            adj(nxt) -= cur
+            if (adj(nxt).isEmpty) adj.remove(nxt)
+            line += nxt
+            cur = nxt
+          case None => stuck = true
+        }
+      }
+      out += line.toSeq
+    }
+    out.toSeq
+  }
+
+  /** P3 — Dijkstra single-source over non-negative double weights.
+    * The reference rounds to integer centimetres for its radix heap
+    * (undirected_graph.rs:570); we keep doubles with a binary heap —
+    * identical shortest paths for our deterministic fixtures.
+    * Returns (dist, parent) maps for all reachable vertexes.
+    */
+  def dijkstra(
+      adj: Map[Long, Seq[(Long, Double)]],
+      source: Long): (Map[Long, Double], Map[Long, Long]) = {
+    val dist = mutable.HashMap[Long, Double](source -> 0.0)
+    val parent = mutable.HashMap.empty[Long, Long]
+    val visited = mutable.HashSet.empty[Long]
+    val pq = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))
+    pq.enqueue((0.0, source))
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (!visited(v)) {
+        visited += v
+        for ((w, len) <- adj.getOrElse(v, Nil) if !visited(w)) {
+          val nd = d + len
+          if (nd < dist.getOrElse(w, Double.PositiveInfinity)) {
+            dist(w) = nd
+            parent(w) = v
+            pq.enqueue((nd, w))
+          }
+        }
+      }
+    }
+    (dist.toMap, parent.toMap)
+  }
+
+  /** Reconstruct the path source→target from Dijkstra parents. */
+  def pathTo(parent: Map[Long, Long], source: Long, target: Long): Option[Seq[Long]] = {
+    if (source == target) return Some(Seq(source))
+    if (!parent.contains(target)) return None
+    val path = mutable.ArrayBuffer(target)
+    var cur = target
+    while (cur != source) {
+      cur = parent(cur)
+      path += cur
+    }
+    Some(path.reverse.toSeq)
+  }
+
+  /** P10 — convex hull (Andrew monotone chain, exact on doubles; the
+    * reference uses geo::quick_hull — same hull set). Input (x, y) points;
+    * output hull in counter-clockwise order without repeating the first.
+    */
+  def convexHull(points: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val pts = points.distinct.sorted
+    if (pts.length <= 2) return pts
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val lower = mutable.ArrayBuffer.empty[(Double, Double)]
+    for (p <- pts) {
+      while (lower.length >= 2 && cross(lower(lower.length - 2), lower.last, p) <= 0)
+        lower.remove(lower.length - 1)
+      lower += p
+    }
+    val upper = mutable.ArrayBuffer.empty[(Double, Double)]
+    for (p <- pts.reverse) {
+      while (upper.length >= 2 && cross(upper(upper.length - 2), upper.last, p) <= 0)
+        upper.remove(upper.length - 1)
+      upper += p
+    }
+    (lower.dropRight(1) ++ upper.dropRight(1)).toSeq
+  }
+
+  /** C9 — degree-2 compression on a local edge list with intermediate
+    * chains: iteratively merge the two edges of every degree-2 vertex not
+    * in `neverRemove`, concatenating intermediates
+    * (/root/reference/src/graph/undirected_graph.rs:640-716). Skips the
+    * merge if it would duplicate an existing edge or form a self loop.
+    */
+  def compress(
+      edges: Seq[(Long, Long, Seq[Long])],
+      neverRemove: Long => Boolean): Seq[(Long, Long, Seq[Long])] = {
+    type E = (Long, Long, Seq[Long])
+    val es = mutable.LinkedHashMap.empty[(Long, Long), Seq[Long]]
+    def canon(a: Long, b: Long, inter: Seq[Long]): ((Long, Long), Seq[Long]) =
+      if (a <= b) ((a, b), inter) else ((b, a), inter.reverse)
+    edges.foreach { case (a, b, inter) =>
+      val (k, iv) = canon(a, b, inter)
+      if (!es.contains(k)) es(k) = iv
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      val deg = mutable.HashMap.empty[Long, Int].withDefaultValue(0)
+      es.keys.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      val candidates = deg.filter { case (v, d) => d == 2 && !neverRemove(v) }
+        .keys.toSeq.sorted
+      for (v <- candidates if !changed) {
+        val inc = es.keys.filter { case (a, b) => a == v || b == v }.toSeq
+        if (inc.length == 2) {
+          val Seq(e1, e2) = inc
+          val o1 = if (e1._1 == v) e1._2 else e1._1
+          val o2 = if (e2._1 == v) e2._2 else e2._1
+          if (o1 != o2) {
+            val (k, _) = canon(o1, o2, Nil)
+            if (!es.contains(k)) {
+              // chain o1 … v … o2
+              val i1 = if (e1._1 == o1) es(e1) else es(e1).reverse
+              val i2 = if (e2._1 == v) es(e2) else es(e2).reverse
+              val merged = i1 ++ Seq(v) ++ i2
+              es.remove(e1); es.remove(e2)
+              val (kk, iv) = canon(o1, o2, merged)
+              es(kk) = iv
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    es.iterator.map { case ((a, b), inter) => (a, b, inter) }.toSeq
+  }
+}
