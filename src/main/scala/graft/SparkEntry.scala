@@ -1,13 +1,44 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The minimum end-to-end lump slice (SURVEY.md §7.3): derived ways →
+    * tag filter → degree census → contracted-edge extraction → iterative
+    * connected components → per-component haversine length → rank props.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    QueriesGraph.compLengths(spark, dir)
+      .orderBy(col("len_dm").desc, col("comp").asc)
+      .withColumn("length_desc_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("len_dm").desc, col("comp").asc)) - 1)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesRelational.queries ++
+      QueriesGraph.queries ++
+      QueriesSpatial.queries ++
+      QueriesText.queries ++
+      QueriesStream.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (MinHash/SimHash — xxhash64 is
+    * engine-specific) get the driver's rows-only check; their semantics
+    * are pinned by ScalaTest specs instead.
+    */
+  def oracleSql: Map[String, String] =
+    QueriesRelational.oracles ++
+      QueriesGraph.oracles ++
+      QueriesSpatial.oracles ++
+      QueriesText.oracles ++
+      QueriesStream.oracles
 }

@@ -1,0 +1,161 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication + similarity operators for the training-data pipeline:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+  * All expressed as DataFrame transforms (shuffle-friendly at 100 TB:
+  * the only wide ops are groupBy on hash keys and the LSH band join).
+  */
+object Dedup {
+
+  /** Exact dedup: one keeper (min id) per identical text. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  val MersennePrime: Long = (1L << 61) - 1
+
+  /** Deterministic affine hash family parameters (seeded, no RNG). */
+  def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = 2862933555777941757L * (i + 1) + 3037000493L
+      val b = 4294967291L * (i + 7) + 1442695040888963407L
+      (math.abs(a % MersennePrime) | 1L, math.abs(b % MersennePrime))
+    }
+
+  /** Word w-shingles of the token stream, joined by a single space. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Shingle-hash array — materialise this ONCE per row (a projection
+    * column) before fanning out into the signature: referencing the raw
+    * text expression 64× re-tokenises 64× per row.
+    */
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    transform(shingles(text, w), s => xxhash64(s))
+
+  /** MinHash signature (array<long>, length numHashes) from a
+    * pre-materialised shingle-hash column.
+    */
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int = 64): Column = {
+    val cols = hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(cols: _*)
+  }
+
+  /** MinHash signature straight from text (convenience; for hot paths
+    * stage [[shingleHashes]] as its own column first).
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, w: Int = 3): Column =
+    minhashSignatureFromHashes(shingleHashes(text, w), numHashes)
+
+  /** LSH band keys: split the signature into `bands` rows of
+    * numHashes/bands values; each band hashes to one bucket key.
+    */
+  def lshBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    val cols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * r + 1, r), _.cast("string")))).as("key"))
+    }
+    array(cols: _*)
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding: documents sharing
+    * any band bucket. Returns (id_a, id_b, n_shared_bands) with a < b.
+    * Scale shape: explode(bands) → groupBy bucket → pairs within bucket;
+    * skewed mega-buckets are capped by `maxBucket` (logged upstream).
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hs"))
+      .select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    val buckets = withSig
+      .select(col("id"), explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val grouped = buckets
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    grouped
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Estimated Jaccard from two signatures (fraction of agreeing hashes). */
+  def signatureJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: bit i of the result is 1 iff the
+    * sum over tokens of ±1 (per token-hash bit i) is positive.
+    */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
+
+  /** SimHash from a pre-materialised token-hash array column. */
+  def simhashFromHashes(hs: Column): Column = {
+    val bitCols = (0 until 64).map { i =>
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact n-gram Jaccard between explicit shingle sets (for verification
+    * of LSH candidates): |A ∩ B| / |A ∪ B| over distinct shingle hashes.
+    */
+  def ngramJaccard(textA: Column, textB: Column, w: Int = 3): Column = {
+    val ha = array_distinct(transform(shingles(textA, w), s => xxhash64(s)))
+    val hb = array_distinct(transform(shingles(textB, w), s => xxhash64(s)))
+    val inter = size(array_intersect(ha, hb)).cast("double")
+    inter / (size(ha) + size(hb) - inter)
+  }
+
+  // ---- Embedding cosine ---------------------------------------------------
+
+  /** Dot product of two float arrays in double precision (sequential
+    * left-to-right accumulation — the order the SQL oracle uses too).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k per query vector (the correctness baseline;
+    * the LSH/IVF variant is the scale path). Self-pairs excluded.
+    */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = embeddings.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val b = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val sims = a.join(b, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic OSM-like graph derived from the driver's testdata tables
+  * (TESTDATA.md — the only permitted inputs).
+  *
+  * The same integer-arithmetic SQL fragments build the graph in Spark
+  * (via `selectExpr`) and in the DuckDB oracle (via CTEs), so the two
+  * engines see bit-identical node ids, edges and coordinates — which lets
+  * the driver's hash-compare gate the *graph* operators (CC, upstream,
+  * SCC, kNN …), not just relational ones.
+  *
+  * Shape: each order (1 in 5) becomes a 3-node "way" whose nodes live in
+  * one of 256 disjoint buckets of ≤1009 slots — components stay small
+  * (≤ a few dozen nodes) so recursive-CTE oracles stay cheap, while the
+  * Spark side still exercises the full shuffle machinery.
+  */
+object Derived {
+
+  // ---- shared SQL fragments (Spark selectExpr ⊆ DuckDB dialect) --------
+
+  /** Stage 1 of the way derivation (aliases can't be referenced in the
+    * same SELECT on the Spark side, so the derivation is two stages).
+    */
+  val wayStage1: Seq[String] = Seq(
+    "o_orderkey AS wid",
+    "o_orderkey % 256 AS bucket",
+    "CAST((o_orderkey - (o_orderkey % 256)) / 256 AS BIGINT) % 1009 AS a0",
+    "o_custkey % 97 AS h1",
+    "o_orderkey % 83 AS h2",
+    "o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+
+  val wayStage2: Seq[String] = Seq(
+    "wid", "bucket", "a0",
+    "(a0 + 1 + h1) % 1009 AS b0",
+    "(a0 + 2 + h1 + h2) % 1009 AS c0",
+    "o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+
+  val wayFilter = "o_orderkey % 5 = 0"
+
+  def nidSql(slot: String) = s"(bucket * 10000 + ($slot) + 1)"
+
+  /** Deterministic pseudo-random positions (exact integer arithmetic, one
+    * exact double division — bit-identical across engines).
+    */
+  def latSql(nid: String) =
+    s"(CAST((($nid) * 2654435761) % 1700000 AS DOUBLE) / 10000.0 - 85.0)"
+  def lonSql(nid: String) =
+    s"(CAST((($nid) * 2246822519) % 3600000 AS DOUBLE) / 10000.0 - 180.0)"
+
+  /** Haversine (metres) as a SQL string — mirrors graft.geo.Geo.haversineM. */
+  def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""(2.0 * 6371008.8 * ASIN(SQRT(
+       |  POW(SIN(RADIANS(($lat2) - ($lat1)) / 2.0), 2.0) +
+       |  COS(RADIANS($lat1)) * COS(RADIANS($lat2)) *
+       |  POW(SIN(RADIANS(($lon2) - ($lon1)) / 2.0), 2.0)
+       |)))""".stripMargin.replace("\n", " ")
+
+  /** Per-edge deterministic integer-valued length for flow tests. */
+  val edgeLenSql = "CAST((src * 7 + dst * 13) % 1000 + 1 AS DOUBLE)"
+
+  /** DuckDB CTE prelude reproducing [[waysDF]] / [[edgesDF]] / [[nodesDF]].
+    * Prepend WITH [RECURSIVE] in the final query.
+    */
+  val oracleWaysCte: String =
+    s"""w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders WHERE $wayFilter),
+       |ways AS (SELECT ${wayStage2.mkString(", ")} FROM w1),
+       |edges0 AS (
+       |  SELECT ${nidSql("a0")} AS u, ${nidSql("b0")} AS v, wid FROM ways
+       |  UNION ALL
+       |  SELECT ${nidSql("b0")} AS u, ${nidSql("c0")} AS v, wid FROM ways
+       |),
+       |edges AS (
+       |  SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM edges0
+       |),
+       |nodes AS (
+       |  SELECT nid, ${latSql("nid")} AS lat, ${lonSql("nid")} AS lon FROM (
+       |    SELECT DISTINCT src AS nid FROM edges
+       |    UNION SELECT DISTINCT dst AS nid FROM edges
+       |  )
+       |)""".stripMargin.replace("\n", " ")
+
+  // ---- Spark-side builders ---------------------------------------------
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  /** Derived ways table: (wid, bucket, nids array, tags map, ts). */
+  def waysDF(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .where(wayFilter)
+      .selectExpr(wayStage1: _*)
+      .selectExpr(wayStage2: _*)
+      .selectExpr(
+        "wid", "bucket",
+        s"array(${nidSql("a0")}, ${nidSql("b0")}, ${nidSql("c0")}) AS nids",
+        """map_filter(map(
+          |  'status', o_orderstatus,
+          |  'prio', o_orderpriority,
+          |  'name', CASE WHEN o_custkey % 3 = 0
+          |               THEN concat('N', CAST(o_custkey % 10 AS STRING)) END
+          |), (k, x) -> x IS NOT NULL) AS tags""".stripMargin.replace("\n", " "),
+        "o_orderdate AS ts")
+
+  /** Canonical undirected edge set (src < dst, distinct). */
+  def edgesDF(spark: SparkSession, dir: String): DataFrame =
+    waysDF(spark, dir)
+      .selectExpr("nids[0] AS u", "nids[1] AS v")
+      .union(waysDF(spark, dir).selectExpr("nids[1] AS u", "nids[2] AS v"))
+      .selectExpr("LEAST(u, v) AS src", "GREATEST(u, v) AS dst")
+      .distinct()
+
+  /** Node positions for every node referenced by an edge. */
+  def nodesDF(spark: SparkSession, dir: String): DataFrame = {
+    val e = edgesDF(spark, dir)
+    e.select(col("src").as("nid"))
+      .union(e.select(col("dst").as("nid")))
+      .distinct()
+      .selectExpr("nid", s"${latSql("nid")} AS lat", s"${lonSql("nid")} AS lon")
+  }
+
+  /** DAG orientation: every canonical edge flows low nid → high nid, with
+    * a deterministic integer length. Acyclic by construction.
+    */
+  def dagEdgesDF(spark: SparkSession, dir: String): DataFrame =
+    edgesDF(spark, dir).selectExpr("src", "dst", s"$edgeLenSql AS len")
+
+  /** Cyclic orientation for SCC tests: way-order edges plus a closing
+    * c→a edge on every 7th way (guaranteed 3-cycles, like the
+    * reference's waterway loops).
+    */
+  def cyclicEdgesDF(spark: SparkSession, dir: String): DataFrame = {
+    val w = waysDF(spark, dir)
+      .selectExpr("wid", "nids[0] AS na", "nids[1] AS nb", "nids[2] AS nc")
+    w.selectExpr("na AS src", "nb AS dst")
+      .union(w.selectExpr("nb AS src", "nc AS dst"))
+      .union(w.where("wid % 7 = 0").selectExpr("nc AS src", "na AS dst"))
+      .distinct()
+  }
+
+  val oracleCyclicCte: String =
+    s"""dir_edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT u AS src, v AS dst FROM edges0
+       |    UNION ALL
+       |    SELECT ${nidSql("c0")} AS src, ${nidSql("a0")} AS dst FROM ways
+       |    WHERE wid % 7 = 0
+       |  )
+       |)""".stripMargin.replace("\n", " ")
+
+  /** Deterministic query points derived from customer (1 in 3). */
+  val pointStage: Seq[String] = Seq(
+    "c_custkey AS pid",
+    "(CAST((c_custkey * 3266489917) % 1700000 AS DOUBLE) / 10000.0 - 85.0) AS plat",
+    "(CAST((c_custkey * 1640531527) % 3600000 AS DOUBLE) / 10000.0 - 180.0) AS plon")
+  val pointFilter = "c_custkey % 3 = 0"
+
+  def pointsDF(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .where(pointFilter)
+      .selectExpr(pointStage: _*)
+
+  val oraclePointsCte: String =
+    s"points AS (SELECT ${pointStage.mkString(", ")} FROM customer WHERE $pointFilter)"
+
+  /** Synthetic boundary boxes derived from nation: [latmin, latmin+8) ×
+    * [lonmin, lonmin+12), half-open (= ray-cast semantics on boxes).
+    */
+  val boxStage: Seq[String] = Seq(
+    "n_name AS area",
+    "CAST((n_nationkey * 7919) % 140 - 70 AS DOUBLE) AS latmin",
+    "CAST((n_nationkey * 104729) % 320 - 160 AS DOUBLE) AS lonmin")
+
+  def boxesDF(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet").selectExpr(boxStage: _*)
+
+  val oracleBoxesCte: String =
+    s"boxes AS (SELECT ${boxStage.mkString(", ")} FROM nation)"
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.tagfilter.{TagFilter, TagFilterCompiler}
+import Derived._
+
+/** Web-text / training-data operators (builder brief: dedup, similarity,
+  * text analysis) plus the tag-filter DSL gate. Oracled where DuckDB can
+  * express the semantics; MinHash/SimHash are rows-only + ScalaTest.
+  */
+object QueriesText {
+
+  /** Shared token-count fragments (separator = single space, both sides). */
+  private val sparkTokens = "filter(split(text, ' ', -1), x -> x != '')"
+  private val duckTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def markerCaseSql(hitsOf: String => String): String = {
+    val langs = TextOps.markers.keys.toSeq.sorted
+    val conds = langs.zipWithIndex.map { case (l, i) =>
+      val strictOver = langs.take(i).map(o => s"${hitsOf(l)} > ${hitsOf(o)}")
+      val geqOver = langs.drop(i + 1).map(o => s"${hitsOf(l)} >= ${hitsOf(o)}")
+      val all = (s"${hitsOf(l)} > 0" +: (strictOver ++ geqOver)).mkString(" AND ")
+      s"WHEN $all THEN '$l'"
+    }
+    s"CASE ${conds.mkString(" ")} ELSE 'und' END"
+  }
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    s.read.parquet(s"$d/$n.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1-F16: compiled tag-filter DSL over the derived tags map
+    "q24_tag_filter" -> ((s, d) => {
+      val f = TagFilter.unsafeParse("status=F∨prio=1-URGENT∧name")
+      waysDF(s, d).filter(TagFilterCompiler.compile(f, col("tags"))).select("wid")
+    }),
+
+    // F17/F18: TagGrouper coalesce + unset-drop + group count
+    "q25_tag_group" -> ((s, d) =>
+      waysDF(s, d)
+        .withColumn("grp",
+          TagFilterCompiler.groupValue(Seq("name", "prio"), col("tags")))
+        .filter(col("grp").isNotNull)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_ways"), min("wid").as("min_wid"))),
+
+    // exact dedup on documents
+    "q26_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    // token counting
+    "q27_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))),
+
+    // language-ID heuristic (stopword hits, deterministic argmax)
+    "q28_lang_id" -> ((s, d) => {
+      val langs = TextOps.markers.keys.toSeq.sorted
+      val withHits = t(s, d, "documents").select(
+        (col("doc_id") +: langs.map(l =>
+          TextOps.markerHits(col("text"), l).cast("long").as(s"h_$l"))): _*)
+      withHits.selectExpr(
+        (Seq("doc_id") ++ langs.map(l => s"h_$l") :+
+          s"${markerCaseSql(l => s"h_$l")} AS guess"): _*)
+    }),
+
+    // quality scoring
+    "q29_quality" -> ((s, d) => {
+      val cols = TextOps.qualityColumns(col("text"))
+      t(s, d, "documents").select(
+        (col("doc_id") +: cols.map { case (n, c) => c.as(n) }): _*)
+    }),
+
+    // byte-identity fingerprint (input_hint invariant: text survives
+    // byte-identical — md5 over UTF-8 bytes in both engines)
+    "q30_text_md5" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("text_md5"))),
+
+    // brute-force cosine top-3 neighbours per embedding
+    "q31_cosine_topk" -> ((s, d) =>
+      Dedup.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
+
+    // MinHash-LSH near-dup candidates (rows-only check: xxhash64 is
+    // Spark-specific; semantics pinned by DedupSpec instead)
+    "q32_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text")),
+
+    // SimHash per document (rows-only; pinned by DedupSpec)
+    "q33_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("transform(filter(split(text, ' ', -1), x -> x != ''), " +
+            "t -> xxhash64(t))").as("hs"))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))))
+
+  val oracles: Map[String, String] = Map(
+    "q24_tag_filter" ->
+      s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders
+         |  WHERE $wayFilter)
+         |SELECT wid FROM w1
+         |WHERE o_orderstatus = 'F'
+         |   OR (o_orderpriority = '1-URGENT' AND o_custkey % 3 = 0)""".stripMargin,
+
+    "q25_tag_group" ->
+      s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders
+         |  WHERE $wayFilter)
+         |SELECT COALESCE(CASE WHEN o_custkey % 3 = 0
+         |    THEN concat('N', CAST(o_custkey % 10 AS VARCHAR)) END,
+         |    o_orderpriority) AS grp,
+         |  COUNT(*) AS n_ways, MIN(wid) AS min_wid
+         |FROM w1 GROUP BY 1""".stripMargin,
+
+    "q26_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q27_token_count" ->
+      s"""SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+         |FROM documents""".stripMargin,
+
+    "q28_lang_id" -> {
+      val langs = TextOps.markers.keys.toSeq.sorted
+      def hitsExpr(l: String): String = {
+        val ms = TextOps.markers(l).map(m => s"x = '$m'").mkString(" OR ")
+        s"CAST(len(list_filter($duckTokens, x -> $ms)) AS BIGINT)"
+      }
+      val hitCols = langs.map(l => s"${hitsExpr(l)} AS h_$l").mkString(", ")
+      s"""SELECT doc_id, ${langs.map(l => s"h_$l").mkString(", ")},
+         |  ${markerCaseSql(l => s"h_$l")} AS guess
+         |FROM (SELECT doc_id, $hitCols FROM documents)""".stripMargin
+    },
+
+    "q29_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN len($duckTokens) > 0 THEN FLOOR(
+         |    list_sum(list_transform($duckTokens, x -> length(x))) * 100
+         |      / len($duckTokens))
+         |    ELSE 0 END AS BIGINT) AS mean_tok_len_c,
+         |  CASE WHEN length(text) < 100 THEN 1 ELSE 0 END AS is_short
+         |FROM documents""".stripMargin,
+
+    "q30_text_md5" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+
+    "q31_cosine_topk" ->
+      """SELECT qid, rank, nid, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)
+        |  AS sim_e6
+        |FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |) WHERE rank <= 3""".stripMargin)
+}

@@ -19,7 +19,7 @@ object TagFilterCompiler {
       tags: Column,
       objType: Column = lit("w"),
       objId: Column = lit(0L)): Column = {
-    def get(k: String): Column = element_at(tags, k)
+    def get(k: String): Column = try_element_at(tags, lit(k))
     def has(k: String): Column = get(k).isNotNull
     f match {
       case TagFilter.HasK(k)    => has(k)
@@ -93,5 +93,5 @@ object TagFilterCompiler {
     * value of the first present key among a comma-separated list.
     */
   def groupValue(keys: Seq[String], tags: Column): Column =
-    coalesce(keys.map(k => element_at(tags, k)): _*)
+    coalesce(keys.map(k => try_element_at(tags, lit(k))): _*)
 }

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (builder brief):
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All pure built-in Catalyst expressions — codegen'd,
+  * oracle-reproducible, no UDFs in the hot path.
+  */
+object TextOps {
+
+  /** Tokens = maximal runs of non-space characters (separator = 0x20;
+    * fixed definition shared with the SQL oracle).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " ", -1), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stopword-hit language ID: count whole-token hits of per-language
+    * marker sets; guess = argmax language with ≥1 hit, else 'und'.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "a", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "un"),
+    "es" -> Seq("el", "los", "las", "y", "una"))
+
+  def markerHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => markers(lang).map(m => t === m).reduce(_ || _)))
+
+  /** Deterministic language guess from marker hits (ties: lexicographic
+    * language order wins via the comparison chain).
+    */
+  def langGuess(text: Column): Column = {
+    val langs = markers.keys.toSeq.sorted
+    val hits = langs.map(l => markerHits(text, l).as(s"h_$l"))
+    // argmax with first-wins tie-break over sorted language order
+    val best = langs.foldLeft((lit(0), lit("und"))) { case ((bh, bl), l) =>
+      val h = markerHits(text, l)
+      (when(h > bh, h).otherwise(bh), when(h > bh, lit(l)).otherwise(bl))
+    }
+    best._2
+  }
+
+  /** Quality metrics: char count, token count, mean token length ×100
+    * (floored), uppercase-start ratio proxy, short-doc flag.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    Seq(
+      "n_chars" -> nChar.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "mean_tok_len_c" ->
+        when(nTok > 0,
+          floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 100L / nTok))
+          .otherwise(0L).cast("long"),
+      "is_short" -> (nChar < 100).cast("long"))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the token stream:
+    * h = Σ tok_hash · 31^pos  (mod 2^61−1-ish small prime), where
+    * tok_hash is itself a char-level polynomial hash. Deterministic,
+    * order-sensitive (a true document fingerprint, not a bag hash).
+    * Built from `aggregate` higher-order functions — no UDF.
+    */
+  val FpPrime = 1000000007L
+
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      split(tok, "", -1),
+      lit(7L),
+      (acc, ch) => (acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L))) % FpPrime)
+
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, tok) => (acc * 131L + tokenHash(tok)) % FpPrime)
+}
