@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object GraphBuild {
 
-  /** S1 — per-node "vertex degree": endpoints +1, interior +2, saturating
-    * at 255 (the reference uses a saturating u8).
+  /** S1 — per-node "vertex degree", saturating at 255 (reference uses a
+    * saturating u8). The reference's exact (asymmetric!) formula
+    * (main.rs:275-280, down/main.rs:1293-1301): first node +1, last node
+    * +1, and *every position except 0* (including the last) +2 — so a
+    * way's last node always weighs 3 and is always a pillar.
     * Input: ways(wid, nids). Output: (nid, degree).
     */
   def degreeCensus(ways: DataFrame): DataFrame = {
@@ -27,8 +30,8 @@ object GraphBuild {
       .select(posexplode(col("nids")).as(Seq("pos", "nid")),
         size(col("nids")).as("n"))
       .select(col("nid"),
-        when(col("pos") === 0 || col("pos") === col("n") - 1, 1)
-          .otherwise(2).as("w"))
+        (when(col("pos") === 0, 1).otherwise(2) +
+          when(col("pos") === col("n") - 1, 1).otherwise(0)).as("w"))
       .groupBy("nid")
       .agg(least(sum(col("w")), lit(255L)).as("degree"))
   }
@@ -87,23 +90,56 @@ object GraphBuild {
       }
   }
 
-  /** G2 — canonical undirected edge set: `src < dst`, deduplicated with
-    * lowest-wid-wins (deterministic stand-in for the reference's
-    * order-dependent duplicate-edge backoff, main.rs:360-376).
+  /** G2 — canonical undirected edge set: `src < dst`, duplicates resolved
+    * deterministically. The reference backs the segment boundary off one
+    * node when a contracted edge already exists (parallel riverbanks,
+    * main.rs:360-376) — globally order-dependent. Our deterministic
+    * equivalent: per canonical (src,dst) group ordered by wid, the first
+    * edge keeps the contraction; every later duplicate with interior
+    * nodes is split at its last interior node — exactly what the
+    * reference's single back-off produces — and empty duplicates are
+    * dropped (the reference's `add_edge` no-op). One extra round resolves
+    * splits that collide again; deeper pathological collisions (several
+    * identical banks) fall back to fully expanding the duplicate.
     */
-  def canonicalUndirected(edges: Dataset[Edge]): DataFrame = {
+  def canonicalUndirected(edges: Dataset[Edge]): Dataset[Edge] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges
-      .map { e =>
-        if (e.src <= e.dst) e
-        else Edge(e.dst, e.src, e.inter.reverse, e.wid)
+
+    def canon(e: Edge): Edge =
+      if (e.src <= e.dst) e else Edge(e.dst, e.src, e.inter.reverse, e.wid)
+
+    def dedupRound(es: Dataset[Edge]): (Dataset[Edge], Dataset[Edge]) = {
+      val withRn = es.map(canon)
+        .toDF()
+        .withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("src", "dst").orderBy("wid", "inter")))
+      val keep = withRn.filter(col("rn") === 1).drop("rn").as[Edge]
+      val dups = withRn.filter(col("rn") > 1).drop("rn").as[Edge]
+      (keep, dups)
+    }
+
+    val (keep1, dups1) = dedupRound(edges)
+    // split duplicates at their last interior node (reference back-off)
+    val split = dups1.flatMap { e =>
+      if (e.inter.isEmpty) Iterator.empty
+      else {
+        val mid = e.inter.last
+        Iterator(
+          Edge(e.src, mid, e.inter.init, e.wid),
+          Edge(mid, e.dst, Nil, e.wid))
       }
-      .toDF()
-      .withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("src", "dst").orderBy("wid")))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    }
+    val (keep2, dups2) = dedupRound(keep1.union(split))
+    // final fallback: fully expand anything still colliding
+    val expanded = dups2.flatMap { e =>
+      val chain = e.src +: e.inter :+ e.dst
+      chain.sliding(2).collect {
+        case Seq(a, b) if a != b => Edge(a, b, Nil, e.wid)
+      }
+    }
+    val (keep3, _) = dedupRound(keep2.union(expanded))
+    keep3
   }
 }

@@ -118,7 +118,7 @@ object QueriesGraph {
          |SELECT nid, CAST(LEAST(SUM(w), 255) AS BIGINT) AS degree FROM (
          |  SELECT ${nidSql("a0")} AS nid, 1 AS w FROM ways
          |  UNION ALL SELECT ${nidSql("b0")} AS nid, 2 AS w FROM ways
-         |  UNION ALL SELECT ${nidSql("c0")} AS nid, 1 AS w FROM ways
+         |  UNION ALL SELECT ${nidSql("c0")} AS nid, 3 AS w FROM ways
          |) GROUP BY nid""".stripMargin,
 
     "q12_pillar_count" ->
@@ -127,7 +127,7 @@ object QueriesGraph {
          |  SELECT nid, LEAST(SUM(w), 255) AS degree FROM (
          |    SELECT ${nidSql("a0")} AS nid, 1 AS w FROM ways
          |    UNION ALL SELECT ${nidSql("b0")} AS nid, 2 AS w FROM ways
-         |    UNION ALL SELECT ${nidSql("c0")} AS nid, 1 AS w FROM ways
+         |    UNION ALL SELECT ${nidSql("c0")} AS nid, 3 AS w FROM ways
          |  ) GROUP BY nid)
          |SELECT SUM(CASE WHEN degree <> 2 THEN 1 ELSE 0 END) AS n_pillar,
          |       COUNT(*) AS n_nodes FROM census""".stripMargin,

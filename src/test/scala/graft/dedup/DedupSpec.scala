@@ -1,0 +1,92 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.text.TextOps
+
+/** Pins the semantics of the oracle-less dedup operators (MinHash-LSH,
+  * SimHash) plus the text primitives.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 5
+  private val nearDup = base.replace("lazy", "sleepy")
+  private val other = "completely different words appear in this document body " * 5
+
+  private def docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, other))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 2L), (3L, 1L), (4L, 1L))) // (keep_id, n_copies)
+  }
+
+  test("identical texts have identical minhash signatures") {
+    val sigs = docs
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+      .select(col("doc_id"), Dedup.minhashSignatureFromHashes(col("hs")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs(1L).length == 64)
+    // near-dup shares most hash slots
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree > 20, s"near-dup should agree on many minhashes, got $agree/64")
+  }
+
+  test("LSH candidates surface exact and near duplicates, not unrelated docs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cands.contains((1L, 2L)))
+    assert(cands((1L, 2L)) == 16L) // identical docs share every band
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)))
+    assert(!cands.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical equal; near-dup within small hamming distance") {
+    val hs = docs
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hs(1L) == hs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(3L)) <= 16)
+    assert(hamming(hs(1L), hs(4L)) > 16)
+  }
+
+  test("ngram jaccard: identity 1, disjoint 0, near-dup in between") {
+    val df = Seq((base, base, nearDup, other)).toDF("a", "b", "c", "d")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")).as("same"),
+      Dedup.ngramJaccard(col("a"), col("c")).as("near"),
+      Dedup.ngramJaccard(col("a"), col("d")).as("far")).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) > 0.2 && r.getDouble(1) < 1.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("cosine top-k: exact values on tiny vectors") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Dedup.cosineTopK(e, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(top1.map(t => (t._1, t._2)) == List((1L, 3L), (2L, 3L), (3L, 1L)))
+    assert(math.abs(top1.head._3 - 1.0 / math.sqrt(2)) < 1e-12)
+    // tie between 1 and 2 for query 3 broken by min id
+  }
+
+  test("tokens/quality/fingerprint primitives") {
+    val df = Seq(Tuple1("  the  quick   fox  ")).toDF("text")
+    val n = df.select(TextOps.tokenCount(col("text"))).head().getInt(0)
+    assert(n == 3)
+    val fp = Seq(Tuple1("a b c"), Tuple1("c b a"), Tuple1("a b c")).toDF("text")
+      .select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) == fp(2))
+    assert(fp(0) != fp(1), "fingerprint must be order-sensitive")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.model.Edge
+
+/** Micro-network golden fixtures (FIXTURES.md §3) pinning the
+  * order-dependent reference semantics: census weights, contraction cuts,
+  * duplicate-edge back-off, ring self-loop drop, CC labels = min nid.
+  */
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def waysDF(ws: (Long, Seq[Long])*) =
+    ws.toSeq.toDF("wid", "nids")
+
+  private def census(ws: (Long, Seq[Long])*): Map[Long, Long] =
+    GraphBuild.degreeCensus(waysDF(ws: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  private def edges(ws: (Long, Seq[Long])*): Set[(Long, Long, Seq[Long], Long)] =
+    GraphBuild.canonicalUndirected(
+      GraphBuild.contractedEdges(waysDF(ws: _*), spark))
+      .collect().map(e => (e.src, e.dst, e.inter, e.wid)).toSet
+
+  test("fx-chain: census weights match reference formula (first 1, interior 2, last 3)") {
+    assert(census(1L -> Seq(1L, 2L, 3L, 4L, 5L)) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("fx-chain: contracts to a single pillar-to-pillar edge") {
+    assert(edges(1L -> Seq(1L, 2L, 3L, 4L, 5L)) ==
+      Set((1L, 5L, Seq(2L, 3L, 4L), 1L)))
+  }
+
+  test("fx-split-way: 3 consecutive ways lump into one component") {
+    val es = edges(1L -> Seq(1L, 2L), 2L -> Seq(2L, 3L), 3L -> Seq(3L, 4L))
+    assert(es.map(e => (e._1, e._2)) == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    val labels = ConnectedComponents
+      .run(es.toSeq.toDF("src", "dst", "inter", "wid").select("src", "dst"))
+      .labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("fx-Y: junction is a pillar; three edges") {
+    val c = census(1L -> Seq(1L, 2L), 2L -> Seq(3L, 2L), 3L -> Seq(4L, 2L))
+    assert(c(2L) == 9L) // 3 + 3 + 3 (always-pillar last-node rule)
+    val es = edges(1L -> Seq(1L, 2L), 2L -> Seq(3L, 2L), 3L -> Seq(4L, 2L))
+    assert(es.map(e => (e._1, e._2)) == Set((1L, 2L), (2L, 3L), (2L, 4L)))
+  }
+
+  test("fx-dup-node: consecutive duplicate nodes are dropped (down/main.rs:385-393)") {
+    assert(GraphBuild.segmentNids(1L, IndexedSeq(1L, 2L, 2L, 3L), _ => false) ==
+      Seq(Edge(1L, 3L, Seq(2L), 1L)))
+  }
+
+  test("fx-ring: closed way contracts to a self-loop and is dropped (add_edge no-op)") {
+    assert(edges(1L -> Seq(1L, 2L, 3L, 1L)).isEmpty)
+  }
+
+  test("fx-parallel-banks: duplicate contracted edge splits at its last interior node") {
+    val es = edges(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 4L, 3L))
+    // reference back-off produces (1,3 via 2), (1,4), (4,3)
+    assert(es.map(e => (e._1, e._2, e._3)) ==
+      Set((1L, 3L, Seq(2L)), (1L, 4L, Seq()), (3L, 4L, Seq())))
+  }
+
+  test("fx-two-comp: labels are component minima; singletons via labelsWithSingletons") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("nid")
+    val labels = ConnectedComponents.labelsWithSingletons(e, nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("CC matches a local union-find on a seeded random graph; rounds deterministic") {
+    val rng = new scala.util.Random(42)
+    val es = Seq.fill(300)((rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+      .filter(p => p._1 != p._2)
+    // local union-find
+    val parent = Array.tabulate(100)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = es.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> {
+        // component min over union-find
+        val root = find(n.toInt)
+        (0 until 100).filter(m => find(m) == root)
+          .filter(m => es.exists(e => e._1 == m || e._2 == m)).min.toLong
+      }).toMap
+    val r1 = ConnectedComponents.run(es.toDF("src", "dst"))
+    val r2 = ConnectedComponents.run(es.toDF("src", "dst"))
+    val got = r1.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(r1.rounds == r2.rounds, "round count must be deterministic")
+  }
+
+  test("fx-confluence: two streams joining (D5 upstream sums)") {
+    val e = Seq((1L, 3L, 10.0), (2L, 3L, 20.0), (3L, 4L, 5.0))
+      .toDF("src", "dst", "len")
+    val up = Flow.upstreamEqualSplit(e).nodeUpstream
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(up == Map(1L -> 0.0, 2L -> 0.0, 3L -> 30.0, 4L -> 35.0))
+  }
+
+  test("fx-bifurcation: equal flow split over out-edges") {
+    val e = Seq((1L, 2L, 10.0), (2L, 3L, 5.0), (2L, 4L, 7.0))
+      .toDF("src", "dst", "len")
+    val r = Flow.upstreamEqualSplit(e)
+    val up = r.nodeUpstream.collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(up == Map(1L -> 0.0, 2L -> 10.0, 3L -> 10.0, 4L -> 12.0))
+    assert(r.rounds == 3) // DAG depth — parallelism-invariant metric
+  }
+
+  test("Flow.upstreamEqualSplit rejects cycles") {
+    val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "len")
+    intercept[IllegalStateException] { Flow.upstreamEqualSplit(e) }
+  }
+
+  test("fx-delta ends: D7 end points") {
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    assert(Flow.endPoints(e).collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    assert(Flow.sourcePoints(e).collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("fx-loop-directed: SCC finds the 3-cycle, drops singletons (kosaraju.rs:87)") {
+    assert(Scc.tarjanLocal(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val viaDf = Scc.run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+        .toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDf == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("SCC: two disjoint cycles get distinct min-nid roots") {
+    val es = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 7L), (7L, 5L), (2L, 5L))
+    assert(Scc.tarjanLocal(es) ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+}
