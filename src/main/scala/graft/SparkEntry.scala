@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.queries._
+import graft.queries.Derived
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,11 +16,11 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    QueriesGraph.compLengths(spark, dir)
-      .orderBy(col("len_dm").desc, col("comp").asc)
-      .withColumn("length_desc_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("len_dm").desc, col("comp").asc)) - 1)
+    val cfg = graft.pipeline.LumpWays.Config(
+      tagFilters = Seq(graft.tagfilter.TagFilter.unsafeParse("status")),
+      groupKeys = Seq(Seq("status")))
+    graft.pipeline.LumpWays.features(
+      Derived.waysDF(spark, dir), Derived.nodesDF(spark, dir), cfg, spark)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -4,6 +4,11 @@ import graft.model.Edge
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A contracted edge tagged with its tag-group id (SURVEY C1: each group
+  * tuple is an independent graph).
+  */
+final case class KeyedEdge(gid: Long, src: Long, dst: Long, inter: Seq[Long], wid: Long)
+
 /** Way → contracted edge extraction (SURVEY.md §2.1 S1 + §2.3 G1/G2).
   *
   * Reference: degree census at
@@ -72,21 +77,33 @@ object GraphBuild {
     */
   def contractedEdges(ways: DataFrame, spark: SparkSession): Dataset[Edge] = {
     import spark.implicits._
+    contractedEdgesKeyed(ways.withColumn("gid", lit(0L)), spark)
+      .map(e => Edge(e.src, e.dst, e.inter, e.wid))
+  }
+
+  /** G1 with group keys: ways carry a `gid` column; the census (pillar
+    * set) is global (reference pass 1 runs before grouping) but each
+    * emitted edge keeps its way's group.
+    */
+  def contractedEdgesKeyed(ways: DataFrame, spark: SparkSession): Dataset[KeyedEdge] = {
+    import spark.implicits._
     val census = degreeCensus(ways)
-    val exploded = ways.select(col("wid"), posexplode(col("nids")).as(Seq("pos", "nid")))
+    val exploded = ways.select(col("wid"), col("gid"),
+      posexplode(col("nids")).as(Seq("pos", "nid")))
     exploded
       .join(census.withColumnRenamed("nid", "cnid"),
         exploded("nid") === col("cnid"), "left")
-      .select(col("wid"), col("pos"), col("nid"),
+      .select(col("wid"), col("gid"), col("pos"), col("nid"),
         (coalesce(col("degree"), lit(0L)) =!= 2L).as("pillar"))
-      .groupBy("wid")
+      .groupBy("wid", "gid")
       .agg(sort_array(collect_list(struct(col("pos"), col("nid"), col("pillar"))))
         .as("pts"))
-      .as[(Long, Seq[(Int, Long, Boolean)])]
-      .flatMap { case (wid, pts) =>
+      .as[(Long, Long, Seq[(Int, Long, Boolean)])]
+      .flatMap { case (wid, gid, pts) =>
         val nids = pts.map(_._2).toIndexedSeq
         val pillarSet = pts.filter(_._3).map(_._2).toSet
         segmentNids(wid, nids, pillarSet.contains)
+          .map(e => KeyedEdge(gid, e.src, e.dst, e.inter, e.wid))
       }
   }
 
@@ -105,18 +122,27 @@ object GraphBuild {
   def canonicalUndirected(edges: Dataset[Edge]): Dataset[Edge] = {
     val spark = edges.sparkSession
     import spark.implicits._
+    canonicalUndirectedKeyed(
+      edges.map(e => KeyedEdge(0L, e.src, e.dst, e.inter, e.wid)))
+      .map(e => Edge(e.src, e.dst, e.inter, e.wid))
+  }
 
-    def canon(e: Edge): Edge =
-      if (e.src <= e.dst) e else Edge(e.dst, e.src, e.inter.reverse, e.wid)
+  /** Keyed variant: deduplication is per group graph. */
+  def canonicalUndirectedKeyed(edges: Dataset[KeyedEdge]): Dataset[KeyedEdge] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
 
-    def dedupRound(es: Dataset[Edge]): (Dataset[Edge], Dataset[Edge]) = {
+    def canon(e: KeyedEdge): KeyedEdge =
+      if (e.src <= e.dst) e else KeyedEdge(e.gid, e.dst, e.src, e.inter.reverse, e.wid)
+
+    def dedupRound(es: Dataset[KeyedEdge]): (Dataset[KeyedEdge], Dataset[KeyedEdge]) = {
       val withRn = es.map(canon)
         .toDF()
         .withColumn("rn",
           row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy("src", "dst").orderBy("wid", "inter")))
-      val keep = withRn.filter(col("rn") === 1).drop("rn").as[Edge]
-      val dups = withRn.filter(col("rn") > 1).drop("rn").as[Edge]
+            .partitionBy("gid", "src", "dst").orderBy("wid", "inter")))
+      val keep = withRn.filter(col("rn") === 1).drop("rn").as[KeyedEdge]
+      val dups = withRn.filter(col("rn") > 1).drop("rn").as[KeyedEdge]
       (keep, dups)
     }
 
@@ -127,8 +153,8 @@ object GraphBuild {
       else {
         val mid = e.inter.last
         Iterator(
-          Edge(e.src, mid, e.inter.init, e.wid),
-          Edge(mid, e.dst, Nil, e.wid))
+          KeyedEdge(e.gid, e.src, mid, e.inter.init, e.wid),
+          KeyedEdge(e.gid, mid, e.dst, Nil, e.wid))
       }
     }
     val (keep2, dups2) = dedupRound(keep1.union(split))
@@ -136,7 +162,7 @@ object GraphBuild {
     val expanded = dups2.flatMap { e =>
       val chain = e.src +: e.inter :+ e.dst
       chain.sliding(2).collect {
-        case Seq(a, b) if a != b => Edge(a, b, Nil, e.wid)
+        case Seq(a, b) if a != b => KeyedEdge(e.gid, a, b, Nil, e.wid)
       }
     }
     val (keep3, _) = dedupRound(keep2.union(expanded))

@@ -1,0 +1,263 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.graph.{ConnectedComponents, GraphBuild, Local}
+import graft.geo.Geo
+import graft.outputs.GeoJson
+import graft.tagfilter.{TagFilter, TagFilterCompiler, TagFilterFunc}
+
+/** The flagship undirected "lump" pipeline (SURVEY.md §3.1, §7.3):
+  * tag-filtered ways → degree census → contracted edges → per-group
+  * iterative CC → lengths → min/max-length filters → top-N → rank props →
+  * per-component line peeling → GeoJSON features.
+  *
+  * Reference: /root/reference/src/bin/osm-lump-ways/main.rs:64-868.
+  *
+  * Scale shape: everything before geometry assembly is joins/aggregates;
+  * geometry is `flatMapGroups` per (group, component) — components after
+  * pillar contraction are small relative to the cluster; skewed
+  * mega-components are the documented residual risk (SURVEY §7.5.4).
+  */
+object LumpWays {
+
+  /** `--min-length-m` modes (/root/reference/src/way_group.rs:205-245). */
+  sealed trait MinLengthFilter
+  object MinLengthFilter {
+    final case class Length(m: Double) extends MinLengthFilter
+    final case class PercentLongest(frac: Double) extends MinLengthFilter
+    final case class IncludeTotalPercentage(frac: Double) extends MinLengthFilter
+    final case class PercentTotal(frac: Double) extends MinLengthFilter
+
+    def parse(raw: String): Either[String, MinLengthFilter] = {
+      val s = raw.toLowerCase
+      def num(x: String) = scala.util.Try(x.toDouble).toOption
+      num(s).map(Length(_): MinLengthFilter)
+        .orElse(s.stripSuffix("km") match {
+          case km if s.endsWith("km") => num(km).map(v => Length(v * 1000.0))
+          case _ => None
+        })
+        .orElse(s.stripSuffix("m") match {
+          case m if s.endsWith("m") && !s.endsWith("km") => num(m).map(Length(_))
+          case _ => None
+        })
+        .orElse(if (s.endsWith("%longest"))
+          num(s.stripSuffix("%longest")).map(p => PercentLongest(p / 100.0)) else None)
+        .orElse(if (s.startsWith("incl") && s.endsWith("%total"))
+          num(s.stripPrefix("incl").stripSuffix("%total"))
+            .map(p => IncludeTotalPercentage(p / 100.0)) else None)
+        .orElse(if (s.endsWith("%total"))
+          num(s.stripSuffix("%total")).map(p => PercentTotal(p / 100.0)) else None)
+        .toRight("Cannot parse")
+    }
+  }
+
+  final case class Config(
+      tagFilters: Seq[TagFilter] = Nil,
+      tagFilterFunc: Option[TagFilterFunc] = None,
+      groupKeys: Seq[Seq[String]] = Nil, // one entry per -g flag
+      inclUnsetGroup: Boolean = false,
+      minLength: Option[MinLengthFilter] = None,
+      maxLengthM: Option[Double] = None,
+      topN: Option[Int] = None)
+
+  /** Composite (group id, node id) packed into one Long for the CC key —
+    * group graphs are independent (SURVEY C1: a node can sit in different
+    * components per group tuple).
+    */
+  private val NidBits = 40
+  private val NidMask = (1L << NidBits) - 1
+
+  final case class Feature(
+      comp: Long,
+      tagGroups: Seq[String],
+      lengthM: Double,
+      numNodes: Long,
+      rootNodeid: Long,
+      lines: Seq[Seq[Long]], // peeled walks, pillar nids
+      coords: Seq[Seq[(Double, Double)]]) // (lon, lat) per line
+
+  /** Run up to the per-component feature list (pre-sink). */
+  def features(ways: DataFrame, nodes: DataFrame, cfg: Config, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+
+    // 1. tag filter + group keys
+    val filtered = ways.filter(
+      TagFilterCompiler.passFilters(cfg.tagFilters, cfg.tagFilterFunc, col("tags")))
+    val withGroup =
+      if (cfg.groupKeys.isEmpty) filtered.withColumn("grp", array())
+      else {
+        val g = array(cfg.groupKeys.map(ks =>
+          TagFilterCompiler.groupValue(ks, col("tags"))): _*)
+        val base = filtered.withColumn("grp", g)
+        if (cfg.inclUnsetGroup) base
+        else base.filter(!exists(col("grp"), _.isNull)) // main.rs:339
+      }
+
+    // deterministic dense group ids (few distinct groups)
+    val groups = withGroup.select(col("grp")).distinct()
+      .withColumn("gid", row_number().over(Window.orderBy(col("grp"))) - 1)
+    val wg = withGroup.join(groups, Seq("grp"))
+
+    // 2-3. census + contraction per group (nids must fit 40 bits for the
+    // composite CC key; OSM ids are < 2^40 for the foreseeable future)
+    val edges = GraphBuild.canonicalUndirectedKeyed(
+      GraphBuild.contractedEdgesKeyed(wg.select("wid", "nids", "gid"), spark))
+
+    // 4. CC on composite ids
+    val composite = edges
+      .withColumn("csrc", shiftleft(col("gid"), NidBits).bitwiseOR(col("src")))
+      .withColumn("cdst", shiftleft(col("gid"), NidBits).bitwiseOR(col("dst")))
+    val labels = ConnectedComponents.run(
+      composite.select(col("csrc").as("src"), col("cdst").as("dst"))).labels
+
+    // 5. lengths on contracted endpoints (way_group.rs:38-44 — intermediates
+    //    NOT expanded for length)
+    val n1 = nodes.select(col("nid").as("src"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val n2 = nodes.select(col("nid").as("dst"), col("lat").as("lat2"), col("lon").as("lon2"))
+    val withLen = composite
+      .join(labels.withColumnRenamed("nid", "csrc"), Seq("csrc"))
+      .join(n1, Seq("src")).join(n2, Seq("dst"))
+      .withColumn("hv", Geo.haversineM(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+
+    val compLen = withLen.groupBy("comp").agg(sum("hv").as("length_m"))
+
+    val lens = compLen
+      .withColumn("root_nodeid", col("comp").bitwiseAND(lit(NidMask)))
+      .withColumn("gid", shiftright(col("comp"), NidBits))
+      .join(groups, Seq("gid"))
+      .localCheckpoint(true)
+
+    // 6. min/max length filters (C7/C8)
+    val afterMin: DataFrame = cfg.minLength match {
+      case None => lens
+      case Some(MinLengthFilter.Length(m)) => lens.filter(col("length_m") >= m)
+      case Some(MinLengthFilter.PercentLongest(f)) =>
+        val longest = lens.agg(max("length_m")).head().getDouble(0)
+        lens.filter(col("length_m") >= f * longest)
+      case Some(MinLengthFilter.PercentTotal(f)) =>
+        val total = lens.agg(sum("length_m")).head().getDouble(0)
+        lens.filter(col("length_m") >= f * total)
+      case Some(MinLengthFilter.IncludeTotalPercentage(f)) =>
+        val total = lens.agg(sum("length_m")).head().getDouble(0)
+        val w = Window.orderBy(col("length_m").desc, col("comp").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val thresh = lens.withColumn("cum", sum("length_m").over(w))
+          .filter(col("cum") >= f * total)
+          .agg(max("length_m")).head().getDouble(0)
+        lens.filter(col("length_m") >= thresh)
+    }
+    val afterMax = cfg.maxLengthM
+      .map(m => afterMin.filter(col("length_m") <= m)).getOrElse(afterMin)
+
+    // 7. top-N truncation (C12), then ranks/fractions POST-truncation
+    //    (main.rs:656-657,744-752)
+    val trunc = cfg.topN match {
+      case Some(n) => afterMax.orderBy(col("length_m").desc, col("comp").asc).limit(n)
+      case None    => afterMax
+    }
+    val kept = trunc.localCheckpoint(true)
+
+    val totals = kept.agg(
+      sum("length_m").as("tot"), max("length_m").as("longest"),
+      count(lit(1)).as("n")).head()
+    val (tot, longest, nGroups) = (totals.getDouble(0), totals.getDouble(1), totals.getLong(2))
+    val w = Window.orderBy(col("length_m").desc, col("comp").asc)
+    val withRanks = kept
+      .withColumn("length_desc_rank", row_number().over(w) - 1)
+      .withColumn("length_asc_rank", lit(nGroups) - col("length_desc_rank"))
+      .withColumn("length_desc_rank_perc",
+        Geo.roundHalfAway(col("length_desc_rank") / nGroups.toDouble, 4))
+      .withColumn("length_asc_rank_perc",
+        Geo.roundHalfAway(col("length_asc_rank") / nGroups.toDouble, 4))
+      .withColumn("length_m_fraction_total", Geo.roundHalfAway(col("length_m") / tot, 4))
+      .withColumn("length_m_fraction_longest",
+        Geo.roundHalfAway(col("length_m") / longest, 4))
+
+    // 8. geometry: expand each kept component's edges + positions, peel
+    val chain = composite
+      .join(labels.withColumnRenamed("nid", "csrc"), Seq("csrc"))
+      .join(withRanks.select("comp"), Seq("comp"))
+      .select(col("comp"), col("src"), col("dst"), col("inter"))
+      .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
+      .select(col("comp"), col("src"), col("dst"), posexplode(col("chain")).as(Seq("pos", "nid")))
+      .join(nodes, Seq("nid"))
+    val geoms = chain
+      .select(col("comp"), col("src"), col("dst"), col("pos"), col("nid"),
+        col("lat"), col("lon"))
+      .as[(Long, Long, Long, Int, Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (comp, rows) =>
+        val byEdge = rows.toSeq.groupBy(r => (r._2, r._3))
+        val edges = byEdge.toSeq.map { case ((s, d), pts) =>
+          val ordered = pts.sortBy(_._4)
+          (s, d, ordered.map(_._5), ordered.map(p => (p._5, p._6, p._7)))
+        }
+        val pos: Map[Long, (Double, Double)] = edges.flatMap(_._4)
+          .map(p => (p._1, (p._2, p._3))).toMap
+        // local compress (C9) then peel (P1)
+        val interMap = scala.collection.mutable.HashMap.empty[(Long, Long), Seq[Long]]
+        edges.foreach { case (s, d, chainN, _) =>
+          val inter = chainN.slice(1, chainN.length - 1)
+          val (k, iv) = if (s <= d) ((s, d), inter) else ((d, s), inter.reverse)
+          if (!interMap.contains(k)) interMap(k) = iv
+        }
+        val compressed = Local.compress(
+          interMap.toSeq.map { case ((a, b), iv) => (a, b, iv) }, _ => false)
+        val cMap = compressed.map { case (a, b, iv) => ((a, b), iv) }.toMap
+        // num_nodes = vertex count AFTER degree-2 compression
+        // (main.rs:611-632 runs before json_props at :652)
+        val numNodes = compressed.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+        val walks = Local.peelLines(compressed.map(e => (e._1, e._2)))
+        val expanded = walks.map { walk =>
+          walk.head +: walk.sliding(2).flatMap {
+            case Seq(a, b) =>
+              val iv = if (a <= b) cMap((a, b)) else cMap((b, a)).reverse
+              iv :+ b
+            case _ => Nil
+          }.toSeq
+        }
+        val coords = expanded.map(_.map(n =>
+          (pos(n)._2, pos(n)._1))) // (lon, lat) GeoJSON order
+        (comp, expanded, coords, numNodes)
+      }
+      .toDF("comp", "lines", "coords", "num_nodes")
+
+    withRanks.join(geoms, Seq("comp"))
+  }
+
+  /** Serialize features to GeoJSONSeq strings, ordered length-desc
+    * (main.rs:661,742 — output ordering is part of parity).
+    */
+  def toGeoJsonSeq(features: DataFrame): Seq[String] = {
+    val rows = features
+      .orderBy(col("length_m").desc, col("comp").asc)
+      .collect()
+    rows.toSeq.map { r =>
+      val lengthM = r.getAs[Double]("length_m")
+      val grp = r.getAs[collection.Seq[String]]("grp")
+      val props = new StringBuilder("{")
+      props.append("\"root_nodeid\":").append(r.getAs[Long]("root_nodeid"))
+      props.append(",\"root_nodeid_120\":").append(r.getAs[Long]("root_nodeid") % 120)
+      props.append(",\"length_m\":").append(Geo.roundHalfAway(lengthM, 1))
+      props.append(",\"length_m_int\":").append(math.round(lengthM))
+      props.append(",\"length_km\":").append(Geo.roundHalfAway(lengthM / 1000.0, 2))
+      props.append(",\"length_km_int\":").append(math.round(lengthM / 1000.0))
+      grp.zipWithIndex.foreach { case (g, i) =>
+        props.append(s""","tag_group_$i":${if (g == null) "null" else GeoJson.jsonStr(g)}""")
+      }
+      props.append(",\"num_nodes\":").append(r.getAs[Long]("num_nodes"))
+      props.append(",\"length_desc_rank\":").append(r.getAs[Int]("length_desc_rank"))
+      props.append(",\"length_m_fraction_total\":")
+        .append(r.getAs[Double]("length_m_fraction_total"))
+      props.append("}")
+      val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
+        .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq).toSeq
+      val geom =
+        if (coords.length == 1) GeoJson.lineString(coords.head)
+        else GeoJson.multiLineString(coords)
+      GeoJson.seqFrame(GeoJson.feature(props.toString, geom))
+    }
+  }
+}

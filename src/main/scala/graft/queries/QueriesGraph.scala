@@ -71,7 +71,17 @@ object QueriesGraph {
     }),
 
     // D1 SCC (weak-CC shuffle + per-component Tarjan)
-    "q19_scc" -> ((s, d) => Scc.run(cyclicEdgesDF(s, d))))
+    "q19_scc" -> ((s, d) => Scc.run(cyclicEdgesDF(s, d))),
+
+    // flagship end-to-end lump pipeline (rows-only: components, lengths,
+    // ranks are individually oracled by q13-q16; geometry by LumpWaysSpec)
+    "q35_lump_pipeline" -> ((s, d) => {
+      val cfg = graft.pipeline.LumpWays.Config(
+        tagFilters = Seq(graft.tagfilter.TagFilter.unsafeParse("status")),
+        groupKeys = Seq(Seq("status")))
+      graft.pipeline.LumpWays.features(waysDF(s, d), nodesDF(s, d), cfg, s)
+        .drop("lines", "coords") // arrays excluded from the rows-only dump
+    }))
 
   /** Shared: per-component integerised lengths. */
   def compLengths(s: SparkSession, d: String): DataFrame = {
