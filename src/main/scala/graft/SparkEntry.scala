@@ -29,6 +29,7 @@ object SparkEntry {
       QueriesGraph.queries ++
       QueriesSpatial.queries ++
       QueriesText.queries ++
+      QueriesWeb.queries ++
       QueriesStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       QueriesGraph.oracles ++
       QueriesSpatial.oracles ++
       QueriesText.oracles ++
+      QueriesWeb.oracles ++
       QueriesStream.oracles
 }
