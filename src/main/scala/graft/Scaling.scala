@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Synthetic
+import graft.graph.{ConnectedComponents, GraphBuild}
+import graft.geo.Geo
+
+/** Two-parallelism-level scaling run (north rule surrogate, BASELINE.md):
+  * the same lump job at local[8] and local[32] on the same deterministic
+  * input. Reports wall-time, ways/sec, CC convergence rounds and an
+  * output checksum per config — rounds and checksums MUST match (they are
+  * parallelism-invariant); efficiency = (t_8 / t_32) / 4.
+  *
+  * Usage: SPARK_GRAFT_SCALE_WAYS=1000000 sbt 'runMain graft.Scaling'
+  */
+object Scaling {
+
+  final case class RunResult(
+      cpus: Int, wallSec: Double, waysPerSec: Double, ccRounds: Int,
+      nComponents: Long, checksum: Long)
+
+  def runOnce(cpus: Int, nWays: Long): RunResult = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val t0 = System.nanoTime()
+      // materialize the input once (stand-in for the PBF read; the
+      // census/contraction otherwise re-evaluates the generator 3x)
+      val ways = Synthetic.ways(spark, nWays).localCheckpoint(true)
+      val edges = GraphBuild.canonicalUndirected(
+        GraphBuild.contractedEdges(ways, spark))
+        .toDF().localCheckpoint(true)
+      // S3 semantics: only positions of needed nids (contracted endpoints)
+      val needed = edges.select(col("src").as("nid"))
+        .union(edges.select(col("dst").as("nid"))).distinct()
+      val nodes = Synthetic.nodesForNids(needed).localCheckpoint(true)
+      val cc = ConnectedComponents.run(edges.select("src", "dst"))
+      val lens = edges
+        .join(cc.labels.withColumnRenamed("nid", "src"), Seq("src"))
+        .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
+          col("lon").as("lon1")), Seq("src"))
+        .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
+          col("lon").as("lon2")), Seq("dst"))
+        .groupBy("comp")
+        .agg(expr("CAST(FLOOR(SUM(" +
+          "2.0 * 6371008.8 * ASIN(SQRT(POW(SIN(RADIANS(lat2 - lat1) / 2.0), 2.0) + " +
+          "COS(RADIANS(lat1)) * COS(RADIANS(lat2)) * " +
+          "POW(SIN(RADIANS(lon2 - lon1) / 2.0), 2.0)))) * 10 + 0.5) AS BIGINT)")
+          .as("len_dm"))
+      val summary = lens.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(comp, len_dm))"), lit(0L)).as("x")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      RunResult(cpus, wall, nWays / wall, cc.rounds,
+        summary.getLong(0), summary.getLong(1))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nWays = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAYS", "200000").toLong
+    val lo = runOnce(8, nWays)
+    val hi = runOnce(32, nWays)
+    val eff = (lo.wallSec / hi.wallSec) / 4.0
+    require(lo.ccRounds == hi.ccRounds,
+      s"CC rounds differ across parallelism: ${lo.ccRounds} vs ${hi.ccRounds}")
+    require(lo.nComponents == hi.nComponents && lo.checksum == hi.checksum,
+      "output differs across parallelism levels")
+    println(
+      s"""{"metric":"scaling","n_ways":$nWays,""" +
+        s""""t8_sec":${lo.wallSec},"t32_sec":${hi.wallSec},""" +
+        s""""ways_per_sec_8":${lo.waysPerSec.toLong},"ways_per_sec_32":${hi.waysPerSec.toLong},""" +
+        s""""cc_rounds":${lo.ccRounds},"n_components":${lo.nComponents},""" +
+        s""""checksum":${lo.checksum},"efficiency":$eff}""")
+  }
+}

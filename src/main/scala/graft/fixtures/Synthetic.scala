@@ -1,0 +1,70 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded procedural "planet" for the scale tiers (FIXTURES.md §5):
+  * deterministic river-network-like ways generated in-Spark from
+  * `spark.range` — no RNG, no external data, identical at any
+  * parallelism.
+  *
+  * Shape targets the reference's observed ~5 % pillar-node fraction
+  * (down/main.rs:1319-1322): each way has `interiorPerWay` unique
+  * interior nodes (degree 2, contracted away) between two endpoints
+  * drawn from a bucket-local slot space (shared → pillars).
+  */
+object Synthetic {
+
+  val Buckets = 4096L
+  val Slots = 1009L
+  val InteriorBase = 1L << 36 // clear of endpoint ids, below 2^40
+
+  def endpointNid(bucket: Column, slot: Column): Column =
+    bucket * 100000L + slot + 1L
+
+  /** ways(wid, nids, tags, ts) — `n` ways, ~n·(interiorPerWay+2) node
+    * references, ~5 % pillar fraction at interiorPerWay≈18.
+    */
+  def ways(spark: SparkSession, n: Long, interiorPerWay: Int = 18): DataFrame = {
+    spark.range(n)
+      .selectExpr(
+        "id + 1 AS wid",
+        s"id % $Buckets AS bucket",
+        s"(CAST(id / $Buckets AS BIGINT) * 17) % $Slots AS a0",
+        s"((CAST(id / $Buckets AS BIGINT) * 17) % $Slots + 1 + (id * 31) % 97) % $Slots AS b0",
+        "id")
+      .selectExpr(
+        "wid",
+        s"""concat(
+           |  array(bucket * 100000 + a0 + 1),
+           |  transform(sequence(1, $interiorPerWay),
+           |    j -> ${InteriorBase}L + id * $interiorPerWay + j),
+           |  array(bucket * 100000 + b0 + 1)
+           |) AS nids""".stripMargin.replace("\n", " "),
+        """map('waterway', CASE WHEN id % 4 = 0 THEN 'river' ELSE 'stream' END,
+          |    'name', concat('W', CAST(id % 1000 AS STRING))) AS tags"""
+          .stripMargin.replace("\n", " "),
+        "CAST(id AS TIMESTAMP) AS ts")
+  }
+
+  /** Deterministic positions for an explicit nid set (positions are a
+    * pure function of nid — no need to re-explode all ways).
+    */
+  def nodesForNids(nids: DataFrame): DataFrame =
+    nids.selectExpr(
+      "nid",
+      "(CAST(((nid % 1700000) * 2654435761) % 1700000 AS DOUBLE) / 10000.0 - 85.0) AS lat",
+      "(CAST(((nid % 3600000) * 2246822519) % 3600000 AS DOUBLE) / 10000.0 - 180.0) AS lon")
+
+  /** Deterministic positions for every node id referenced by [[ways]]. */
+  def nodesFor(ways: DataFrame): DataFrame =
+    ways
+      .select(explode(col("nids")).as("nid"))
+      .distinct()
+      .selectExpr(
+        "nid",
+        // reduce before multiplying: (nid mod m)·k mod m ≡ nid·k mod m,
+        // and the product stays far from int64 overflow
+        "(CAST(((nid % 1700000) * 2654435761) % 1700000 AS DOUBLE) / 10000.0 - 85.0) AS lat",
+        "(CAST(((nid % 3600000) * 2246822519) % 3600000 AS DOUBLE) / 10000.0 - 180.0) AS lon")
+}

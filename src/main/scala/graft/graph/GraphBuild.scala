@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   */
 final case class KeyedEdge(gid: Long, src: Long, dst: Long, inter: Seq[Long], wid: Long)
 
+/** Internal: a pending duplicate edge; `taken` = its key already exists
+  * in the accepted set, so every member is a loser.
+  */
+private[graph] final case class PendingEdge(
+    gid: Long, src: Long, dst: Long, inter: Seq[Long], wid: Long, taken: Boolean)
+
 /** Way → contracted edge extraction (SURVEY.md §2.1 S1 + §2.3 G1/G2).
   *
   * Reference: degree census at
@@ -87,22 +93,27 @@ object GraphBuild {
     */
   def contractedEdgesKeyed(ways: DataFrame, spark: SparkSession): Dataset[KeyedEdge] = {
     import spark.implicits._
-    val census = degreeCensus(ways)
-    val exploded = ways.select(col("wid"), col("gid"),
-      posexplode(col("nids")).as(Seq("pos", "nid")))
-    exploded
-      .join(census.withColumnRenamed("nid", "cnid"),
-        exploded("nid") === col("cnid"), "left")
-      .select(col("wid"), col("gid"), col("pos"), col("nid"),
-        (coalesce(col("degree"), lit(0L)) =!= 2L).as("pillar"))
-      .groupBy("wid", "gid")
-      .agg(sort_array(collect_list(struct(col("pos"), col("nid"), col("pillar"))))
-        .as("pts"))
-      .as[(Long, Long, Seq[(Int, Long, Boolean)])]
-      .flatMap { case (wid, gid, pts) =>
-        val nids = pts.map(_._2).toIndexedSeq
-        val pillarSet = pts.filter(_._3).map(_._2).toSet
-        segmentNids(wid, nids, pillarSet.contains)
+    // Join only the PILLAR set (degree != 2, ~5 % of nodes — the
+    // reference's SortedSliceSet reduction, down/main.rs:1319-1322, as a
+    // join), and regroup only the pillar HITS per way (a few per way)
+    // instead of round-tripping every node through a shuffle: the way's
+    // full nid array never leaves its row.
+    val pillars = degreeCensus(ways)
+      .filter(col("degree") =!= 2L)
+      .select(col("nid"))
+    val hits = ways
+      .select(col("wid"), explode(col("nids")).as("nid"))
+      .join(pillars, Seq("nid"))
+      .groupBy("wid")
+      .agg(collect_set(col("nid")).as("pnids"))
+    ways
+      .join(hits, Seq("wid"), "left")
+      .select(col("wid"), col("gid"), col("nids"),
+        coalesce(col("pnids"), array()).as("pnids"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .flatMap { case (wid, gid, nids, pnids) =>
+        val pillarSet = pnids.toSet
+        segmentNids(wid, nids.toIndexedSeq, pillarSet.contains)
           .map(e => KeyedEdge(gid, e.src, e.dst, e.inter, e.wid))
       }
   }
@@ -127,45 +138,107 @@ object GraphBuild {
       .map(e => Edge(e.src, e.dst, e.inter, e.wid))
   }
 
-  /** Keyed variant: deduplication is per group graph. */
+  /** Keyed variant: deduplication is per group graph.
+    *
+    * Fast path first: one hash-aggregate finds the (rare) duplicate keys;
+    * if there are none — the overwhelmingly common case — the input
+    * passes through untouched. Only the tiny duplicate subset pays for
+    * the back-off machinery (groupByKey + local winner/split), and only
+    * its split edges re-check against the full set. No windows, no
+    * full-set sorts.
+    */
   def canonicalUndirectedKeyed(edges: Dataset[KeyedEdge]): Dataset[KeyedEdge] = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    def canon(e: KeyedEdge): KeyedEdge =
-      if (e.src <= e.dst) e else KeyedEdge(e.gid, e.dst, e.src, e.inter.reverse, e.wid)
+    implicit val interOrd: Ordering[Seq[Long]] =
+      Ordering.Implicits.seqOrdering[Seq, Long]
 
-    def dedupRound(es: Dataset[KeyedEdge]): (Dataset[KeyedEdge], Dataset[KeyedEdge]) = {
-      val withRn = es.map(canon)
-        .toDF()
-        .withColumn("rn",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy("gid", "src", "dst").orderBy("wid", "inter")))
-      val keep = withRn.filter(col("rn") === 1).drop("rn").as[KeyedEdge]
-      val dups = withRn.filter(col("rn") > 1).drop("rn").as[KeyedEdge]
-      (keep, dups)
-    }
+    val canon = edges.toDF()
+      .selectExpr(
+        "gid",
+        "IF(src <= dst, src, dst) AS src",
+        "IF(src <= dst, dst, src) AS dst",
+        "IF(src <= dst, inter, reverse(inter)) AS inter",
+        "wid")
+      .localCheckpoint(true)
 
-    val (keep1, dups1) = dedupRound(edges)
-    // split duplicates at their last interior node (reference back-off)
-    val split = dups1.flatMap { e =>
-      if (e.inter.isEmpty) Iterator.empty
-      else {
-        val mid = e.inter.last
-        Iterator(
-          KeyedEdge(e.gid, e.src, mid, e.inter.init, e.wid),
-          KeyedEdge(e.gid, mid, e.dst, Nil, e.wid))
-      }
+    val dupKeys = canon.groupBy("gid", "src", "dst")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("gid", "src", "dst").localCheckpoint(true)
+
+    if (dupKeys.isEmpty) return canon.as[KeyedEdge]
+
+    var uniq = canon.join(dupKeys, Seq("gid", "src", "dst"), "left_anti")
+      .localCheckpoint(true)
+    // pending: canonical-form edges not yet merged (all dup-key members)
+    var pending = canon.join(dupKeys, Seq("gid", "src", "dst"), "left_semi")
+      .withColumn("taken", lit(false))
+      .as[PendingEdge].localCheckpoint(true)
+
+    var round = 0
+    while (!pending.isEmpty && round < 6) {
+      // per canonical key: lowest (wid, inter) wins — unless the key is
+      // already taken in the accepted set, in which case everyone loses.
+      // Losers split at their last interior node (the reference's
+      // back-off, main.rs:360-376); inter-less losers vanish (add_edge
+      // no-op); round ≥ 2 falls back to full expansion.
+      val r = round
+      val resolved = pending
+        .groupByKey(e => (e.gid, e.src, e.dst))
+        .flatMapGroups { (_, it) =>
+          val all = it.toSeq
+          val sorted = all.sortBy(e => (e.wid, e.inter))
+          val taken = all.exists(_.taken)
+          val (winners, rest) =
+            if (taken) (Nil, sorted) else (Seq(sorted.head), sorted.tail)
+          val losers = rest.flatMap { e =>
+            if (e.inter.isEmpty) Nil
+            else if (r < 2) {
+              val mid = e.inter.last
+              Seq(
+                KeyedEdge(e.gid, e.src, mid, e.inter.init, e.wid),
+                KeyedEdge(e.gid, mid, e.dst, Nil, e.wid))
+            } else {
+              (e.src +: e.inter :+ e.dst).sliding(2).collect {
+                case Seq(a, b) if a != b => KeyedEdge(e.gid, a, b, Nil, e.wid)
+              }.toSeq
+            }
+          }
+          winners.iterator.map(wn =>
+            ("w", KeyedEdge(wn.gid, wn.src, wn.dst, wn.inter, wn.wid))) ++
+            losers.iterator.map(l =>
+              ("l", if (l.src <= l.dst) l
+                else KeyedEdge(l.gid, l.dst, l.src, l.inter.reverse, l.wid)))
+        }
+      val winners = resolved.filter(_._1 == "w").map(_._2).toDF()
+      val newEdges = resolved.filter(_._1 == "l").map(_._2).toDF()
+
+      uniq = uniq.union(winners).localCheckpoint(true)
+      // split edges that collide (with uniq or each other) go back around
+      val collideWithUniq = newEdges
+        .join(uniq, Seq("gid", "src", "dst"), "left_semi")
+        .withColumn("taken", lit(true))
+      val fresh = newEdges
+        .join(uniq, Seq("gid", "src", "dst"), "left_anti")
+      val freshDupKeys = fresh.groupBy("gid", "src", "dst")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .select("gid", "src", "dst")
+      val freshClean = fresh.join(freshDupKeys, Seq("gid", "src", "dst"), "left_anti")
+      val freshDups = fresh.join(freshDupKeys, Seq("gid", "src", "dst"), "left_semi")
+        .withColumn("taken", lit(false))
+      uniq = uniq.union(freshClean).localCheckpoint(true)
+      pending = collideWithUniq.union(freshDups)
+        .as[PendingEdge].localCheckpoint(true)
+      round += 1
     }
-    val (keep2, dups2) = dedupRound(keep1.union(split))
-    // final fallback: fully expand anything still colliding
-    val expanded = dups2.flatMap { e =>
-      val chain = e.src +: e.inter :+ e.dst
-      chain.sliding(2).collect {
-        case Seq(a, b) if a != b => KeyedEdge(e.gid, a, b, Nil, e.wid)
-      }
+    val leftover = pending.count()
+    if (leftover > 0) {
+      // bounded give-up, loudly (no silent caps): these duplicates are
+      // dropped like the reference's add_edge no-op
+      System.err.println(
+        s"[canonicalUndirected] dropping $leftover unresolvable duplicate edges after $round rounds")
     }
-    val (keep3, _) = dedupRound(keep2.union(expanded))
-    keep3
+    uniq.as[KeyedEdge]
   }
 }

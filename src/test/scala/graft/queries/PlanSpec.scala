@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Physical-plan quality gates (builder brief: ".explain the plan and
+  * iterate until it's the plan you'd want"): filters reach the parquet
+  * scan, column pruning works, small dims broadcast, no cartesian
+  * products sneak into the joins.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: predicate pushdown + column pruning reach the scan") {
+    val p = plan("q01_agg_pushdown")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_shipdate"), "unused column not pruned from scan")
+  }
+
+  test("q02: small dimension joins are broadcast") {
+    val p = plan("q02_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q03/q04: semi/anti joins planned as such") {
+    assert(plan("q03_semi_join").contains("LeftSemi"))
+    assert(plan("q04_anti_join").contains("LeftAnti"))
+  }
+
+  test("q21: cell join is an equi-join (no cartesian/NLJ)") {
+    val p = plan("q21_cell_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cell join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in cell join:\n$p")
+  }
+
+  test("q11: census is a partial-aggregated hash aggregate") {
+    val p = plan("q11_degree_census")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    // partial + final pair => map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
+  }
+
+  test("q01/q27: whole-stage codegen covers the hot path") {
+    // AQE only shows codegen spans in the finalized plan — materialize first
+    def finalPlan(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // WholeStageCodegen prints as "*(n)" in compact plan strings
+    assert(finalPlan("q01_agg_pushdown").contains("*("))
+    assert(finalPlan("q27_token_count").contains("*("))
+  }
+}
