@@ -27,6 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++
       QueriesGraph.queries ++
+      QueriesDown.queries ++
       QueriesSpatial.queries ++
       QueriesText.queries ++
       QueriesWeb.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++
       QueriesGraph.oracles ++
+      QueriesDown.oracles ++
       QueriesSpatial.oracles ++
       QueriesText.oracles ++
       QueriesWeb.oracles ++

@@ -1,0 +1,203 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.geo.Geo
+
+/** Remaining directed-flow ("osm-lump-ways-down") operators:
+  * D6 expanded edge lengths, D2 loop output, S8/S10 loop stats sinks,
+  * S9 ends ranking, D11 upstreams mini-segments, D12 tag-group CC.
+  */
+object DownOps {
+
+  /** D6 — per contracted edge: Σ haversine over the expanded chain
+    * (src ++ inter ++ dst), computed with one explode + window-pair join
+    * (down/main.rs:795-803).
+    * @param edges (src, dst, inter: array<long>) + any other columns
+    * @param nodes (nid, lat, lon)
+    */
+  def edgeLengths(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val chain = edges
+      .withColumn("eid", monotonically_increasing_id())
+      .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
+      .select(col("eid"), col("src"), col("dst"),
+        posexplode(col("chain")).as(Seq("pos", "nid")))
+      .join(nodes, Seq("nid"))
+    val w = Window.partitionBy("eid").orderBy("pos")
+    chain
+      .withColumn("plat", lag("lat", 1).over(w))
+      .withColumn("plon", lag("lon", 1).over(w))
+      .filter(col("plat").isNotNull)
+      .withColumn("seg", Geo.haversineM(col("plat"), col("plon"), col("lat"), col("lon")))
+      .groupBy("eid", "src", "dst")
+      .agg(sum("seg").as("len"))
+      .drop("eid")
+  }
+
+  /** D2 — loops output: one row per non-singleton SCC with
+    * `root_nid` (min nid), `num_nodes`, `length_m` (Σ intra-SCC edge
+    * lengths, 1 dp), sorted member `nodes` string
+    * (down/main.rs:544-663). Areas come from a PIP join done by the
+    * caller on (root_lat, root_lon).
+    */
+  def loops(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val scc = Scc.run(edges.select("src", "dst")).localCheckpoint(true)
+    val intra = edges
+      .join(scc.withColumnRenamed("nid", "src").withColumnRenamed("scc", "s1"), Seq("src"))
+      .join(scc.withColumnRenamed("nid", "dst").withColumnRenamed("scc", "s2"), Seq("dst"))
+      .filter(col("s1") === col("s2"))
+    val withLen = if (intra.columns.contains("inter")) {
+      edgeLengths(intra.select("src", "dst", "inter"), nodes)
+        .join(intra.select("src", "dst", "s1"), Seq("src", "dst"))
+    } else {
+      intra
+        .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
+          col("lon").as("lon1")), Seq("src"))
+        .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
+          col("lon").as("lon2")), Seq("dst"))
+        .withColumn("len",
+          Geo.haversineM(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+        .select("src", "dst", "len", "s1")
+    }
+    val members = scc.groupBy("scc").agg(
+      min("nid").as("root_nid"),
+      count(lit(1)).as("num_nodes"),
+      concat_ws(",", transform(sort_array(collect_list(col("nid"))),
+        n => concat(lit("n"), n.cast("string")))).as("nodes"))
+    withLen
+      .groupBy(col("s1").as("scc"))
+      .agg(Geo.roundHalfAway(sum("len"), 1).as("length_m"))
+      .join(members, Seq("scc"))
+      .join(nodes.select(col("nid").as("root_nid"),
+        col("lat").as("root_lat"), col("lon").as("root_lon")), Seq("root_nid"))
+      .select("scc", "root_nid", "num_nodes", "length_m", "nodes",
+        "root_lat", "root_lon")
+  }
+
+  /** S8 — per-area loop stats: (area, loops_count, loops_length_m)
+    * (loops_csv_stats.rs:8-47). `loopAreas` = (scc, area) from a PIP join.
+    */
+  def loopStats(loops: DataFrame, loopAreas: DataFrame): DataFrame =
+    loops.join(loopAreas, Seq("scc"), "left")
+      .groupBy(coalesce(col("area"), lit("unknown_area")).as("area"))
+      .agg(count(lit(1)).as("loops_count"),
+        Geo.roundHalfAway(sum("length_m"), 1).as("loops_length_m"))
+
+  /** S10 — OpenMetrics rendering of [[loopStats]]
+    * (openmetrics.rs:8-44: `waterwaymap_loops_{count,length_m}{area=…} v ts`).
+    */
+  def openMetrics(stats: Seq[(String, Long, Double)], epochSec: Long): String = {
+    val sb = new StringBuilder
+    sb.append("# TYPE waterwaymap_loops_count gauge\n")
+    stats.sortBy(_._1).foreach { case (area, n, _) =>
+      sb.append(s"""waterwaymap_loops_count{area="$area"} $n $epochSec\n""")
+    }
+    sb.append("# TYPE waterwaymap_loops_length_m gauge\n")
+    stats.sortBy(_._1).foreach { case (area, _, len) =>
+      sb.append(s"""waterwaymap_loops_length_m{area="$area"} $len $epochSec\n""")
+    }
+    sb.append("# EOF\n")
+    sb.toString
+  }
+
+  /** S9 — ends CSV rows: rank ends by upstream desc (1-based), keep
+    * `upstream_m > 1.0` (ends_csv.rs:76), optional min-upstream / top-N;
+    * lat/lng rounded to 7 dp (ends_csv.rs:92-93).
+    */
+  def endsRanked(
+      endUpstream: DataFrame, // (nid, upstream_m)
+      nodes: DataFrame,
+      minUpstreamM: Option[Double] = None,
+      topN: Option[Int] = None): DataFrame = {
+    val base = endUpstream
+      .filter(col("upstream_m") > 1.0)
+      .filter(minUpstreamM.map(m => col("upstream_m") >= m).getOrElse(lit(true)))
+    val w = Window.orderBy(col("upstream_m").desc, col("nid").asc)
+    val ranked = base
+      .withColumn("upstream_m_rank", row_number().over(w))
+      .join(nodes, Seq("nid"))
+      .select(col("nid"),
+        Geo.roundHalfAway(col("upstream_m"), 1).as("upstream_m"),
+        col("upstream_m_rank"),
+        Geo.roundHalfAway(col("lat"), 7).as("lat"),
+        Geo.roundHalfAway(col("lon"), 7).as("lng"))
+    topN.map(n => ranked.filter(col("upstream_m_rank") <= n)).getOrElse(ranked)
+  }
+
+  /** D11 — upstreams output: expand each contracted edge's chain into
+    * 2-point mini-segments with running upstream values
+    * (down/main.rs:1716-1888): segment i carries
+    * from_upstream = edge_flow + Σ seg lengths before i, rounded 1 dp.
+    * @param edgeFlows (src, dst, inter, flow_m)
+    */
+  def upstreamSegments(edgeFlows: DataFrame, nodes: DataFrame): DataFrame = {
+    val chain = edgeFlows
+      .withColumn("eid", monotonically_increasing_id())
+      .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
+      .select(col("eid"), col("src"), col("dst"), col("flow_m"),
+        posexplode(col("chain")).as(Seq("pos", "nid")))
+      .join(nodes, Seq("nid"))
+    val w = Window.partitionBy("eid").orderBy("pos")
+    val segs = chain
+      .withColumn("plat", lag("lat", 1).over(w))
+      .withColumn("plon", lag("lon", 1).over(w))
+      .withColumn("pnid", lag("nid", 1).over(w))
+      .filter(col("plat").isNotNull)
+      .withColumn("seg_len",
+        Geo.haversineM(col("plat"), col("plon"), col("lat"), col("lon")))
+      .withColumn("cum_before",
+        coalesce(sum("seg_len").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)))
+    segs.select(
+      col("src"), col("dst"),
+      col("pnid").as("seg_from_nid"), col("nid").as("seg_to_nid"),
+      Geo.roundHalfAway(col("flow_m") + col("cum_before"), 1).as("from_upstream_m"),
+      Geo.roundHalfAway(col("flow_m") + col("cum_before") + col("seg_len"), 1)
+        .as("to_upstream_m"),
+      col("plat").as("from_lat"), col("plon").as("from_lon"),
+      col("lat").as("to_lat"), col("lon").as("to_lon"))
+  }
+
+  /** D12 — tag-group connected components: edges grouped by connectivity
+    * AND same tag value (tag_group.rs:96-280). Runs min-label CC on the
+    * same-tag adjacency via composite (dense tag id << 40 | nid) keys.
+    * @return (src, dst, tag, tag_group_nid) per edge, where
+    *         tag_group_nid = min nid within the same-tag component, plus
+    *         the dense group key (tag, tag_group_nid).
+    */
+  def tagGroupCC(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val tags = edges.select("tag").distinct()
+      .withColumn("tid", (row_number().over(Window.orderBy("tag")) - 1).cast("long"))
+    val e = edges.join(tags, Seq("tag"))
+      .withColumn("csrc", shiftleft(col("tid"), 40).bitwiseOR(col("src")))
+      .withColumn("cdst", shiftleft(col("tid"), 40).bitwiseOR(col("dst")))
+    val labels = ConnectedComponents.run(
+      e.select(col("csrc").as("src"), col("cdst").as("dst"))).labels
+    e.join(labels.withColumnRenamed("nid", "csrc"), Seq("csrc"))
+      .withColumn("tag_group_nid",
+        col("comp").bitwiseAND(lit((1L << 40) - 1)))
+      .select("src", "dst", "tag", "tag_group_nid")
+  }
+
+  /** D12 summary — per tag group: length, member/edge counts, sources,
+    * sinks (tag_group.rs:241-280).
+    */
+  def tagGroupSummary(tagGrouped: DataFrame, lens: DataFrame): DataFrame = {
+    val withLen = tagGrouped.join(lens, Seq("src", "dst"))
+    val srcs = tagGrouped.select(col("tag"), col("tag_group_nid"), col("src").as("nid"))
+    val dsts = tagGrouped.select(col("tag"), col("tag_group_nid"), col("dst").as("nid"))
+    val sources = srcs.except(dsts)
+      .groupBy("tag", "tag_group_nid").agg(count(lit(1)).as("n_sources"))
+    val sinks = dsts.except(srcs)
+      .groupBy("tag", "tag_group_nid").agg(count(lit(1)).as("n_sinks"))
+    withLen
+      .groupBy("tag", "tag_group_nid")
+      .agg(count(lit(1)).as("n_edges"),
+        Geo.roundHalfAway(sum("len"), 1).as("length_m"))
+      .join(sources, Seq("tag", "tag_group_nid"), "left")
+      .join(sinks, Seq("tag", "tag_group_nid"), "left")
+      .na.fill(0L, Seq("n_sources", "n_sinks"))
+  }
+}

@@ -1,18 +1,26 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Directed-flow operators (SURVEY.md §2.6): end points, topological
-  * frontier propagation of upstream metres with flow splitting.
+  * frontier propagation of upstream metres with the reference's full
+  * flow-splitting rule (equal split + `--flow-follows-tag` groups).
   *
   * The reference walks a global topological order sequentially
   * (/root/reference/src/bin/osm-lump-ways-down/main.rs:805-910). Here the
   * walk is reformulated as batched frontier rounds (Pregel-in-DataFrames):
   * every round resolves *all* currently-ready nodes at once, so the round
-  * count equals the DAG depth, independent of cluster size — a reported,
-  * parallelism-invariant metric. Confluent because each node's value
-  * depends only on its in-edges' finalised values (SURVEY.md §7.5.3).
+  * count equals the DAG depth — deterministic and identical at any
+  * parallelism (a reported metric).
+  *
+  * Split rule at a node with >1 out-edge (down/main.rs:838-906):
+  *   - in-edges are grouped by tag; inflow(g) = Σ (flow + length) over g
+  *   - each out-group g with n_g out-edges sends inflow(g) / n_g per edge
+  *   - inflow groups with NO matching out-group are split equally over
+  *     ALL out-edges
+  * With 1 out-edge everything flows on; node upstream = Σ inflows.
   */
 object Flow {
 
@@ -34,66 +42,66 @@ object Flow {
 
   final case class UpstreamResult(
       nodeUpstream: DataFrame, // (nid, upstream_m)
-      edgeFlow: DataFrame,     // (src, dst, len, flow_m) flow assigned at src
+      edgeFlow: DataFrame,     // (src, dst, tag, len, flow_m)
       rounds: Int)
 
-  /** D5 — upstream accumulation over a DAG with equal flow splitting:
-    *
-    *   nodeUpstream(v) = Σ over in-edges e=(u,v) of (flow(e) + len(e))
-    *   flow(e)         = nodeUpstream(u) / outdeg(u)
-    *
-    * (the reference's default rule when no `--flow-follows-tag` grouping
-    * applies: inflow split equally over all out edges,
-    * down/main.rs:875-884; sources start at 0).
-    *
-    * @param edges DataFrame(src: Long, dst: Long, len: Double), acyclic
-    *              (run SCC contraction first).
-    */
+  /** Equal-split upstream accumulation (no tag grouping). */
   def upstreamEqualSplit(
+      edges: DataFrame,
+      maxRounds: Int = 100000,
+      checkpointer: Option[(Int, DataFrame) => DataFrame] = None): UpstreamResult =
+    upstreamFlow(edges.withColumn("tag", lit(null).cast("string")),
+      maxRounds, checkpointer)
+
+  /** D5 — upstream accumulation over a DAG with the full splitting rule.
+    *
+    * @param edges DataFrame(src: Long, dst: Long, len: Double,
+    *              tag: String nullable), acyclic (contract SCCs first).
+    */
+  def upstreamFlow(
       edges: DataFrame,
       maxRounds: Int = 100000,
       checkpointer: Option[(Int, DataFrame) => DataFrame] = None): UpstreamResult = {
     val spark = edges.sparkSession
+    import spark.implicits._
 
     val e0 = edges.select(
-      col("src").cast("long"),
-      col("dst").cast("long"),
-      col("len").cast("double"))
-    val outdeg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      col("src").cast("long"), col("dst").cast("long"),
+      col("len").cast("double"), col("tag").cast("string"))
       .localCheckpoint(true)
 
-    // state carried across rounds, one row per node once resolved:
-    //   resolved(nid, up)      — final upstream metres
-    // and per still-unresolved node the partial inflow sum:
-    //   acc(nid, acc)          — Σ of already-arrived in-contributions
-    var live = e0.localCheckpoint(true) // edges whose source is unresolved
-    var acc = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("nid",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("acc",
-          org.apache.spark.sql.types.DoubleType))))
-    var resolved = spark.emptyDataFrame
-      .withColumn("nid", lit(0L)).withColumn("up", lit(0.0)).limit(0)
-    var flows = spark.emptyDataFrame
-      .withColumn("src", lit(0L)).withColumn("dst", lit(0L))
-      .withColumn("len", lit(0.0)).withColumn("flow_m", lit(0.0)).limit(0)
+    // static per-source out-edge lists (dst, tag, len)
+    val outLists = e0.groupBy("src")
+      .agg(collect_list(struct(col("dst"), col("tag"), col("len"))).as("outs"))
+      .localCheckpoint(true)
 
-    var rounds = 0
-    var doneCount = 0L
     val allNodes = e0.select(col("src").as("nid"))
       .union(e0.select(col("dst").as("nid"))).distinct().localCheckpoint(true)
     val totalNodes = allNodes.count()
 
+    def emptyDf(schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+    // acc: per (nid, tag) Σ of arrived in-contributions (flow + len)
+    var acc = emptyDf(StructType(Seq(
+      StructField("nid", LongType), StructField("tag", StringType),
+      StructField("contrib", DoubleType))))
+    var resolved = emptyDf(StructType(Seq(
+      StructField("nid", LongType), StructField("up", DoubleType))))
+    var flows = emptyDf(StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType),
+      StructField("tag", StringType), StructField("len", DoubleType),
+      StructField("flow_m", DoubleType))))
+    var live = e0 // edges whose source is unresolved
+
+    var rounds = 0
+    var doneCount = 0L
+
     while (doneCount < totalNodes && rounds < maxRounds) {
-      // ready = nodes with no remaining unresolved in-edge, not yet resolved
       val hasPendingIn = live.select(col("dst").as("nid")).distinct()
       val ready = allNodes
         .join(hasPendingIn, Seq("nid"), "left_anti")
         .join(resolved.select("nid"), Seq("nid"), "left_anti")
-        .join(acc, Seq("nid"), "left")
-        .select(col("nid"), coalesce(col("acc"), lit(0.0)).as("up"))
         .localCheckpoint(true)
       val nReady = ready.count()
       if (nReady == 0 && doneCount < totalNodes) {
@@ -101,35 +109,132 @@ object Flow {
           s"upstream propagation stalled after $rounds rounds — graph has a cycle")
       }
 
-      // contributions of ready nodes' out-edges
-      val outs = live
-        .join(ready.withColumnRenamed("nid", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("src"), col("dst"), col("len"),
-          (col("up") / col("outdeg")).as("flow_m"))
-      val outsCp = outs.localCheckpoint(true)
+      // per ready node: in-group sums + out-edge list → allocation
+      val readyState = ready
+        .join(acc.groupBy("nid", "tag").agg(sum("contrib").as("inflow"))
+          .groupBy("nid")
+          .agg(collect_list(struct(col("tag"), col("inflow"))).as("ins")),
+          Seq("nid"), "left")
+        .join(outLists.withColumnRenamed("src", "nid"), Seq("nid"), "left")
+        .select(col("nid"), col("ins"), col("outs"))
+        .as[(Long, Option[Seq[(Option[String], Double)]],
+          Option[Seq[(Long, Option[String], Double)]])]
 
-      acc = acc
-        .union(outsCp.select(col("dst").as("nid"),
-          (col("flow_m") + col("len")).as("acc")))
-        .groupBy("nid").agg(sum("acc").as("acc"))
-      resolved = resolved.union(ready.select(col("nid"), col("up")))
-      flows = flows.union(outsCp)
-      live = live.join(ready.withColumnRenamed("nid", "src"), Seq("src"), "left_anti")
+      val emitted = readyState.flatMap { case (nid, insOpt, outsOpt) =>
+        val ins = insOpt.getOrElse(Nil)
+        val outs = outsOpt.getOrElse(Nil)
+        val upstream = ins.map(_._2).sum
+        val flowsOut: Seq[(Long, Option[String], Double, Double)] =
+          if (outs.isEmpty) Nil
+          else if (outs.length == 1) {
+            val (d, t, l) = outs.head
+            Seq((d, t, l, upstream))
+          } else {
+            val inflowPerGroup = ins.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            val outsPerGroup = outs.groupBy(_._2).view.mapValues(_.size).toMap
+            val base: Map[Option[String], Double] = outsPerGroup.map {
+              case (g, n) => g -> (inflowPerGroup.getOrElse(g, 0.0) / n)
+            }
+            val unmatched = inflowPerGroup.filter {
+              case (g, _) => !outsPerGroup.contains(g)
+            }.values.sum
+            val extraPerEdge = unmatched / outs.length
+            outs.map { case (d, t, l) => (d, t, l, base(t) + extraPerEdge) }
+          }
+        Iterator((nid, upstream, flowsOut))
+      }.localCheckpoint(true)
 
-      val persisted = checkpointer match {
+      val newResolved = emitted.map(x => (x._1, x._2)).toDF("nid", "up")
+      val newFlows = emitted.flatMap { case (src, _, outs) =>
+        outs.map { case (d, t, l, f) => (src, d, t.orNull, l, f) }
+      }.toDF("src", "dst", "tag", "len", "flow_m")
+      val newContribs = newFlows.select(
+        col("dst").as("nid"), col("tag"),
+        (col("flow_m") + col("len")).as("contrib"))
+
+      resolved = resolved.union(newResolved)
+      resolved = checkpointer match {
         case Some(cp) => cp(rounds, resolved)
         case None     => resolved.localCheckpoint(true)
       }
-      resolved = persisted
-      acc = acc.localCheckpoint(true)
-      flows = flows.localCheckpoint(true)
-      live = live.localCheckpoint(true)
+      flows = flows.union(newFlows).localCheckpoint(true)
+      acc = acc.union(newContribs)
+        .groupBy("nid", "tag").agg(sum("contrib").as("contrib"))
+        .localCheckpoint(true)
+      live = live.join(ready.withColumnRenamed("nid", "src"), Seq("src"), "left_anti")
+        .localCheckpoint(true)
 
       doneCount += nReady
       rounds += 1
     }
-    UpstreamResult(
-      resolved.withColumnRenamed("up", "upstream_m"), flows, rounds)
+    UpstreamResult(resolved.withColumnRenamed("up", "upstream_m"), flows, rounds)
+  }
+
+  /** D3 — cycle contraction: every SCC collapses onto its min-nid root
+    * (/root/reference/src/graph/directed_graph.rs:526-565); self-loops
+    * dropped, parallel edges deduplicated keeping min length per
+    * (src, dst, tag).
+    */
+  def contractCycles(edges: DataFrame, scc: DataFrame): DataFrame = {
+    val m1 = scc.select(col("nid").as("src"), col("scc").as("newSrc"))
+    val m2 = scc.select(col("nid").as("dst"), col("scc").as("newDst"))
+    edges
+      .join(m1, Seq("src"), "left")
+      .join(m2, Seq("dst"), "left")
+      .select(
+        coalesce(col("newSrc"), col("src")).as("src"),
+        coalesce(col("newDst"), col("dst")).as("dst"),
+        col("len"), col("tag"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst", "tag")
+      .agg(min("len").as("len"))
+      .select("src", "dst", "len", "tag")
+  }
+
+  /** D9 — biggest-end assignment: every node adopts the reachable-
+    * downstream end with the largest upstream value (ties → smaller end
+    * nid — deterministic; see SURVEY D9 note on the reference's
+    * iteration-order tie).
+    * Reverse frontier propagation from the ends.
+    */
+  def biggestEndAssignment(
+      edges: DataFrame,          // (src, dst)
+      endUpstream: DataFrame,    // (nid, upstream_m) for end nodes
+      maxRounds: Int = 100000): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    // state: best (end_up, -end_nid) per node; start at the ends
+    var state = endUpstream.select(
+      col("nid"), col("upstream_m").as("end_up"), col("nid").as("end_nid"))
+      .localCheckpoint(true)
+    var frontier = state
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val pushed = e
+        .join(frontier.withColumnRenamed("nid", "dst"), Seq("dst"))
+        .select(col("src").as("nid"), col("end_up"), col("end_nid"))
+      val merged = state.union(pushed)
+        .groupBy("nid")
+        .agg(max(struct(col("end_up"), (-col("end_nid")).as("neg"),
+          col("end_nid"))).as("b"))
+        .select(col("nid"), col("b.end_up").as("end_up"),
+          col("b.end_nid").as("end_nid"))
+        .localCheckpoint(true)
+      // converged when nothing improved
+      val changed = merged.as("m").join(state.as("s"), Seq("nid"), "left")
+        .filter(col("s.end_nid").isNull ||
+          col("m.end_up") =!= col("s.end_up") ||
+          col("m.end_nid") =!= col("s.end_nid"))
+        .select(col("nid"), col("m.end_up").as("end_up"),
+          col("m.end_nid").as("end_nid"))
+        .localCheckpoint(true)
+      done = changed.isEmpty
+      state = merged
+      frontier = changed
+      rounds += 1
+    }
+    state.select(col("nid"), col("end_nid"), col("end_up").as("end_upstream_m"))
   }
 }

@@ -97,7 +97,7 @@ object LumpWays {
 
     // deterministic dense group ids (few distinct groups)
     val groups = withGroup.select(col("grp")).distinct()
-      .withColumn("gid", row_number().over(Window.orderBy(col("grp"))) - 1)
+      .withColumn("gid", (row_number().over(Window.orderBy(col("grp"))) - 1).cast("long"))
     val wg = withGroup.join(groups, Seq("grp"))
 
     // 2-3. census + contraction per group (nids must fit 40 bits for the

@@ -1,0 +1,104 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.geo.Geo
+
+/** Directed-engine output operators (SURVEY §2.6 D2/D6/D11/D12, §2.1
+  * S8/S9/S10) on hand-verified fixtures.
+  */
+class DownOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // equator: 0.001° lon = 111.19508 m
+  private val degM = 111195.08023353292 / 1000.0
+
+  private def nodes = Seq(
+    (1L, 0.0, 0.000), (2L, 0.0, 0.001), (3L, 0.0, 0.002),
+    (4L, 0.0, 0.003), (5L, 0.0, 0.004))
+    .toDF("nid", "lat", "lon")
+
+  test("D6 edgeLengths expands intermediates (unlike undirected C5)") {
+    val e = Seq((1L, 3L, Seq(2L)), (3L, 5L, Seq(4L))).toDF("src", "dst", "inter")
+    val lens = DownOps.edgeLengths(e, nodes)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 1→2→3 = 2 segments of 0.001° each
+    assert(math.abs(lens((1L, 3L)) - 2 * degM) < 1e-6)
+    assert(math.abs(lens((3L, 5L)) - 2 * degM) < 1e-6)
+  }
+
+  test("D2 loops: 3-cycle props with sorted nodes string") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val l = DownOps.loops(e, nodes).collect()
+    assert(l.length == 1)
+    val r = l.head
+    assert(r.getAs[Long]("root_nid") == 1L)
+    assert(r.getAs[Long]("num_nodes") == 3L)
+    assert(r.getAs[String]("nodes") == "n1,n2,n3")
+    // 1→2, 2→3 (0.001° each) + 3→1 (0.002°) = 4·degM
+    assert(math.abs(r.getAs[Double]("length_m") - Geo.roundHalfAway(4 * degM, 1)) < 0.11)
+  }
+
+  test("S8/S10 loop stats + OpenMetrics text") {
+    val e = Seq((1L, 2L), (2L, 1L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val loops = DownOps.loops(e, nodes)
+    val areas = Seq((1L, "alpha")).toDF("scc", "area") // second loop unmatched
+    val stats = DownOps.loopStats(loops, areas)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(stats.map(_._1).toSet == Set("alpha", "unknown_area"))
+    val om = DownOps.openMetrics(
+      Seq(("alpha", 1L, 222.4), ("beta", 2L, 10.0)), 1700000000L)
+    assert(om.contains("# TYPE waterwaymap_loops_count gauge"))
+    assert(om.contains("""waterwaymap_loops_count{area="alpha"} 1 1700000000"""))
+    assert(om.contains("""waterwaymap_loops_length_m{area="beta"} 10.0 1700000000"""))
+    assert(om.endsWith("# EOF\n"))
+  }
+
+  test("S9 ends ranking: upstream desc, >1m filter, 7dp coords") {
+    val ends = Seq((1L, 500.0), (3L, 900.0), (5L, 0.5)).toDF("nid", "upstream_m")
+    val r = DownOps.endsRanked(ends, nodes)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(2)))
+    assert(r.toSet == Set((3L, 900.0, 1), (1L, 500.0, 2))) // 0.5 filtered
+  }
+
+  test("D11 upstream mini-segments: running values along the chain") {
+    val flows = Seq((1L, 3L, Seq(2L), 100.0)).toDF("src", "dst", "inter", "flow_m")
+    val segs = DownOps.upstreamSegments(flows, nodes)
+      .orderBy("from_upstream_m")
+      .collect().map(r => (r.getAs[Long]("seg_from_nid"), r.getAs[Long]("seg_to_nid"),
+        r.getAs[Double]("from_upstream_m"), r.getAs[Double]("to_upstream_m")))
+    assert(segs.length == 2)
+    assert(segs(0) == (1L, 2L, 100.0, Geo.roundHalfAway(100.0 + degM, 1)))
+    assert(segs(1)._1 == 2L && segs(1)._2 == 3L)
+    assert(segs(1)._3 == Geo.roundHalfAway(100.0 + degM, 1))
+    assert(segs(1)._4 == Geo.roundHalfAway(100.0 + 2 * degM, 1))
+  }
+
+  test("D12 tag-group CC: connectivity AND same tag value") {
+    val e = Seq(
+      (1L, 2L, "A"), (2L, 3L, "A"), // group A, min 1
+      (3L, 4L, "B"),                // group B via node 3 — separate group
+      (10L, 11L, "A"))              // disconnected A group, min 10
+      .toDF("src", "dst", "tag")
+    val g = DownOps.tagGroupCC(e)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getLong(3))))
+      .toMap
+    assert(g((1L, 2L)) == ("A", 1L))
+    assert(g((2L, 3L)) == ("A", 1L))
+    assert(g((3L, 4L)) == ("B", 3L))
+    assert(g((10L, 11L)) == ("A", 10L))
+  }
+
+  test("D12 summary: lengths, sources, sinks per tag group") {
+    val e = Seq((1L, 2L, "A"), (2L, 3L, "A")).toDF("src", "dst", "tag")
+    val lens = Seq((1L, 2L, 10.0), (2L, 3L, 20.0)).toDF("src", "dst", "len")
+    val s = DownOps.tagGroupSummary(DownOps.tagGroupCC(e), lens).head()
+    assert(s.getAs[String]("tag") == "A")
+    assert(s.getAs[Long]("tag_group_nid") == 1L)
+    assert(s.getAs[Long]("n_edges") == 2L)
+    assert(s.getAs[Double]("length_m") == 30.0)
+    assert(s.getAs[Long]("n_sources") == 1L)
+    assert(s.getAs[Long]("n_sinks") == 1L)
+  }
+}

@@ -142,4 +142,73 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(Scc.tarjanLocal(es) ==
       Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
+
+  test("fx-bifurcation with flow-follows-tag: matched group keeps its flow") {
+    // 1 -A-> 2; at 2: out A (2->3) and out B (2->4). A-inflow follows A;
+    // no B inflow -> B gets 0 (down/main.rs:838-906)
+    val e = Seq(
+      (1L, 2L, 10.0, "A"), (2L, 3L, 5.0, "A"), (2L, 4L, 7.0, "B"))
+      .toDF("src", "dst", "len", "tag")
+    val r = Flow.upstreamFlow(e)
+    val up = r.nodeUpstream.collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(up == Map(1L -> 0.0, 2L -> 10.0, 3L -> 15.0, 4L -> 7.0))
+    val flows = r.edgeFlow.collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(4))).toMap
+    assert(flows((2L, 3L)) == 10.0) // all of A's inflow
+    assert(flows((2L, 4L)) == 0.0)  // B had no inflow
+  }
+
+  test("fx-bifurcation: unmatched inflow group splits over ALL out edges") {
+    // inflow tag C at node 2; outs are A and B -> C splits equally
+    val e = Seq(
+      (1L, 2L, 10.0, "C"), (2L, 3L, 5.0, "A"), (2L, 4L, 7.0, "B"))
+      .toDF("src", "dst", "len", "tag")
+    val r = Flow.upstreamFlow(e)
+    val flows = r.edgeFlow.collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(4))).toMap
+    assert(flows((2L, 3L)) == 5.0 && flows((2L, 4L)) == 5.0)
+  }
+
+  test("fx-bifurcation: matched groups + multiple outs per group") {
+    // at node 9: in A=30 (3 edges of tag A out? no: outs: two A edges + one B)
+    val e = Seq(
+      (1L, 9L, 30.0, "A"), (2L, 9L, 6.0, "B"),
+      (9L, 10L, 1.0, "A"), (9L, 11L, 1.0, "A"), (9L, 12L, 1.0, "B"))
+      .toDF("src", "dst", "len", "tag")
+    val r = Flow.upstreamFlow(e)
+    val flows = r.edgeFlow.collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(4))).toMap
+    assert(flows((9L, 10L)) == 15.0 && flows((9L, 11L)) == 15.0) // A: 30/2
+    assert(flows((9L, 12L)) == 6.0) // B: 6/1
+  }
+
+  test("D3 contractCycles rewires SCC members onto the min-nid root") {
+    val e = Seq(
+      (1L, 2L, 1.0, null), (2L, 3L, 1.0, null), (3L, 1L, 1.0, null),
+      (3L, 4L, 2.0, null), (0L, 2L, 5.0, null))
+      .toDF("src", "dst", "len", "tag")
+    val scc = Scc.run(e.select("src", "dst"))
+    val contracted = Flow.contractCycles(e, scc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(contracted == Set((1L, 4L, 2.0), (0L, 1L, 5.0)))
+  }
+
+  test("D9 biggest-end assignment: max upstream wins, ties -> smaller end nid") {
+    //   1 -> 2 -> 3(end, up=10)
+    //        2 -> 4(end, up=50)     => 1,2 assigned to 4
+    //   5 -> 6(end, up=10)          => tie vs end 3 impossible (5 only reaches 6)
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 4L), (5L, 6L)).toDF("src", "dst")
+    val ends = Seq((3L, 10.0), (4L, 50.0), (6L, 10.0)).toDF("nid", "upstream_m")
+    val got = Flow.biggestEndAssignment(e, ends)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
+  }
+
+  test("D9 tie-break: equal end upstreams -> smaller end nid") {
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val ends = Seq((2L, 10.0), (3L, 10.0)).toDF("nid", "upstream_m")
+    val got = Flow.biggestEndAssignment(e, ends)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 2L)
+  }
 }
