@@ -28,6 +28,7 @@ object SparkEntry {
     QueriesRelational.queries ++
       QueriesGraph.queries ++
       QueriesDown.queries ++
+      QueriesExtras.queries ++
       QueriesSpatial.queries ++
       QueriesText.queries ++
       QueriesWeb.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
     QueriesRelational.oracles ++
       QueriesGraph.oracles ++
       QueriesDown.oracles ++
+      QueriesExtras.oracles ++
       QueriesSpatial.oracles ++
       QueriesText.oracles ++
       QueriesWeb.oracles ++
