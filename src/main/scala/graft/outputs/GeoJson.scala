@@ -55,6 +55,14 @@ object GeoJson {
       }
       .mkString("LINESTRING(", ", ", ")")
 
+  /** JSON number rendering matching Rust serde_json's f64 output: plain
+    * decimal (never scientific), integral floats keep a trailing `.0`.
+    */
+  def numJson(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null"
+    else if (v.isWhole && math.abs(v) < 1e15) s"${v.toLong}.0"
+    else BigDecimal(v).bigDecimal.stripTrailingZeros.toPlainString
+
   /** Minimal JSON string escaping for property values. */
   def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -1,0 +1,60 @@
+package graft.outputs
+
+import java.io.{BufferedWriter, FileWriter}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+
+/** Single ordered output file (SURVEY §7.5.5): the reference writes one
+  * GeoJSON(-Seq)/CSV file in length-desc order. At scale we stream the
+  * *sorted* DataFrame through `toLocalIterator` — partitions arrive in
+  * order, one at a time, so driver memory stays bounded by a single
+  * partition, not the whole result.
+  */
+object Writers {
+
+  def writeLines(lines: Iterator[String], path: String, overwrite: Boolean): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p) && !overwrite)
+      throw new IllegalStateException(
+        s"Output file $path already exists. Use --overwrite to overwrite") // main.rs behaviour
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val w = new BufferedWriter(new FileWriter(path), 1 << 20)
+    try lines.foreach(w.write)
+    finally w.close()
+  }
+
+  /** GeoJSONSeq: one RS-framed feature per row of the pre-sorted,
+    * pre-serialized single string column.
+    */
+  def writeGeoJsonSeq(featureJson: DataFrame, path: String, overwrite: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    writeLines(
+      featureJson.toLocalIterator().asScala.map(r => GeoJson.seqFrame(r.getString(0))),
+      path, overwrite)
+  }
+
+  /** `.geojson` FeatureCollection (fileio.rs:127-142). */
+  def writeGeoJson(featureJson: DataFrame, path: String, overwrite: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    writeLines(
+      GeoJson.featureCollection(
+        featureJson.toLocalIterator().asScala.map(_.getString(0))),
+      path, overwrite)
+  }
+
+  /** CSV with explicit header/ordering (the reference's writer,
+    * fileio.rs:216-264 — `df.write.csv` quoting is not byte-compatible).
+    */
+  def writeCsv(
+      header: Seq[String], rows: Iterator[Seq[String]],
+      path: String, overwrite: Boolean): Unit = {
+    def esc(s: String): String =
+      if (s.contains(',') || s.contains('"') || s.contains('\n'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    writeLines(
+      Iterator(header.mkString("", ",", "\n")) ++
+        rows.map(_.map(esc).mkString("", ",", "\n")),
+      path, overwrite)
+  }
+}

@@ -240,9 +240,9 @@ object LumpWays {
       val props = new StringBuilder("{")
       props.append("\"root_nodeid\":").append(r.getAs[Long]("root_nodeid"))
       props.append(",\"root_nodeid_120\":").append(r.getAs[Long]("root_nodeid") % 120)
-      props.append(",\"length_m\":").append(Geo.roundHalfAway(lengthM, 1))
+      props.append(",\"length_m\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM, 1)))
       props.append(",\"length_m_int\":").append(math.round(lengthM))
-      props.append(",\"length_km\":").append(Geo.roundHalfAway(lengthM / 1000.0, 2))
+      props.append(",\"length_km\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM / 1000.0, 2)))
       props.append(",\"length_km_int\":").append(math.round(lengthM / 1000.0))
       grp.zipWithIndex.foreach { case (g, i) =>
         props.append(s""","tag_group_$i":${if (g == null) "null" else GeoJson.jsonStr(g)}""")
@@ -250,7 +250,7 @@ object LumpWays {
       props.append(",\"num_nodes\":").append(r.getAs[Long]("num_nodes"))
       props.append(",\"length_desc_rank\":").append(r.getAs[Int]("length_desc_rank"))
       props.append(",\"length_m_fraction_total\":")
-        .append(r.getAs[Double]("length_m_fraction_total"))
+        .append(GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")))
       props.append("}")
       val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
         .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq).toSeq
