@@ -26,6 +26,8 @@ object Scaling {
       .appName(s"graft-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -71,8 +73,18 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val nWays = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAYS", "200000").toLong
-    val lo = runOnce(8, nWays)
-    val hi = runOnce(32, nWays)
+    // The sandbox host has bursty CPU steal from co-tenants; alternate
+    // configs and keep the best rep per config (min wall) so a steal
+    // burst can't poison one side of the comparison.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val runs = (1 to reps).flatMap { r =>
+      val a = runOnce(8, nWays)
+      val b = runOnce(32, nWays)
+      System.err.println(s"[scaling] rep $r: t8=${a.wallSec}%.1f t32=${b.wallSec}")
+      Seq(a, b)
+    }
+    val lo = runs.filter(_.cpus == 8).minBy(_.wallSec)
+    val hi = runs.filter(_.cpus == 32).minBy(_.wallSec)
     val eff = (lo.wallSec / hi.wallSec) / 4.0
     require(lo.ccRounds == hi.ccRounds,
       s"CC rounds differ across parallelism: ${lo.ccRounds} vs ${hi.ccRounds}")

@@ -38,7 +38,8 @@ object LumpWaysMain {
           val ways = spark.read.parquet(s"${args.inputFilename}/ways.parquet")
           val nodes = spark.read.parquet(s"${args.inputFilename}/nodes.parquet")
           val t0 = System.nanoTime()
-          val feats = LumpWays.features(ways, nodes, args.config, spark)
+          val cfg = args.config.copy(onlyNodeids = args.onlyTheseWayGroupsNodeid)
+          val feats = LumpWays.features(ways, nodes, cfg, spark)
           val lines = LumpWays.toGeoJsonSeq(feats)
           fmt match {
             case Cli.GeoJsonSeq =>

@@ -181,6 +181,64 @@ object DownOps {
       .select("src", "dst", "tag", "tag_group_nid")
   }
 
+  /** D14 — stream level + code (tag_group.rs:468-536): BFS over the
+    * group-level DAG from sink groups ordered by upstream desc. Level-0
+    * groups get codes "1".."n"; children (in-flowing unvisited groups,
+    * upstream-desc order) get parentCode + childIdx. Group graph is small
+    * (#groups ≪ #edges) — runs on the driver for determinism, exactly as
+    * the survey recommends.
+    *
+    * @param groupFlows (parent_group, child_group) — child flows INTO
+    *                   parent at a confluence
+    * @param groupUpstream (group, upstream_m)
+    * @param sinkGroups groups that end at a final sink
+    */
+  def streamLevels(
+      groupFlows: Seq[(Long, Long)],
+      groupUpstream: Map[Long, Double],
+      sinkGroups: Seq[Long]): Map[Long, (Int, String)] = {
+    val childrenOf = groupFlows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = scala.collection.mutable.LinkedHashMap.empty[Long, (Int, String)]
+    val roots = sinkGroups.distinct
+      .sortBy(g => (-groupUpstream.getOrElse(g, 0.0), g))
+    roots.zipWithIndex.foreach { case (g, i) => out(g) = (0, (i + 1).toString) }
+    var frontier = roots
+    var level = 0
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (parent <- frontier) {
+        val (pl, pcode) = out(parent)
+        val kids = childrenOf.getOrElse(parent, Nil)
+          .filterNot(out.contains)
+          .sortBy(k => (-groupUpstream.getOrElse(k, 0.0), k))
+        kids.zipWithIndex.foreach { case (k, i) =>
+          out(k) = (pl + 1, pcode + (i + 1).toString)
+          next += k
+        }
+      }
+      frontier = next.toSeq
+      level += 1
+    }
+    out.toMap
+  }
+
+  /** D15 — confluence distances (tag_group.rs:716-806): within one group,
+    * Dijkstra flood DOWNSTREAM from each marked node (confluence / source
+    * / sink) → pairwise distance map.
+    */
+  def confluenceDistances(
+      edges: Seq[(Long, Long, Double)],
+      marked: Seq[Long]): Map[(Long, Long), Double] = {
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3)).sortBy(x => (x._2, x._1))).toMap
+    val out = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    for (m <- marked.distinct.sorted) {
+      val (dist, _) = Local.dijkstra(adj, m)
+      for (t <- marked if t != m; d <- dist.get(t)) out((m, t)) = d
+    }
+    out.toMap
+  }
+
   /** D12 summary — per tag group: length, member/edge counts, sources,
     * sinks (tag_group.rs:241-280).
     */

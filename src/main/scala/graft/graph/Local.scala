@@ -127,6 +127,27 @@ object Local {
     (lower.dropRight(1) ++ upper.dropRight(1)).toSeq
   }
 
+  /** C10 — spike removal: iteratively drop degree-1 vertexes (and their
+    * edge) until none remain, except `keep` vertexes
+    * (/root/reference/src/graph/undirected_graph.rs:718-754 — the
+    * betweenness pre-pass).
+    */
+  def removeSpikes(
+      edges: Seq[(Long, Long)],
+      keep: Long => Boolean = _ => false): Seq[(Long, Long)] = {
+    var es = edges.filter(e => e._1 != e._2)
+    var changed = true
+    while (changed) {
+      val deg = mutable.HashMap.empty[Long, Int].withDefaultValue(0)
+      es.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      val spikes = deg.collect { case (v, 1) if !keep(v) => v }.toSet
+      val next = es.filterNot(e => spikes(e._1) || spikes(e._2))
+      changed = next.length != es.length
+      es = next
+    }
+    es
+  }
+
   /** C9 — degree-2 compression on a local edge list with intermediate
     * chains: iteratively merge the two edges of every degree-2 vertex not
     * in `neverRemove`, concatenating intermediates

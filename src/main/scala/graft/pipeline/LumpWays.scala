@@ -60,7 +60,8 @@ object LumpWays {
       inclUnsetGroup: Boolean = false,
       minLength: Option[MinLengthFilter] = None,
       maxLengthM: Option[Double] = None,
-      topN: Option[Int] = None)
+      topN: Option[Int] = None,
+      onlyNodeids: Seq[Long] = Nil) // C6 --only-these-way-groups-nodeid
 
   /** Composite (group id, node id) packed into one Long for the CC key —
     * group graphs are independent (SURVEY C1: a node can sit in different
@@ -123,11 +124,19 @@ object LumpWays {
 
     val compLen = withLen.groupBy("comp").agg(sum("hv").as("length_m"))
 
-    val lens = compLen
+    val lens0 = compLen
       .withColumn("root_nodeid", col("comp").bitwiseAND(lit(NidMask)))
       .withColumn("gid", shiftright(col("comp"), NidBits))
       .join(groups, Seq("gid"))
-      .localCheckpoint(true)
+    // C6 — keep only components containing a wanted nid (main.rs:523-536)
+    val lens = (if (cfg.onlyNodeids.isEmpty) lens0
+      else {
+        val wanted = labels
+          .filter(col("nid").bitwiseAND(lit(NidMask))
+            .isin(cfg.onlyNodeids: _*))
+          .select("comp").distinct()
+        lens0.join(wanted, Seq("comp"), "left_semi")
+      }).localCheckpoint(true)
 
     // 6. min/max length filters (C7/C8)
     val afterMin: DataFrame = cfg.minLength match {

@@ -101,4 +101,32 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(s.getAs[Long]("n_sources") == 1L)
     assert(s.getAs[Long]("n_sinks") == 1L)
   }
+
+  test("C10 spike removal: degree-1 chains peel off, keep-set pins") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 1L), (4L, 5L))
+    // 5 is a spike; then 4 becomes degree-1 → removed; triangle 1-2-3 stays
+    val out = Local.removeSpikes(es).toSet
+    assert(out == Set((1L, 2L), (2L, 3L), (3L, 1L)))
+    val kept = Local.removeSpikes(es, _ == 5L).toSet
+    assert(kept == es.toSet) // pinning 5 keeps the whole chain
+  }
+
+  test("D14 stream levels: codes follow upstream-desc BFS order") {
+    // group DAG: 1 (sink, up 100) ← 2 (up 60), 1 ← 3 (up 80); 2 ← 4
+    val flows = Seq((1L, 2L), (1L, 3L), (2L, 4L))
+    val up = Map(1L -> 100.0, 2L -> 60.0, 3L -> 80.0, 4L -> 10.0)
+    val lv = DownOps.streamLevels(flows, up, Seq(1L))
+    assert(lv(1L) == (0, "1"))
+    assert(lv(3L) == (1, "11")) // larger upstream child first
+    assert(lv(2L) == (1, "12"))
+    assert(lv(4L) == (2, "121"))
+  }
+
+  test("D15 confluence distances: pairwise downstream Dijkstra") {
+    val es = Seq((1L, 2L, 10.0), (2L, 3L, 5.0), (2L, 4L, 7.0))
+    val d = DownOps.confluenceDistances(es, Seq(1L, 3L, 4L))
+    assert(d((1L, 3L)) == 15.0)
+    assert(d((1L, 4L)) == 17.0)
+    assert(!d.contains((3L, 1L))) // downstream only
+  }
 }
