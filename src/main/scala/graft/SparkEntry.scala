@@ -29,6 +29,7 @@ object SparkEntry {
       QueriesGraph.queries ++
       QueriesDown.queries ++
       QueriesExtras.queries ++
+      QueriesRivers.queries ++
       QueriesSpatial.queries ++
       QueriesText.queries ++
       QueriesWeb.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       QueriesGraph.oracles ++
       QueriesDown.oracles ++
       QueriesExtras.oracles ++
+      QueriesRivers.oracles ++
       QueriesSpatial.oracles ++
       QueriesText.oracles ++
       QueriesWeb.oracles ++

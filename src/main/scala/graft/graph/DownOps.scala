@@ -239,6 +239,124 @@ object DownOps {
     out.toMap
   }
 
+  /** D10 — grouped-ends line assembly (down/main.rs:1427-1714): within
+    * one end's basin, walk upstream from the end repeatedly taking the
+    * unused in-edge with the largest upstream flow (:1579-1587); when the
+    * main stem is exhausted, start the next line at the downstream node
+    * of the largest-flow unused edge. Lines never cross basin boundaries
+    * (the caller passes only this basin's edges). Returned lines run
+    * downstream (source → end).
+    */
+  def groupedEndLines(
+      edges: Seq[(Long, Long, Double)], // (src, dst, flow)
+      end: Long): Seq[Seq[Long]] = {
+    val used = scala.collection.mutable.HashSet.empty[Int]
+    val byDst = edges.zipWithIndex.groupBy(_._1._2)
+    def walkUp(start: Long): Seq[Long] = {
+      val line = scala.collection.mutable.ArrayBuffer(start)
+      var cur = start
+      var continue = true
+      while (continue) {
+        val candidates = byDst.getOrElse(cur, Nil).filterNot(x => used(x._2))
+        if (candidates.isEmpty) continue = false
+        else {
+          val (e, i) = candidates.maxBy { case ((s, _, f), _) => (f, -s) }
+          used += i
+          line += e._1
+          cur = e._1
+        }
+      }
+      line.reverse.toSeq
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val first = walkUp(end)
+    if (first.length > 1) out += first
+    var remaining = edges.zipWithIndex.filterNot(x => used(x._2))
+    while (remaining.nonEmpty) {
+      val ((_, d, _), _) = remaining.maxBy { case ((s, _, f), _) => (f, -s) }
+      val line = walkUp(d)
+      if (line.length > 1) out += line
+      else used ++= remaining.filter(_._1._2 == d).map(_._2) // safety: consume
+      remaining = edges.zipWithIndex.filterNot(x => used(x._2))
+    }
+    out.toSeq
+  }
+
+  /** D10 distributed: edges bucketed by their dst's assigned end (lines
+    * cut at basin boundaries because cross-basin edges land in the dst
+    * basin only), one local walk per basin.
+    * @param edgeFlows (src, dst, flow_m)
+    * @param assignment (nid, end_nid) from [[Flow.biggestEndAssignment]]
+    */
+  def groupedEnds(edgeFlows: DataFrame, assignment: DataFrame): DataFrame = {
+    val spark = edgeFlows.sparkSession
+    import spark.implicits._
+    edgeFlows
+      .join(assignment.select(col("nid").as("dst"), col("end_nid")), Seq("dst"))
+      .select("end_nid", "src", "dst", "flow_m")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (end, rows) =>
+        val es = rows.map(r => (r._2, r._3, r._4)).toSeq
+        groupedEndLines(es, end).zipWithIndex.map { case (line, i) =>
+          (end, i, line)
+        }
+      }
+      .toDF("end_nid", "line_idx", "line")
+  }
+
+  /** D16 — grouped waterways summary (down/main.rs:1908-2229): per tag
+    * group: cum_length_m (Σ member edges), length_m = longest
+    * through-path (max over sources of shortest distance to a sink —
+    * calc_through_path_length semantics), min/max/mean upstream flow,
+    * source/sink counts.
+    * @param tagGrouped (src, dst, tag, tag_group_nid)
+    * @param lens (src, dst, len)
+    * @param flows (src, dst, flow_m)
+    */
+  def groupedWaterways(
+      tagGrouped: DataFrame, lens: DataFrame, flows: DataFrame): DataFrame = {
+    val spark = tagGrouped.sparkSession
+    import spark.implicits._
+    tagGrouped
+      .join(lens, Seq("src", "dst"))
+      .join(flows, Seq("src", "dst"), "left")
+      .select(col("tag"), col("tag_group_nid"), col("src"), col("dst"),
+        col("len"), coalesce(col("flow_m"), lit(0.0)).as("flow_m"))
+      .as[(String, Long, Long, Long, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Long), rows: Iterator[(String, Long, Long, Long, Double, Double)]) =>
+        val (tag, gnid) = key
+        val es = rows.toSeq
+        val cum = es.map(_._5).sum
+        val ups = es.map(_._6)
+        val srcs = es.map(_._3).distinct.filterNot(n => es.exists(_._4 == n))
+        val sinks = es.map(_._4).distinct.filterNot(n => es.exists(_._3 == n))
+        // longest through-path: per source, Dijkstra shortest to each
+        // sink; take the global max (down/main.rs:2231-2263)
+        val adj = es.groupBy(_._3).view
+          .mapValues(_.map(e => (e._4, e._5)).sortBy(x => (x._2, x._1))).toMap
+        val through = (for {
+          s <- srcs
+          (dist, _) = Local.dijkstra(adj, s)
+          k <- sinks
+          d <- dist.get(k)
+        } yield d) match {
+          case Nil => 0.0
+          case ds  => ds.max
+        }
+        (tag, gnid, es.length.toLong,
+          Geo.roundHalfAway(cum, 1), Geo.roundHalfAway(through, 1),
+          srcs.length.toLong, sinks.length.toLong,
+          Geo.roundHalfAway(if (ups.isEmpty) 0.0 else ups.min, 1),
+          Geo.roundHalfAway(if (ups.isEmpty) 0.0 else ups.max, 1),
+          Geo.roundHalfAway(if (ups.isEmpty) 0.0 else ups.sum / ups.length, 1))
+      }
+      .toDF("tag", "tag_group_nid", "n_edges", "cum_length_m", "length_m",
+        "n_sources", "n_sinks", "min_upstream_m", "max_upstream_m",
+        "mean_upstream_m")
+  }
+
   /** D12 summary — per tag group: length, member/edge counts, sources,
     * sinks (tag_group.rs:241-280).
     */

@@ -129,4 +129,78 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(d((1L, 4L)) == 17.0)
     assert(!d.contains((3L, 1L))) // downstream only
   }
+
+  test("D10 grouped-ends: main stem follows max flow, side lines peel") {
+    //  1 →(5) 3 →(20) 4(end);  2 →(10) 3   — main stem at 3 takes flow 10 (from 2)
+    val es = Seq((1L, 3L, 5.0), (2L, 3L, 10.0), (3L, 4L, 20.0))
+    val lines = DownOps.groupedEndLines(es, 4L)
+    assert(lines.head == Seq(2L, 3L, 4L)) // max-flow in-edge wins at 3
+    assert(lines.tail == Seq(Seq(1L, 3L)))
+  }
+
+  test("D10 distributed: lines bucketed per assigned end") {
+    val flows = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (10L, 11L, 1.0))
+      .toDF("src", "dst", "flow_m")
+    val assign = Seq((1L, 3L), (2L, 3L), (3L, 3L), (10L, 11L), (11L, 11L))
+      .toDF("nid", "end_nid")
+    val r = DownOps.groupedEnds(flows, assign)
+      .collect().map(x => (x.getLong(0), x.getSeq[Long](2)))
+    assert(r.toSet == Set((3L, Seq(1L, 2L, 3L)), (11L, Seq(10L, 11L))))
+  }
+
+  test("D16 grouped waterways: through-path, cum length, upstream stats") {
+    val tg = Seq((1L, 2L, "A", 1L), (2L, 3L, "A", 1L), (2L, 4L, "A", 1L))
+      .toDF("src", "dst", "tag", "tag_group_nid")
+    val lens = Seq((1L, 2L, 10.0), (2L, 3L, 5.0), (2L, 4L, 30.0))
+      .toDF("src", "dst", "len")
+    val flows = Seq((1L, 2L, 0.0), (2L, 3L, 5.0), (2L, 4L, 5.0))
+      .toDF("src", "dst", "flow_m")
+    val r = DownOps.groupedWaterways(tg, lens, flows).head()
+    assert(r.getAs[Double]("cum_length_m") == 45.0)
+    assert(r.getAs[Double]("length_m") == 40.0) // 1→2→4 longest through-path
+    assert(r.getAs[Long]("n_sources") == 1L && r.getAs[Long]("n_sinks") == 2L)
+    assert(r.getAs[Double]("max_upstream_m") == 5.0)
+  }
+
+  test("D13 classification: pure rules match the reference tables") {
+    import RiverRel._
+    def gi(len: Double, tagged: Boolean = true, sinksEmpty: Boolean = false,
+        nConf: Int = 1, subset: Boolean = false) =
+      GroupInfo(0L, len, tagged, sinksEmpty, nConf, subset)
+    // all (In, Through) → A is tributary of B
+    assert(classify(gi(10).copy(id = 7), gi(100).copy(id = 8),
+      Seq((In, Through))).contains((ATributaryB, 7L, 8L)))
+    // flipped: all (Through, In) → B is tributary of A (ids swapped)
+    assert(classify(gi(100).copy(id = 7), gi(10).copy(id = 8),
+      Seq((Through, In))).contains((ATributaryB, 8L, 7L)))
+    // all (In, Out) → terminal distributary
+    assert(classify(gi(10).copy(id = 1), gi(50).copy(id = 2),
+      Seq((In, Out))).contains((ATerminalDistributaryB, 1L, 2L)))
+    // all (Out, Through) → branching distributary
+    assert(classify(gi(10).copy(id = 1), gi(50).copy(id = 2),
+      Seq((Out, Through))).contains((ABranchingDistributaryB, 1L, 2L)))
+    // side channel: shorter A leaves and rejoins B
+    assert(classify(gi(10).copy(id = 1), gi(50).copy(id = 2),
+      Seq((Out, Through), (In, Through))).contains((ASideChannelB, 1L, 2L)))
+    // fallback: tiny unnamed trib
+    assert(classify(
+      gi(5, tagged = false, nConf = 1).copy(id = 1),
+      gi(100).copy(id = 2),
+      Seq((In, No))).contains((ATributaryB, 1L, 2L)))
+    // nothing matches → None
+    assert(classify(gi(50).copy(id = 1), gi(60).copy(id = 2),
+      Seq((No, No))).isEmpty)
+  }
+
+  test("D13 DataFrame driver: tributary found on a confluence graph") {
+    // River B: 1→2→3 (Through at 2); trib A: 5→2 (In at 2)
+    val tg = Seq(
+      (1L, 2L, "B", 1L), (2L, 3L, "B", 1L), (5L, 2L, "A", 5L))
+      .toDF("src", "dst", "tag", "tag_group_nid")
+    val lens = Seq((1L, 2L, 100.0), (2L, 3L, 100.0), (5L, 2L, 10.0))
+      .toDF("src", "dst", "len")
+    val rels = RiverRel.classifyPairs(tg, lens)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rels.toSeq == Seq((RiverRel.ATributaryB, "A#5", "B#1")))
+  }
 }
