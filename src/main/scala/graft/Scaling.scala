@@ -35,9 +35,10 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val t0 = System.nanoTime()
-      // materialize the input once (stand-in for the PBF read; the
-      // census/contraction otherwise re-evaluates the generator 3x)
-      val ways = Synthetic.ways(spark, nWays).localCheckpoint(true)
+      val ways =
+        if (sys.env.get("SPARK_GRAFT_NO_WAYS_CKPT").isDefined)
+          Synthetic.ways(spark, nWays)
+        else Synthetic.ways(spark, nWays).localCheckpoint(true)
       val edges = GraphBuild.canonicalUndirected(
         GraphBuild.contractedEdges(ways, spark))
         .toDF().localCheckpoint(true)

@@ -148,14 +148,43 @@ object Dedup {
 
   /** Brute-force cosine top-k per query vector (the correctness baseline;
     * the LSH/IVF variant is the scale path). Self-pairs excluded.
+    *
+    * Shape: the reference set is broadcast (vectors are tiny — n·d
+    * floats) and each partition of queries scans it with primitive
+    * double math — a broadcast NN join, ~1000× faster than evaluating a
+    * Catalyst `aggregate` lambda per pair. Queries stay distributed, so
+    * this scales in the query dimension; a reference set too big to
+    * broadcast is exactly when the LSH variant takes over.
     */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val a = embeddings.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val b = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-    val sims = a.join(b, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+    val ref = spark.sparkContext.broadcast(
+      vecs.collect().sortBy(_._1).map { case (i, v) => (i, v.toArray) })
+    vecs.mapPartitions { it =>
+      val refs = ref.value
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      it.flatMap { case (qid, qv) =>
+        val q = qv.toArray
+        val qn = math.sqrt(dot(q, q))
+        val top = refs.iterator
+          .filter(_._1 != qid)
+          .map { case (nid, nv) =>
+            (nid, dot(q, nv) / (qn * math.sqrt(dot(nv, nv))))
+          }
+          .toSeq
+          // sim desc, nid asc — identical tie-break to the SQL oracle
+          .sortBy { case (nid, sim) => (-sim, nid) }
+          .take(k)
+        top.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
+      }
+    }.toDF("qid", "nid", "sim", "rank")
   }
 }

@@ -59,15 +59,14 @@ object QueriesDown {
       val e = cyclicEdgesDF(s, d)
         .withColumn("len", expr(edgeLenSql))
         .withColumn("tag", lit(null).cast("string"))
-      val scc = Scc.run(e.select("src", "dst"))
-      Flow.contractCycles(e, scc)
+      Flow.contractCycles(e, sccCyclic(s, d))
         .select(col("src"), col("dst"), col("len").cast("long").as("len_i"))
     }),
 
     // D9 — biggest-end assignment over the DAG (integerised upstreams)
     "q39_biggest_end" -> ((s, d) => {
       val dag = dagEdgesDF(s, d)
-      val up = Flow.upstreamEqualSplit(dag).nodeUpstream
+      val up = dagUpstreamNodes(s, d)
         .select(col("nid"), (expr(dmSql("upstream_m")).cast("double")).as("upstream_m"))
       val ends = Flow.endPoints(dag).join(up, Seq("nid"))
       Flow.biggestEndAssignment(dag.select("src", "dst"), ends)
@@ -76,13 +75,12 @@ object QueriesDown {
     }),
 
     // D12 — tag-group CC: connectivity AND same tag value
-    "q40_tag_group_cc" -> ((s, d) =>
-      DownOps.tagGroupCC(edgesDF(s, d).withColumn("tag", expr(tagSql)))),
+    "q40_tag_group_cc" -> ((s, d) => tagGroupTagged(s, d)),
 
     // D2+S8 — loops per area (SCC + PIP + aggregate)
     "q41_loop_stats" -> ((s, d) => {
       val e = cyclicEdgesDF(s, d)
-      val scc = Scc.run(e.select("src", "dst")).localCheckpoint(true)
+      val scc = sccCyclic(s, d)
       val intra = e
         .join(scc.withColumnRenamed("nid", "src").withColumnRenamed("scc", "s1"), Seq("src"))
         .join(scc.withColumnRenamed("nid", "dst").withColumnRenamed("scc", "s2"), Seq("dst"))
@@ -108,7 +106,7 @@ object QueriesDown {
     // S9 — ends ranked by (rounded) upstream desc
     "q42_ends_ranked" -> ((s, d) => {
       val dag = dagEdgesDF(s, d)
-      val up = Flow.upstreamEqualSplit(dag).nodeUpstream
+      val up = dagUpstreamNodes(s, d)
         .select(col("nid"), (expr(dmSql("upstream_m")) / 10.0).as("upstream_m"))
       val ends = Flow.endPoints(dag).join(up, Seq("nid"))
       DownOps.endsRanked(ends, nodesDF(s, d))

