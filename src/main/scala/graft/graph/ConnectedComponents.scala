@@ -97,7 +97,8 @@ object ConnectedComponents {
       .join(mins, col("src") === col("u"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // no distinct here: the following small-star groupBy absorbs
+    // duplicates — one fewer shuffle per round
   }
 
   /** Small-star: every ≤-neighbour (and u itself) re-points at the
