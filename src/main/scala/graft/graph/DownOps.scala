@@ -125,6 +125,46 @@ object DownOps {
     topN.map(n => ranked.filter(col("upstream_m_rank") <= n)).getOrElse(ranked)
   }
 
+  /** D8 — ends GeoJSON features (down/main.rs:1067-1108): one Point
+    * feature per end with `upstream_m` (1 dp), `nid`, `is_in_*` booleans
+    * + `is_in_count`, `tag_*` values; `--min-upstream-m` gate.
+    * Returns a single-column DF of pre-serialized feature JSON, ordered
+    * by nid (stream through Writers for the RS-framed file).
+    */
+  def endsGeoJson(
+      endUpstream: DataFrame, // (nid, upstream_m)
+      nodes: DataFrame,
+      membership: DataFrame, // from Rescans.endsMembership (may be empty cols)
+      minUpstreamM: Option[Double] = None): DataFrame = {
+    val spark = endUpstream.sparkSession
+    import spark.implicits._
+    val extraCols = membership.columns.filterNot(_ == "nid").toSeq
+    val base = endUpstream
+      .filter(minUpstreamM.map(m => col("upstream_m") >= m).getOrElse(lit(true)))
+      .join(nodes, Seq("nid"))
+      .join(membership, Seq("nid"), "left")
+      .orderBy("nid")
+    base.select(
+      concat(
+        lit("""{"properties":{"upstream_m":"""),
+        format_string("%.1f", graft.geo.Geo.roundHalfAway(col("upstream_m"), 1)),
+        lit(""","nid":"""), col("nid"),
+        concat_ws("", extraCols.map { c =>
+          val jsonKey = if (c.startsWith("tag_")) s"tag:${c.stripPrefix("tag_")}"
+            else if (c.startsWith("is_in_") && c != "is_in_count") s"is_in:${c.stripPrefix("is_in_")}"
+            else c
+          when(col(c).isNull, lit(""))
+            .otherwise(concat(lit(s""","$jsonKey":"""),
+              when(col(c).cast("string").isin("true", "false"),
+                col(c).cast("string"))
+                .otherwise(concat(lit("\""), col(c).cast("string"), lit("\"")))))
+        }: _*),
+        lit("""},"geometry":{"coordinates":["""),
+        format_string("%.6f", col("lon")), lit(", "),
+        format_string("%.6f", col("lat")),
+        lit("""],"type":"Point"},"type":"Feature"}""")).as("feature"))
+  }
+
   /** D11 — upstreams output: expand each contracted edge's chain into
     * 2-point mini-segments with running upstream values
     * (down/main.rs:1716-1888): segment i carries
