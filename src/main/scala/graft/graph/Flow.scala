@@ -45,6 +45,125 @@ object Flow {
       edgeFlow: DataFrame,     // (src, dst, tag, len, flow_m)
       rounds: Int)
 
+  /** The per-node allocation rule shared by the frontier and local
+    * engines (down/main.rs:822-906).
+    * @param ins  (tag, contrib = flow + len) per in-edge, pre-summed or not
+    * @param outs (dst, tag, len) out-edges
+    * @return (node upstream, per-out-edge flow aligned with `outs`)
+    */
+  def allocate(
+      ins: Seq[(Option[String], Double)],
+      outs: Seq[(Long, Option[String], Double)]): (Double, Seq[Double]) = {
+    val upstream = ins.map(_._2).sum
+    if (outs.isEmpty) (upstream, Nil)
+    else if (outs.length == 1) (upstream, Seq(upstream))
+    else {
+      val inflowPerGroup = ins.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val outsPerGroup = outs.groupBy(_._2).view.mapValues(_.size).toMap
+      val base: Map[Option[String], Double] = outsPerGroup.map {
+        case (g, n) => g -> (inflowPerGroup.getOrElse(g, 0.0) / n)
+      }
+      val unmatched = inflowPerGroup.filter {
+        case (g, _) => !outsPerGroup.contains(g)
+      }.values.sum
+      val extra = unmatched / outs.length
+      (upstream, outs.map { case (_, t, _) => base(t) + extra })
+    }
+  }
+
+  /** Pure local upstream propagation over one (small) component: Kahn
+    * topological walk applying [[allocate]] — the exact reference
+    * sequence, used as the per-component fast path.
+    * @return (node → upstream, per-edge flow keyed (src, dst, tag, len))
+    */
+  def upstreamLocal(
+      edges: Seq[(Long, Long, Double, Option[String])])
+      : (Map[Long, Double], Seq[(Long, Long, Option[String], Double, Double)]) = {
+    val outsBySrc = edges.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._4, e._3))).toMap
+    val indeg = scala.collection.mutable.HashMap.empty[Long, Int].withDefaultValue(0)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    edges.foreach(e => indeg(e._2) += 1)
+    val contribs = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Option[String], Double)]]
+    val up = scala.collection.mutable.HashMap.empty[Long, Double]
+    val flows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[String], Double, Double)]
+    val queue = scala.collection.mutable.PriorityQueue.empty[Long](Ordering[Long].reverse)
+    nodes.filter(indeg(_) == 0).foreach(queue.enqueue(_))
+    var processed = 0
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      processed += 1
+      val ins = contribs.getOrElse(v, Nil).toSeq
+      val outs = outsBySrc.getOrElse(v, Nil)
+      val (u, outFlows) = allocate(ins, outs)
+      up(v) = u
+      outs.zip(outFlows).foreach { case ((d, t, l), f) =>
+        flows += ((v, d, t, l, f))
+        contribs.getOrElseUpdate(d,
+          scala.collection.mutable.ArrayBuffer.empty) += ((t, f + l))
+        indeg(d) -= 1
+        if (indeg(d) == 0) queue.enqueue(d)
+      }
+    }
+    require(processed == nodes.length,
+      s"cycle in component: processed $processed of ${nodes.length}")
+    (up.toMap, flows.toSeq)
+  }
+
+  /** Hybrid D5 (SURVEY §7.5.3): weak-CC the DAG; components under
+    * `sizeThreshold` edges run the exact local walk inside
+    * `flatMapGroups` (one shuffle, zero driver rounds — river basins are
+    * almost always small relative to the cluster); only giant components
+    * pay the frontier-round machinery. Batch-by-ready-set is confluent,
+    * so both engines produce identical values.
+    */
+  def upstreamFlowHybrid(
+      edges: DataFrame,
+      sizeThreshold: Long = 1000000,
+      maxRounds: Int = 100000): UpstreamResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(
+      col("src").cast("long"), col("dst").cast("long"),
+      col("len").cast("double"), col("tag").cast("string"))
+      .localCheckpoint(true)
+    val weak = ConnectedComponents.run(e0.select("src", "dst")).labels
+    val labelled = e0.join(weak.withColumnRenamed("nid", "src"), Seq("src"))
+    val sizes = labelled.groupBy("comp").agg(count(lit(1)).as("n"))
+    val small = labelled.join(sizes.filter(col("n") <= sizeThreshold)
+      .select("comp"), Seq("comp"), "left_semi")
+    val big = labelled.join(sizes.filter(col("n") > sizeThreshold)
+      .select("comp"), Seq("comp"), "left_semi")
+
+    val localRes = small
+      .select("comp", "src", "dst", "len", "tag")
+      .as[(Long, Long, Long, Double, Option[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val es = rows.map(r => (r._2, r._3, r._4, r._5)).toSeq
+        val (up, flows) = upstreamLocal(es)
+        up.iterator.map(kv => ("n", kv._1, 0L, None: Option[String], 0.0, kv._2)) ++
+          flows.iterator.map { case (s, d, t, l, f) => ("e", s, d, t, l, f) }
+      }.localCheckpoint(true)
+    val localNodes = localRes.filter(_._1 == "n").map(r => (r._2, r._6))
+      .toDF("nid", "upstream_m")
+    val localFlows = localRes.filter(_._1 == "e")
+      .map(r => (r._2, r._3, r._4.orNull, r._5, r._6))
+      .toDF("src", "dst", "tag", "len", "flow_m")
+
+    if (big.isEmpty) UpstreamResult(localNodes, localFlows, 0)
+    else {
+      val bigRes = upstreamFlow(big.select("src", "dst", "len", "tag"),
+        maxRounds)
+      UpstreamResult(
+        localNodes.union(bigRes.nodeUpstream),
+        localFlows.union(bigRes.edgeFlow),
+        bigRes.rounds)
+    }
+  }
+
   /** Equal-split upstream accumulation (no tag grouping). */
   def upstreamEqualSplit(
       edges: DataFrame,
@@ -123,24 +242,8 @@ object Flow {
       val emitted = readyState.flatMap { case (nid, insOpt, outsOpt) =>
         val ins = insOpt.getOrElse(Nil)
         val outs = outsOpt.getOrElse(Nil)
-        val upstream = ins.map(_._2).sum
-        val flowsOut: Seq[(Long, Option[String], Double, Double)] =
-          if (outs.isEmpty) Nil
-          else if (outs.length == 1) {
-            val (d, t, l) = outs.head
-            Seq((d, t, l, upstream))
-          } else {
-            val inflowPerGroup = ins.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-            val outsPerGroup = outs.groupBy(_._2).view.mapValues(_.size).toMap
-            val base: Map[Option[String], Double] = outsPerGroup.map {
-              case (g, n) => g -> (inflowPerGroup.getOrElse(g, 0.0) / n)
-            }
-            val unmatched = inflowPerGroup.filter {
-              case (g, _) => !outsPerGroup.contains(g)
-            }.values.sum
-            val extraPerEdge = unmatched / outs.length
-            outs.map { case (d, t, l) => (d, t, l, base(t) + extraPerEdge) }
-          }
+        val (upstream, outFlows) = allocate(ins, outs)
+        val flowsOut = outs.zip(outFlows).map { case ((d, t, l), f) => (d, t, l, f) }
         Iterator((nid, upstream, flowsOut))
       }.localCheckpoint(true)
 

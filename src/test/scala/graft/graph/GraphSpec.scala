@@ -211,4 +211,35 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got(1L) == 2L)
   }
+
+  test("hybrid upstream == frontier upstream on a seeded random tagged DAG") {
+    val rng = new scala.util.Random(11)
+    val es = (0 until 400).map { _ =>
+      val a = rng.nextInt(120).toLong
+      val b = a + 1 + rng.nextInt(30) // ascending => acyclic
+      (a, b, (rng.nextInt(500) + 1).toDouble,
+        if (rng.nextBoolean()) "x" else "y")
+    }.distinct.toDF("src", "dst", "len", "tag")
+    val frontier = Flow.upstreamFlow(es)
+    val hybridLocal = Flow.upstreamFlowHybrid(es) // all comps small -> local
+    val hybridBig = Flow.upstreamFlowHybrid(es, sizeThreshold = 1) // all big -> frontier
+    def nodeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toMap
+    def flowMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getString(2)),
+        math.round(r.getDouble(4) * 1e6))).toMap
+    assert(nodeMap(hybridLocal.nodeUpstream) == nodeMap(frontier.nodeUpstream))
+    assert(flowMap(hybridLocal.edgeFlow) == flowMap(frontier.edgeFlow))
+    assert(nodeMap(hybridBig.nodeUpstream) == nodeMap(frontier.nodeUpstream))
+    assert(hybridLocal.rounds == 0) // zero driver rounds on the local path
+  }
+
+  test("upstreamLocal applies the exact split rule sequentially") {
+    val es = Seq(
+      (1L, 2L, 10.0, Some("A")), (2L, 3L, 5.0, Some("A")), (2L, 4L, 7.0, Some("B")))
+    val (up, flows) = Flow.upstreamLocal(es)
+    assert(up == Map(1L -> 0.0, 2L -> 10.0, 3L -> 15.0, 4L -> 7.0))
+    val f = flows.map(x => ((x._1, x._2), x._5)).toMap
+    assert(f((2L, 3L)) == 10.0 && f((2L, 4L)) == 0.0)
+  }
 }
