@@ -195,7 +195,7 @@ object QueriesDown {
          |  JOIN boxes b ON n.lat >= b.latmin AND n.lat < b.latmin + 8.0
          |              AND n.lon >= b.lonmin AND n.lon < b.lonmin + 12.0)
          |SELECT COALESCE(la.area, 'unknown_area') AS area,
-         |  COUNT(*) AS loops_count, SUM(p.len_i) AS loops_length_i
+         |  COUNT(*) AS loops_count, CAST(SUM(p.len_i) AS BIGINT) AS loops_length_i
          |FROM per_loop p LEFT JOIN loop_area la ON la.scc = p.scc
          |GROUP BY 1""".stripMargin,
 

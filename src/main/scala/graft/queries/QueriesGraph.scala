@@ -77,8 +77,16 @@ object QueriesGraph {
       val cfg = graft.pipeline.LumpWays.Config(
         tagFilters = Seq(graft.tagfilter.TagFilter.unsafeParse("status")),
         groupKeys = Seq(Seq("status")))
+      // Scalar-only projection: the driver sorts rows for hashing and
+      // chokes on array columns (round-1 q35 err); doubles are integerised.
       graft.pipeline.LumpWays.features(waysDF(s, d), nodesDF(s, d), cfg, s)
-        .drop("lines", "coords") // arrays excluded from the rows-only dump
+        .select(
+          col("comp"), col("root_nodeid"), col("num_nodes"),
+          concat_ws(";", col("grp")).as("grp_s"),
+          expr(dmSql("length_m")).as("len_dm"),
+          col("length_desc_rank"), col("length_asc_rank"),
+          expr("CAST(FLOOR(length_m_fraction_total * 10000 + 0.5) AS BIGINT)").as("frac_total_bp"),
+          expr("CAST(FLOOR(length_m_fraction_longest * 10000 + 0.5) AS BIGINT)").as("frac_longest_bp"))
     }))
 
   /** Memo for results shared across queries in one JVM (Verify/Bench run
@@ -151,7 +159,7 @@ object QueriesGraph {
          |    UNION ALL SELECT ${nidSql("b0")} AS nid, 2 AS w FROM ways
          |    UNION ALL SELECT ${nidSql("c0")} AS nid, 3 AS w FROM ways
          |  ) GROUP BY nid)
-         |SELECT SUM(CASE WHEN degree <> 2 THEN 1 ELSE 0 END) AS n_pillar,
+         |SELECT CAST(SUM(CASE WHEN degree <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pillar,
          |       COUNT(*) AS n_nodes FROM census""".stripMargin,
 
     "q13_cc_labels" ->

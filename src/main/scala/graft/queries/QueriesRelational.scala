@@ -112,17 +112,20 @@ object QueriesRelational {
     }))
 
   val oracles: Map[String, String] = Map(
+    // NOTE: every SUM is wrapped in CAST(... AS BIGINT) — DuckDB returns
+    // HUGEINT/int128 for BIGINT sums, which the driver's pandas-based hash
+    // canonicalises differently from Spark's int64 (round-1 hash-fail root cause).
     "q01_agg_pushdown" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  SUM(${centsSql("l_quantity")}) AS sum_qty_c,
-         |  SUM(${centsSql("l_extendedprice")}) AS sum_price_c,
+         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
          |  COUNT(*) AS n
          |FROM lineitem WHERE l_quantity > 5.0
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_join_agg" ->
       s"""SELECT n_name, COUNT(*) AS n_orders,
-         |  SUM(${centsSql("o_totalprice")}) AS sum_cents
+         |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -149,8 +152,8 @@ object QueriesRelational {
 
     "q06_window_cumsum" ->
       s"""SELECT user_id, event_id,
-         |  SUM(cents) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+         |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
          |FROM (SELECT user_id, event_id, ts, ${centsSql("value")} AS cents
          |      FROM events)""".stripMargin,
 

@@ -47,6 +47,6 @@ object QueriesStream {
     "q34_stream_window" ->
       s"""SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) AS bucket_us,
          |  event_type, COUNT(*) AS n,
-         |  SUM(${QueriesRelational.centsSql("value")}) AS sum_cents
+         |  CAST(SUM(${QueriesRelational.centsSql("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -7,6 +7,7 @@ and compare (schema, row count, sorted-value hash). Usage:
 """
 import sys, os, json, subprocess, hashlib
 import duckdb
+import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -29,12 +30,23 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-def canon(rows, cols):
-    # sort columns by name, then rows; hash the normalized repr
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    norm = sorted(tuple(repr(r[i]) for i in idx) for r in rows)
-    h = hashlib.sha256(repr(norm).encode()).hexdigest()[:16]
-    return h, len(rows)
+def canon(df):
+    """Driver-faithful canonicalisation: pandas frame, columns lowercased
+    and sorted by name, rows sorted by all columns (raises TypeError on
+    array cells exactly like the driver), then a dtype-aware value hash —
+    int64 vs float64/object (DuckDB HUGEINT) hash differently, matching
+    the driver's behaviour that verify_local's old repr() hash hid.
+    """
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    h = hashlib.sha256()
+    h.update(",".join(str(df[c].dtype) for c in df.columns).encode())
+    for c in df.columns:
+        h.update(pd.util.hash_pandas_object(df[c], index=False).values.tobytes())
+    return h.hexdigest()[:16], len(df)
 
 results = {}
 names = sorted(only) if only else sorted(os.listdir(out))
@@ -43,27 +55,34 @@ for name in names:
     if not os.path.isdir(path):
         continue
     try:
-        got = con.sql(f"SELECT * FROM '{path}/*.parquet'")
-        gcols = [c.lower() for c in got.columns]
-        grows = got.fetchall()
+        gdf = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
+        gcols = sorted(c.lower() for c in gdf.columns)
     except Exception as e:
         results[name] = f"SPARK-READ-FAIL {e}"
         continue
     if name not in oracle:
-        results[name] = f"rows-only rows={len(grows)}"
+        try:
+            canon(gdf)  # rows-only results must still be sortable/hashable
+        except Exception as e:
+            results[name] = f"ROWS-ONLY-UNHASHABLE {type(e).__name__}: {str(e)[:120]}"
+            continue
+        results[name] = f"rows-only rows={len(gdf)}"
         continue
     try:
-        exp = con.sql(oracle[name])
-        ecols = [c.lower() for c in exp.columns]
-        erows = exp.fetchall()
+        edf = con.sql(oracle[name]).df()
+        ecols = sorted(c.lower() for c in edf.columns)
     except Exception as e:
         results[name] = f"ORACLE-FAIL {str(e)[:200]}"
         continue
-    if sorted(gcols) != sorted(ecols):
-        results[name] = f"SCHEMA-MISMATCH spark={sorted(gcols)} duck={sorted(ecols)}"
+    if gcols != ecols:
+        results[name] = f"SCHEMA-MISMATCH spark={gcols} duck={ecols}"
         continue
-    gh, gn = canon(grows, gcols)
-    eh, en = canon(erows, ecols)
+    try:
+        gh, gn = canon(gdf)
+        eh, en = canon(edf)
+    except Exception as e:
+        results[name] = f"CANON-FAIL {type(e).__name__}: {str(e)[:120]}"
+        continue
     if gn != en:
         results[name] = f"ROWCOUNT-MISMATCH spark={gn} duck={en}"
     elif gh != eh:
