@@ -16,16 +16,43 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  // ---- Engine-portable hash primitives ------------------------------------
+  // md5 is bit-identical in Spark and DuckDB, so hashes derived from its hex
+  // digits make MinHash/SimHash fully oracle-able (round-1 q32/q33 were
+  // rows-only because xxhash64 is Spark-specific).
+
+  /** 32-bit hash: first 8 md5 hex digits parsed base-16. */
+  def md5h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def md5h32Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** 63-bit hash: (h32 & 0x7FFFFFFF) << 32 | next 8 hex digits — stays
+    * positive and all arithmetic fits BIGINT in both engines.
+    */
+  def md5h63(c: Column): Column =
+    md5h32(c).bitwiseAND(lit(0x7FFFFFFFL)) * lit(4294967296L) +
+      conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  def md5h63Sql(e: String): String =
+    s"((CAST('0x' || substr(md5($e), 1, 8) AS BIGINT) & 2147483647)" +
+      s" * 4294967296 + CAST('0x' || substr(md5($e), 9, 8) AS BIGINT))"
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   val MersennePrime: Long = (1L << 61) - 1
 
-  /** Deterministic affine hash family parameters (seeded, no RNG). */
+  /** Deterministic affine hash family parameters (seeded, no RNG).
+    * a < 2^30 (odd) and b < 2^61 so a·h32 + b < 2^63 — the affine step is
+    * overflow-free BIGINT math in DuckDB too (DuckDB errors on overflow
+    * where Spark wraps, so the oracle requires this bound).
+    */
   def hashParams(numHashes: Int): Seq[(Long, Long)] =
     (0 until numHashes).map { i =>
       val a = 2862933555777941757L * (i + 1) + 3037000493L
       val b = 4294967291L * (i + 7) + 1442695040888963407L
-      (math.abs(a % MersennePrime) | 1L, math.abs(b % MersennePrime))
+      ((math.abs(a) % (1L << 30)) | 1L, math.abs(b) % MersennePrime)
     }
 
   /** Word w-shingles of the token stream, joined by a single space. */
@@ -42,7 +69,7 @@ object Dedup {
     * text expression 64× re-tokenises 64× per row.
     */
   def shingleHashes(text: Column, w: Int = 3): Column =
-    transform(shingles(text, w), s => xxhash64(s))
+    transform(shingles(text, w), s => md5h32(s))
 
   /** MinHash signature (array<long>, length numHashes) from a
     * pre-materialised shingle-hash column.
@@ -61,13 +88,14 @@ object Dedup {
     minhashSignatureFromHashes(shingleHashes(text, w), numHashes)
 
   /** LSH band keys: split the signature into `bands` rows of
-    * numHashes/bands values; each band hashes to one bucket key.
+    * numHashes/bands values; each band hashes to one bucket key
+    * (md5 hex string — engine-portable, fixed 32 bytes).
     */
   def lshBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
     val r = numHashes / bands
     val cols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
+        md5(concat_ws(",",
           transform(slice(sig, b * r + 1, r), _.cast("string")))).as("key"))
     }
     array(cols: _*)
@@ -107,15 +135,20 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over token hashes: bit i of the result is 1 iff the
+  /** Number of SimHash bits: 63, so the value stays a positive BIGINT and
+    * the md5-derived token hash ([[md5h63]]) covers every bit.
+    */
+  val SimhashBits = 63
+
+  /** SimHash over token hashes: bit i of the result is 1 iff the
     * sum over tokens of ±1 (per token-hash bit i) is positive.
     */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
+    simhashFromHashes(transform(TextOps.tokens(text), t => md5h63(t)))
 
   /** SimHash from a pre-materialised token-hash array column. */
   def simhashFromHashes(hs: Column): Column = {
-    val bitCols = (0 until 64).map { i =>
+    val bitCols = (0 until SimhashBits).map { i =>
       val votes = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L))
@@ -128,8 +161,8 @@ object Dedup {
     * of LSH candidates): |A ∩ B| / |A ∪ B| over distinct shingle hashes.
     */
   def ngramJaccard(textA: Column, textB: Column, w: Int = 3): Column = {
-    val ha = array_distinct(transform(shingles(textA, w), s => xxhash64(s)))
-    val hb = array_distinct(transform(shingles(textB, w), s => xxhash64(s)))
+    val ha = array_distinct(transform(shingles(textA, w), s => md5h32(s)))
+    val hb = array_distinct(transform(shingles(textB, w), s => md5h32(s)))
     val inter = size(array_intersect(ha, hb)).cast("double")
     inter / (size(ha) + size(hb) - inter)
   }

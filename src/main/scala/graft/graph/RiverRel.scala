@@ -118,6 +118,13 @@ object RiverRel {
       .select("nid")
     val confl = touch.join(conflNodes, Seq("nid")).localCheckpoint(true)
 
+    // per-group confluence sets: all confluence nids + the strictly-In
+    // ones (tag_group.rs:885-888 filters a.confluences by flow_type.in_())
+    val gsets = confl.groupBy("gkey").agg(
+      collect_set(col("nid")).as("confl_all"),
+      collect_set(when(col("hasIn") === 1 && col("hasOut") === 0, col("nid")))
+        .as("confl_in"))
+
     // group infos
     val glens = g.join(lens, Seq("src", "dst"))
       .groupBy("gkey").agg(sum("len").as("length_m"), first("tag").as("tag"))
@@ -149,25 +156,36 @@ object RiverRel {
       (col("n_sinks") === 0L).as(s"sinksempty_$side"),
       col("n_confluences").cast("int").as(s"nconf_$side"))
 
+    def setCols(side: String) = gsets.select(
+      col("gkey").as(s"g$side"),
+      col("confl_all").as(s"call_$side"),
+      col("confl_in").as(s"cin_$side"))
+
     pairs
       .join(infoCols("a"), Seq("ga"))
       .join(infoCols("b"), Seq("gb"))
+      .join(setCols("a"), Seq("ga"))
+      .join(setCols("b"), Seq("gb"))
       .select(col("ga"), col("gb"), col("fts"),
         col("len_a"), col("tagged_a"), col("sinksempty_a"), col("nconf_a"),
-        col("len_b"), col("tagged_b"), col("sinksempty_b"), col("nconf_b"))
+        col("len_b"), col("tagged_b"), col("sinksempty_b"), col("nconf_b"),
+        col("call_a"), col("cin_a"), col("call_b"), col("cin_b"))
       .as[(String, String, Seq[(Int, Int, Int, Int)],
-        Double, Boolean, Boolean, Int, Double, Boolean, Boolean, Int)]
-      .flatMap { case (ga, gb, fts, la, ta, sa, ca, lb, tb, sb, cb) =>
+        Double, Boolean, Boolean, Int, Double, Boolean, Boolean, Int,
+        Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+      .flatMap { case (ga, gb, fts, la, ta, sa, ca, lb, tb, sb, cb,
+          allA, inA, allB, inB) =>
         val shared = fts.map { case (ai, ao, bi, bo) =>
           (flowType(ai == 1, ao == 1), flowType(bi == 1, bo == 1))
         }
-        // rule-2 subset precondition approximated: a has no confluence
-        // outside the shared set (exact subset check needs the full
-        // confluence lists; refinement noted for round 2)
+        // exact rule-2 precondition (tag_group.rs:879-890): ALL of a's
+        // strictly-In confluences are contained in b's confluence set
+        val bAll = allB.toSet
+        val aAll = allA.toSet
         val aInfo = GroupInfo(0L, la, ta, sa, ca,
-          inConfluencesSubsetOfOther = ca == shared.length)
+          inConfluencesSubsetOfOther = inA.forall(bAll.contains))
         val bInfo = GroupInfo(1L, lb, tb, sb, cb,
-          inConfluencesSubsetOfOther = cb == shared.length)
+          inConfluencesSubsetOfOther = inB.forall(aAll.contains))
         classify(aInfo, bInfo, shared).map { case (rel, aid, _) =>
           if (aid == 0L) (rel, ga, gb) else (rel, gb, ga)
         }

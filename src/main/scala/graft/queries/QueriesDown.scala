@@ -33,8 +33,8 @@ object QueriesDown {
       |sccmap AS (SELECT nid, CAST(LEAST(nid, MIN(other)) AS BIGINT) AS root
       |           FROM mutual GROUP BY nid)""".stripMargin
 
-  // upstream sums (shared with q18) + integerised node upstream
-  private val upstreamCte =
+  // upstream sums (shared with q18/q39/q48) + integerised node upstream
+  private[queries] val upstreamCte =
     s"""de AS (SELECT src, dst, $edgeLenSql AS len FROM edges),
        |outdeg AS (SELECT src AS u, COUNT(*) AS od FROM de GROUP BY src),
        |contrib AS (

@@ -6,8 +6,16 @@ import graft.pipeline.Extras
 import Derived._
 
 /** Frames / betweenness / longest-source-mouth query entries.
-  * Frames+betweenness are rows-only (pinned by LocalPathsSpec); the
-  * longest source→mouth gets a recursive-CTE oracle.
+  *
+  * q44 (frames = convex-hull + A*-route union) and q45 (Brandes
+  * betweenness: per-source shortest-path COUNTING + dependency
+  * accumulation) are the two deliberately oracle-less queries: neither is
+  * expressible in DuckDB SQL (recursive CTEs can enumerate shortest
+  * distances but not Brandes' σ/δ accumulation or the hull+A* geometry),
+  * so the driver records a rows-only check and the exact values are
+  * pinned by LocalPathsSpec fixtures instead. Every other query (47 of
+  * 49) carries a full DuckDB oracle. The longest source→mouth (q46) gets
+  * a recursive-CTE oracle.
   */
 object QueriesExtras {
 

@@ -86,18 +86,79 @@ object QueriesText {
         .select(col("qid"), col("rank"), col("nid"),
           expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
 
-    // MinHash-LSH near-dup candidates (rows-only check: xxhash64 is
-    // Spark-specific; semantics pinned by DedupSpec instead)
+    // MinHash-LSH near-dup candidates (md5-derived hashes — fully
+    // DuckDB-oracled; DedupSpec pins the semantics too)
     "q32_minhash_lsh" -> ((s, d) =>
       Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text")),
 
-    // SimHash per document (rows-only; pinned by DedupSpec)
+    // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          expr("transform(filter(split(text, ' ', -1), x -> x != ''), " +
-            "t -> xxhash64(t))").as("hs"))
+          transform(TextOps.tokens(col("text")), tk => Dedup.md5h63(tk)).as("hs"))
         .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))))
+
+  /** q32 oracle: the full MinHash+LSH pipeline in DuckDB SQL — shingles,
+    * 64 affine min-hashes (parameters inlined from [[Dedup.hashParams]]),
+    * md5 band keys, capped buckets, candidate pairs.
+    */
+  private def minhashLshOracle: String = {
+    val (numHashes, bands, maxBucket, w) = (64, 16, 1000, 3)
+    val r = numHashes / bands
+    val p = Dedup.MersennePrime
+    val sigExprs = Dedup.hashParams(numHashes).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      s"""SELECT doc_id, $b AS band,
+         |  md5(array_to_string(list_transform(
+         |    list_slice(sig, ${b * r + 1}, ${b * r + r}), x -> CAST(x AS VARCHAR)), ',')) AS key
+         |FROM sig""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokens AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= $w
+       |      THEN list_transform(range(len(tk) - ${w - 1}),
+       |             i -> array_to_string(list_slice(tk, i + 1, i + $w), ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS sg
+       |  FROM toks),
+       |hsh AS (
+       |  SELECT doc_id, list_transform(sg, s -> ${Dedup.md5h32Sql("s")}) AS hs
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, [
+       |    $sigExprs
+       |  ] AS sig FROM hsh),
+       |bandkeys AS (
+       |$bandSelects),
+       |kept AS (
+       |  SELECT band, key FROM bandkeys GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND $maxBucket)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared_bands
+       |FROM bandkeys x
+       |JOIN kept k ON k.band = x.band AND k.key = x.key
+       |JOIN bandkeys y ON y.band = x.band AND y.key = x.key AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q33 oracle: 63-bit SimHash in DuckDB SQL (bit votes over md5h63
+    * token hashes; empty token lists hash to 0 — list_sum([]) IS NULL,
+    * which the CASE maps to the same 0 the Spark fold produces).
+    */
+  private def simhashOracle: String = {
+    val bitTerms = (0 until Dedup.SimhashBits).map { i =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    list_transform($duckTokens, t -> ${Dedup.md5h63Sql("t")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM th""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q24_tag_filter" ->
@@ -150,6 +211,10 @@ object QueriesText {
 
     "q30_text_md5" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+
+    "q32_minhash_lsh" -> minhashLshOracle,
+
+    "q33_simhash" -> simhashOracle,
 
     "q31_cosine_topk" ->
       """SELECT qid, rank, nid, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)

@@ -192,6 +192,26 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
       Seq((No, No))).isEmpty)
   }
 
+  test("D13 exact rule-2 subset: fires when a meets a third group elsewhere") {
+    // A's In-confluence (node 2) IS inside B's confluence set, but A also
+    // meets C at node 5 — so A's total confluence count (2) differs from
+    // the (A,B) shared count (1). The round-1 count-equality approximation
+    // missed this tributary; the exact subset check (tag_group.rs:879-890)
+    // finds it.
+    val tg = Seq(
+      (1L, 2L, "B", 1L),                    // B terminates at 2 (In at 2)
+      (6L, 5L, "A", 5L), (5L, 2L, "A", 5L), // A through 5, into 2
+      (7L, 5L, "C", 7L))                    // C into 5 → A has a 2nd confluence
+      .toDF("src", "dst", "tag", "tag_group_nid")
+    val lens = Seq((1L, 2L, 100.0), (6L, 5L, 5.0), (5L, 2L, 10.0), (7L, 5L, 50.0))
+      .toDF("src", "dst", "len")
+    val rels = RiverRel.classifyPairs(tg, lens)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rels.contains((RiverRel.ATributaryB, "A#5", "B#1")),
+      s"exact subset rule-2 should classify A as tributary of B; got $rels")
+    assert(rels.contains((RiverRel.ATributaryB, "C#7", "A#5")))
+  }
+
   test("D13 DataFrame driver: tributary found on a confluence graph") {
     // River B: 1→2→3 (Through at 2); trib A: 5→2 (In at 2)
     val tg = Seq(
