@@ -77,20 +77,30 @@ object CellIndex {
   /** All cells with Chebyshev distance ≤ k (the (2k+1)² block), with
     * longitude wrap-around and latitude clamping. Used by kNN ring search.
     */
-  def disk(cellId: Long, k: Int): Seq[Long] = {
+  def disk(cellId: Long, k: Int): Seq[Long] = annulus(cellId, -1, k)
+
+  /** Cells with Chebyshev distance in (kLo, kHi] — the NEW ring band when
+    * a kNN search expands from radius kLo to kHi (kLo = -1 → full disk).
+    * Already-searched inner cells are not regenerated, so each expansion
+    * round touches only the annulus, not the whole (2kHi+1)² block.
+    */
+  def annulus(cellId: Long, kLo: Int, kHi: Int): Seq[Long] = {
     val r = resOf(cellId)
     val n = 1L << r
     val cx = cellX(cellId)
     val cy = cellY(cellId)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var dy = -k
-    while (dy <= k) {
+    var dy = -kHi
+    while (dy <= kHi) {
       val y = cy + dy
       if (y >= 0 && y < n) {
-        var dx = -k
-        while (dx <= k) {
-          val x = ((cx + dx) % n + n) % n // wrap lon
-          out += pack(x, y, r)
+        val ady = math.abs(dy)
+        var dx = -kHi
+        while (dx <= kHi) {
+          if (math.max(ady, math.abs(dx)) > kLo) {
+            val x = ((cx + dx) % n + n) % n // wrap lon
+            out += pack(x, y, r)
+          }
           dx += 1
         }
       }

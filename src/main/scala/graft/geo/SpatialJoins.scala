@@ -38,8 +38,11 @@ object SpatialJoins {
   def knnJoin(
       points: DataFrame, // (pid, plat, plon)
       nodes: DataFrame,  // (nid, lat, lon)
-      res: Int): DataFrame = {
+      res: Int,
+      ringKMax: Int = 8,      // after this radius, stragglers go to the scan
+      bcastMax: Int = 100000): DataFrame = {
     val spark = points.sparkSession
+    import spark.implicits._
     val metresPerDegLat = math.Pi / 180.0 * Geo.EarthRadiusM // ≈ 111194.9
     val cellD = CellIndex.cellDeg(res)
 
@@ -47,49 +50,108 @@ object SpatialJoins {
       .withColumn("cell", CellIndex.cellCol(col("lat"), col("lon"), res))
       .localCheckpoint(true)
 
-    val diskUdf = udf { (lat: Double, lon: Double, k: Int) =>
-      CellIndex.disk(CellIndex.cell(lat, lon, res), k)
+    // only the NEW annulus (kPrev, k] each round — already-searched cells
+    // are never regenerated or re-scored (round-1 bench: one outlier point
+    // exploded into 66k cells/round under the full-disk regeneration)
+    val annulusUdf = udf { (lat: Double, lon: Double, kLo: Int, kHi: Int) =>
+      CellIndex.annulus(CellIndex.cell(lat, lon, res), kLo, kHi)
     }
 
-    var unresolved = points.select("pid", "plat", "plon").localCheckpoint(true)
+    // state: (pid, plat, plon, b struct(dist, nid) | null) — best-so-far
+    var unresolved = points.select(col("pid"), col("plat"), col("plon"),
+      lit(null).cast("struct<dist:double,nid:bigint>").as("b"))
+      .localCheckpoint(true)
     var results: Option[DataFrame] = None
+    var kPrev = -1
     var k = 1
     val maxK = (1L << res).toInt
 
-    while (unresolved.take(1).nonEmpty) {
-      val cand = unresolved
-        .withColumn("cell", explode(diskUdf(col("plat"), col("plon"), lit(k))))
-        .join(nodesCell, "cell")
-        .withColumn("dist",
-          Geo.haversineM(col("plat"), col("plon"), col("lat"), col("lon")))
-      val best = cand
-        .groupBy("pid", "plat", "plon")
-        .agg(min(struct(col("dist"), col("nid"))).as("b"))
-        .select(col("pid"), col("plat"), col("plon"),
-          col("b.dist").as("dist"), col("b.nid").as("nid"))
-
-      // Lower bound on the distance to anything outside the k-disk:
-      //   lat axis:  k cells of cellD degrees
-      //   lon axis:  k cells of 2·cellD degrees shrunk by cos(worst lat)
-      val worstLat = least(abs(col("plat")) + lit((k + 1) * cellD), lit(89.9))
-      val latBound = lit(k * cellD * metresPerDegLat)
-      val lonBound = lit(k * 2 * cellD * metresPerDegLat) * cos(radians(worstLat))
-      val bound = least(latBound, lonBound)
-      val withFlag = best
-        .withColumn("resolved",
-          lit(k >= maxK) || col("dist") < bound)
-        .localCheckpoint(true)
-
-      val done = withFlag.filter(col("resolved"))
-        .select(col("pid"), col("nid").as("nn_nid"), col("dist").as("dist_m"))
+    def finish(done: DataFrame): Unit =
       results = Some(results.map(_.union(done)).getOrElse(done))
 
-      val stillPoints = unresolved.join(
-        withFlag.filter(col("resolved")).select("pid"), Seq("pid"), "left_anti")
-      unresolved = stillPoints.localCheckpoint(true)
-      // double the radius; at k ≥ maxK the disk covers the globe and the
-      // `lit(k >= maxK)` flag force-resolves every remaining point
-      k = math.min(k * 2, maxK)
+    var remaining = unresolved.count()
+    while (remaining > 0) {
+      if (k > ringKMax && remaining <= bcastMax) {
+        // straggler fallback: broadcast the few unresolved points and scan
+        // the node table ONCE (partial best per partition, then global min)
+        // — exact, and bounded by `bcastMax` rows on the driver. Points are
+        // keyed by index so pid keeps its original type (urls are strings).
+        val remRows = unresolved.select("pid", "plat", "plon").collect()
+        val pts = remRows.map(r => (r.getDouble(1), r.getDouble(2)))
+        val bPts = spark.sparkContext.broadcast(pts)
+        val partial = nodesCell.select("nid", "lat", "lon")
+          .as[(Long, Double, Double)]
+          .mapPartitions { it =>
+            val ps = bPts.value
+            val bestD = Array.fill(ps.length)(Double.MaxValue)
+            val bestN = Array.fill(ps.length)(Long.MaxValue)
+            it.foreach { case (nid, lat, lon) =>
+              var i = 0
+              while (i < ps.length) {
+                val d = Geo.haversineM(ps(i)._1, ps(i)._2, lat, lon)
+                if (d < bestD(i) || (d == bestD(i) && nid < bestN(i))) {
+                  bestD(i) = d; bestN(i) = nid
+                }
+                i += 1
+              }
+            }
+            ps.indices.iterator
+              .filter(i => bestD(i) < Double.MaxValue)
+              .map(i => (i.toLong, bestD(i), bestN(i)))
+          }
+          .toDF("idx", "dist", "nid")
+        val idxPid = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            remRows.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row(i.toLong, r.get(0))
+            }.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("idx",
+              org.apache.spark.sql.types.LongType),
+            unresolved.schema("pid").copy(name = "pid"))))
+        finish(partial
+          .groupBy("idx")
+          .agg(min(struct(col("dist"), col("nid"))).as("b"))
+          .join(broadcast(idxPid), "idx")
+          .select(col("pid"), col("b.nid").as("nn_nid"), col("b.dist").as("dist_m")))
+        remaining = 0
+      } else {
+        val nb = unresolved
+          .withColumn("cell",
+            explode(annulusUdf(col("plat"), col("plon"), lit(kPrev), lit(k))))
+          .join(nodesCell, "cell")
+          .withColumn("dist",
+            Geo.haversineM(col("plat"), col("plon"), col("lat"), col("lon")))
+          .groupBy("pid")
+          .agg(min(struct(col("dist"), col("nid"))).as("nb"))
+
+        // merge: struct compare = (dist, nid) lexicographic; least() skips
+        // the null side, so the carried best survives empty annuli
+        val merged = unresolved.join(nb, Seq("pid"), "left")
+          .select(col("pid"), col("plat"), col("plon"),
+            least(col("b"), col("nb")).as("b"))
+
+        // Lower bound on the distance to anything outside the k-disk:
+        //   lat axis:  k cells of cellD degrees
+        //   lon axis:  k cells of 2·cellD degrees shrunk by cos(worst lat)
+        val worstLat = least(abs(col("plat")) + lit((k + 1) * cellD), lit(89.9))
+        val latBound = lit(k * cellD * metresPerDegLat)
+        val lonBound = lit(k * 2 * cellD * metresPerDegLat) * cos(radians(worstLat))
+        val bound = least(latBound, lonBound)
+        val withFlag = merged
+          .withColumn("resolved",
+            lit(k >= maxK) || (col("b").isNotNull && col("b.dist") < bound))
+          .localCheckpoint(true)
+
+        finish(withFlag.filter(col("resolved"))
+          .select(col("pid"), col("b.nid").as("nn_nid"), col("b.dist").as("dist_m")))
+
+        unresolved = withFlag.filter(!col("resolved"))
+          .select("pid", "plat", "plon", "b")
+        remaining = unresolved.count()
+        kPrev = k
+        k = math.min(k * 2, maxK)
+      }
     }
     results.getOrElse(
       points.sparkSession.emptyDataFrame
