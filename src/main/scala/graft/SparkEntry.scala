@@ -36,9 +36,9 @@ object SparkEntry {
       QueriesStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (MinHash/SimHash — xxhash64 is
-    * engine-specific) get the driver's rows-only check; their semantics
-    * are pinned by ScalaTest specs instead.
+    * the same parquet tables. The only omitted keys are q44 (frames) and
+    * q45 (Brandes betweenness) — genuinely non-SQL (see QueriesExtras
+    * doc); those get the driver's rows-only check and ScalaTest pins.
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++

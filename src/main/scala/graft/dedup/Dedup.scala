@@ -179,8 +179,22 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Brute-force cosine top-k per query vector (the correctness baseline;
-    * the LSH/IVF variant is the scale path). Self-pairs excluded.
+  /** Cosine top-k per query vector. Routes by reference-set size:
+    * at or below `bcastMaxRows` the exact broadcast scan runs (bounded
+    * driver memory — the same contract as a broadcast join); above it,
+    * the bucketed sign-LSH ANN path ([[annCosineTopK]]) takes over, so
+    * no unbounded `collect()` exists on any input size.
+    */
+  def cosineTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
+      bcastMaxRows: Long = 2000000L): DataFrame =
+    if (embeddings.count() <= bcastMaxRows)
+      bruteForceCosineTopK(embeddings, idCol, vecCol, k)
+    else
+      annCosineTopK(embeddings, idCol, vecCol, k)
+
+  /** Exact brute-force cosine top-k (the correctness baseline). Self-pairs
+    * excluded. Only called under [[cosineTopK]]'s explicit size gate.
     *
     * Shape: the reference set is broadcast (vectors are tiny — n·d
     * floats) and each partition of queries scans it with primitive
@@ -189,7 +203,8 @@ object Dedup {
     * this scales in the query dimension; a reference set too big to
     * broadcast is exactly when the LSH variant takes over.
     */
-  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def bruteForceCosineTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings
@@ -219,5 +234,71 @@ object Dedup {
         top.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
       }
     }.toDF("qid", "nid", "sim", "rank")
+  }
+
+  // ---- Sign-LSH approximate nearest neighbours -----------------------------
+
+  /** Deterministic pseudo-random hyperplane component h(j, i) ∈ (-1, 1) for
+    * LSH bit j, vector dimension i — pure integer arithmetic, bit-identical
+    * in Spark and DuckDB (no RNG, no engine-specific hash).
+    */
+  def hyperplaneComponent(j: Column, i: Column): Column =
+    ((j * lit(2654435761L) + i.cast("long") * lit(40503L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0) * lit(2.0) - lit(1.0)
+
+  def hyperplaneComponentSql(j: String, i: String): String =
+    s"((((($j) * 2654435761 + ($i) * 40503) % 1000003) / 1000003.0) * 2.0 - 1.0)"
+
+  /** Sign-LSH bucket id over `bits` deterministic hyperplanes: bit j is 1
+    * iff dot(v, h_j) > 0. Bucket count = 2^bits.
+    */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val dotj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * hyperplaneComponent(lit(j.toLong), i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate cosine top-k via sign-LSH buckets — the 100 TB path:
+    * every vector lands in ONE bucket; each query multi-probes its own
+    * bucket plus the `bits` buckets at Hamming distance 1, so candidate
+    * volume per query ≈ (bits+1)·n/2^bits and all joins are bucket
+    * equi-joins (no all-pairs, no driver collect). Oversized buckets
+    * (skew) are dropped from the REFERENCE side with a loud log —
+    * recall loss is logged, never silent.
+    */
+  def annCosineTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
+      bits: Int = 8, maxBucket: Long = 100000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val vecs = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), bits))
+      .localCheckpoint(true)
+    val sizes = vecs.groupBy("bucket").count()
+    val dropped = sizes.filter(col("count") > maxBucket)
+    val nDropped = dropped.count()
+    if (nDropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"annCosineTopK: dropping $nDropped oversized LSH buckets (> $maxBucket rows) from the reference side")
+    val refs = vecs.join(
+      sizes.filter(col("count") <= maxBucket).select("bucket"), Seq("bucket"))
+      .select(col("bucket"), col("id").as("nid"), col("v").as("nv"))
+    val probes = vecs.select(col("id").as("qid"), col("v").as("qv"),
+      explode(array((col("bucket") +: (0 until bits).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)).as("bucket"))
+    val scored = probes.join(refs, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
   }
 }

@@ -86,6 +86,13 @@ object QueriesText {
         .select(col("qid"), col("rank"), col("nid"),
           expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
 
+    // sign-LSH ANN cosine top-3 — the 100 TB scale path for q31's
+    // brute-force (bucketed equi-joins, no collect; fully DuckDB-oracled)
+    "q50_ann_topk" -> ((s, d) =>
+      Dedup.annCosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
+
     // MinHash-LSH near-dup candidates (md5-derived hashes — fully
     // DuckDB-oracled; DedupSpec pins the semantics too)
     "q32_minhash_lsh" -> ((s, d) =>
@@ -160,7 +167,45 @@ object QueriesText {
        |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM th""".stripMargin
   }
 
+  /** q50 oracle: the sign-LSH ANN pipeline in DuckDB — hyperplane signs
+    * from the same integer-arithmetic pseudo-random components, bucket
+    * multi-probe (Hamming-1), bucket-size cap, cosine, per-query top-3.
+    * DuckDB list lambdas index 1-based, hence (i - 1).
+    */
+  private def annTopKOracle: String = {
+    val (bits, maxBucket, k) = (8, 100000L, 3)
+    val bitTerms = (0 until bits).map { j =>
+      s"""CASE WHEN list_sum(list_transform(v,
+         |  (x, i) -> x * ${Dedup.hyperplaneComponentSql(j.toString, "i - 1")}))
+         |  > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    val probeList = ("bucket" +: (0 until bits).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH ve AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT id, v, ($bitTerms) AS bucket FROM ve),
+       |sizes AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
+       |refs AS (
+       |  SELECT bk.bucket, bk.id AS nid, bk.v AS nv
+       |  FROM bk JOIN sizes s ON s.bucket = bk.bucket WHERE s.c <= $maxBucket),
+       |probes AS (
+       |  SELECT id AS qid, v AS qv, unnest($probeList) AS bucket FROM bk),
+       |scored AS (
+       |  SELECT p.qid, r.nid,
+       |    list_cosine_similarity(p.qv, r.nv) AS sim
+       |  FROM probes p JOIN refs r ON r.bucket = p.bucket
+       |  WHERE p.qid <> r.nid)
+       |SELECT qid, rank, nid, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+       |FROM (
+       |  SELECT qid, nid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q50_ann_topk" -> annTopKOracle,
     "q24_tag_filter" ->
       s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders
          |  WHERE $wayFilter)

