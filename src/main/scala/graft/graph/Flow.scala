@@ -201,7 +201,9 @@ object Flow {
     def emptyDf(schema: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-    // acc: per (nid, tag) Σ of arrived in-contributions (flow + len)
+    // acc: per (nid, tag) arrived in-contributions (flow + len) for nodes
+    // not yet resolved — consumed rows are dropped each round, so the
+    // frame stays bounded by the pending frontier's in-edges.
     var acc = emptyDf(StructType(Seq(
       StructField("nid", LongType), StructField("tag", StringType),
       StructField("contrib", DoubleType))))
@@ -211,29 +213,36 @@ object Flow {
       StructField("src", LongType), StructField("dst", LongType),
       StructField("tag", StringType), StructField("len", DoubleType),
       StructField("flow_m", DoubleType))))
-    var live = e0 // edges whose source is unresolved
+
+    // incremental in-degree countdown (round-1 recomputed
+    // allNodes ⟕ live ⟕ resolved anti-joins over the FULL node set every
+    // round — O(|V|·rounds)): pending in-degrees decrement as flows
+    // arrive; a node becomes ready exactly when its count hits zero, so
+    // per-round work is O(|frontier| + touched in-degrees).
+    var indeg = e0.groupBy(col("dst").as("nid"))
+      .agg(count(lit(1)).as("pending")).localCheckpoint(true)
+    var ready = allNodes.join(indeg.select("nid"), Seq("nid"), "left_anti")
+      .localCheckpoint(true)
 
     var rounds = 0
     var doneCount = 0L
+    var nReady = ready.count()
 
     while (doneCount < totalNodes && rounds < maxRounds) {
-      val hasPendingIn = live.select(col("dst").as("nid")).distinct()
-      val ready = allNodes
-        .join(hasPendingIn, Seq("nid"), "left_anti")
-        .join(resolved.select("nid"), Seq("nid"), "left_anti")
-        .localCheckpoint(true)
-      val nReady = ready.count()
       if (nReady == 0 && doneCount < totalNodes) {
         throw new IllegalStateException(
           s"upstream propagation stalled after $rounds rounds — graph has a cycle")
       }
 
       // per ready node: in-group sums + out-edge list → allocation
+      // (acc is semi-joined to the frontier BEFORE aggregating, so the
+      // shuffle is frontier-sized, not pending-set-sized)
+      val readyIns = acc.join(ready, Seq("nid"), "left_semi")
+        .groupBy("nid", "tag").agg(sum("contrib").as("inflow"))
+        .groupBy("nid")
+        .agg(collect_list(struct(col("tag"), col("inflow"))).as("ins"))
       val readyState = ready
-        .join(acc.groupBy("nid", "tag").agg(sum("contrib").as("inflow"))
-          .groupBy("nid")
-          .agg(collect_list(struct(col("tag"), col("inflow"))).as("ins")),
-          Seq("nid"), "left")
+        .join(readyIns, Seq("nid"), "left")
         .join(outLists.withColumnRenamed("src", "nid"), Seq("nid"), "left")
         .select(col("nid"), col("ins"), col("outs"))
         .as[(Long, Option[Seq[(Option[String], Double)]],
@@ -261,13 +270,23 @@ object Flow {
         case None     => resolved.localCheckpoint(true)
       }
       flows = flows.union(newFlows).localCheckpoint(true)
-      acc = acc.union(newContribs)
-        .groupBy("nid", "tag").agg(sum("contrib").as("contrib"))
-        .localCheckpoint(true)
-      live = live.join(ready.withColumnRenamed("nid", "src"), Seq("src"), "left_anti")
+      // consume the just-resolved nodes' contributions; no global re-agg
+      // (readyState aggregates per-use), so acc work is delta-sized
+      acc = acc.join(ready, Seq("nid"), "left_anti")
+        .union(newContribs)
         .localCheckpoint(true)
 
+      // countdown: decrement pending in-degrees by this round's arrivals
+      val arrivals = newFlows.groupBy(col("dst").as("nid"))
+        .agg(count(lit(1)).as("arrived"))
+      val upd = indeg.join(arrivals, Seq("nid"), "left")
+        .select(col("nid"),
+          (col("pending") - coalesce(col("arrived"), lit(0L))).as("pending"))
+        .localCheckpoint(true)
       doneCount += nReady
+      ready = upd.filter(col("pending") === 0L).select("nid").localCheckpoint(true)
+      indeg = upd.filter(col("pending") > 0L)
+      nReady = ready.count()
       rounds += 1
     }
     UpstreamResult(resolved.withColumnRenamed("up", "upstream_m"), flows, rounds)
@@ -307,7 +326,11 @@ object Flow {
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
-    // state: best (end_up, -end_nid) per node; start at the ends
+    // state: best (end_up, end_nid) per node; start at the ends.
+    // Delta-merge per round (round-1 re-aggregated the FULL state every
+    // round — O(rounds × |nodes|) shuffles): candidates are aggregated on
+    // the pushed delta only, then one outer join against state picks
+    // winners; the frontier is exactly the improved rows.
     var state = endUpstream.select(
       col("nid"), col("upstream_m").as("end_up"), col("nid").as("end_nid"))
       .localCheckpoint(true)
@@ -318,24 +341,25 @@ object Flow {
       val pushed = e
         .join(frontier.withColumnRenamed("nid", "dst"), Seq("dst"))
         .select(col("src").as("nid"), col("end_up"), col("end_nid"))
-      val merged = state.union(pushed)
         .groupBy("nid")
         .agg(max(struct(col("end_up"), (-col("end_nid")).as("neg"),
-          col("end_nid"))).as("b"))
-        .select(col("nid"), col("b.end_up").as("end_up"),
-          col("b.end_nid").as("end_nid"))
+          col("end_nid"))).as("c"))
+        .select(col("nid"), col("c.end_up").as("c_up"),
+          col("c.end_nid").as("c_nid"))
+      val joined = state.join(pushed, Seq("nid"), "full_outer")
+        .withColumn("improved",
+          col("c_up").isNotNull && (col("end_up").isNull ||
+            col("c_up") > col("end_up") ||
+            (col("c_up") === col("end_up") && col("c_nid") < col("end_nid"))))
+        .select(col("nid"),
+          when(col("improved"), col("c_up")).otherwise(col("end_up")).as("end_up"),
+          when(col("improved"), col("c_nid")).otherwise(col("end_nid")).as("end_nid"),
+          col("improved"))
         .localCheckpoint(true)
-      // converged when nothing improved
-      val changed = merged.as("m").join(state.as("s"), Seq("nid"), "left")
-        .filter(col("s.end_nid").isNull ||
-          col("m.end_up") =!= col("s.end_up") ||
-          col("m.end_nid") =!= col("s.end_nid"))
-        .select(col("nid"), col("m.end_up").as("end_up"),
-          col("m.end_nid").as("end_nid"))
-        .localCheckpoint(true)
-      done = changed.isEmpty
-      state = merged
-      frontier = changed
+      frontier = joined.filter(col("improved"))
+        .select("nid", "end_up", "end_nid")
+      state = joined.select("nid", "end_up", "end_nid")
+      done = frontier.isEmpty
       rounds += 1
     }
     state.select(col("nid"), col("end_nid"), col("end_up").as("end_upstream_m"))
