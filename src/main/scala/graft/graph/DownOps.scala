@@ -113,9 +113,8 @@ object DownOps {
     val base = endUpstream
       .filter(col("upstream_m") > 1.0)
       .filter(minUpstreamM.map(m => col("upstream_m") >= m).getOrElse(lit(true)))
-    val w = Window.orderBy(col("upstream_m").desc, col("nid").asc)
-    val ranked = base
-      .withColumn("upstream_m_rank", row_number().over(w))
+    val ranked = graft.runtime.Ranks.withGlobalRowNumber(base,
+        Seq(col("upstream_m").desc, col("nid").asc), "upstream_m_rank")
       .join(nodes, Seq("nid"))
       .select(col("nid"),
         Geo.roundHalfAway(col("upstream_m"), 1).as("upstream_m"),
@@ -208,8 +207,8 @@ object DownOps {
     */
   def tagGroupCC(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val tags = edges.select("tag").distinct()
-      .withColumn("tid", (row_number().over(Window.orderBy("tag")) - 1).cast("long"))
+    val tags = graft.runtime.Ranks.tinyDenseId(
+      edges.select("tag").distinct(), Seq(col("tag")), "tid")
     val e = edges.join(tags, Seq("tag"))
       .withColumn("csrc", shiftleft(col("tid"), 40).bitwiseOR(col("src")))
       .withColumn("cdst", shiftleft(col("tid"), 40).bitwiseOR(col("dst")))

@@ -96,9 +96,9 @@ object LumpWays {
         else base.filter(!exists(col("grp"), _.isNull)) // main.rs:339
       }
 
-    // deterministic dense group ids (few distinct groups)
-    val groups = withGroup.select(col("grp")).distinct()
-      .withColumn("gid", (row_number().over(Window.orderBy(col("grp"))) - 1).cast("long"))
+    // deterministic dense group ids (few distinct groups — tiny frame)
+    val groups = graft.runtime.Ranks.tinyDenseId(
+      withGroup.select(col("grp")).distinct(), Seq(col("grp")), "gid")
     val wg = withGroup.join(groups, Seq("grp"))
 
     // 2-3. census + contraction per group (nids must fit 40 bits for the
@@ -150,9 +150,8 @@ object LumpWays {
         lens.filter(col("length_m") >= f * total)
       case Some(MinLengthFilter.IncludeTotalPercentage(f)) =>
         val total = lens.agg(sum("length_m")).head().getDouble(0)
-        val w = Window.orderBy(col("length_m").desc, col("comp").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val thresh = lens.withColumn("cum", sum("length_m").over(w))
+        val thresh = graft.runtime.Ranks.withGlobalCumsum(lens,
+            Seq(col("length_m").desc, col("comp").asc), col("length_m"), "cum")
           .filter(col("cum") >= f * total)
           .agg(max("length_m")).head().getDouble(0)
         lens.filter(col("length_m") >= thresh)
@@ -172,9 +171,9 @@ object LumpWays {
       sum("length_m").as("tot"), max("length_m").as("longest"),
       count(lit(1)).as("n")).head()
     val (tot, longest, nGroups) = (totals.getDouble(0), totals.getDouble(1), totals.getLong(2))
-    val w = Window.orderBy(col("length_m").desc, col("comp").asc)
-    val withRanks = kept
-      .withColumn("length_desc_rank", row_number().over(w) - 1)
+    val withRanks = graft.runtime.Ranks.withGlobalRowNumber(kept,
+        Seq(col("length_m").desc, col("comp").asc), "length_desc_rank",
+        startAt = 0L)
       .withColumn("length_asc_rank", lit(nGroups) - col("length_desc_rank"))
       .withColumn("length_desc_rank_perc",
         Geo.roundHalfAway(col("length_desc_rank") / nGroups.toDouble, 4))
@@ -257,7 +256,7 @@ object LumpWays {
         props.append(s""","tag_group_$i":${if (g == null) "null" else GeoJson.jsonStr(g)}""")
       }
       props.append(",\"num_nodes\":").append(r.getAs[Long]("num_nodes"))
-      props.append(",\"length_desc_rank\":").append(r.getAs[Int]("length_desc_rank"))
+      props.append(",\"length_desc_rank\":").append(r.getAs[Long]("length_desc_rank"))
       props.append(",\"length_m_fraction_total\":")
         .append(GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")))
       props.append("}")

@@ -36,24 +36,24 @@ object QueriesGraph {
     "q14_comp_length" -> ((s, d) =>
       compLengths(s, d).select("comp", "n_edges", "len_dm")),
 
-    // C11 rank / fraction properties over component lengths
+    // C11 rank / fraction properties over component lengths (two-phase
+    // global rank — no single-partition window)
     "q15_rank_props" -> ((s, d) => {
       val lens = compLengths(s, d)
       val total = lens.agg(sum("len_dm")).head().getLong(0)
-      val w = Window.orderBy(col("len_dm").desc, col("comp").asc)
-      lens
-        .withColumn("length_desc_rank", row_number().over(w) - 1)
+      graft.runtime.Ranks.withGlobalRowNumber(lens,
+          Seq(col("len_dm").desc, col("comp").asc), "length_desc_rank",
+          startAt = 0L)
         .withColumn("frac_bp",
           expr(s"CAST(FLOOR(len_dm * 10000.0 / $total + 0.5) AS BIGINT)"))
     }),
 
-    // C7 IncludeTotalPercentage min-length mode (cumsum threshold)
+    // C7 IncludeTotalPercentage min-length mode (two-phase cumsum)
     "q16_min_length_pct" -> ((s, d) => {
       val lens = compLengths(s, d)
       val total = lens.agg(sum("len_dm")).head().getLong(0)
-      val w = Window.orderBy(col("len_dm").desc, col("comp").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val withCum = lens.withColumn("cum", sum("len_dm").over(w))
+      val withCum = graft.runtime.Ranks.withGlobalCumsum(lens,
+        Seq(col("len_dm").desc, col("comp").asc), col("len_dm"), "cum")
       val thresh = withCum
         .filter(col("cum") >= lit(0.9 * total))
         .agg(max("len_dm")).head().getLong(0)

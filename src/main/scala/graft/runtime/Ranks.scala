@@ -1,0 +1,87 @@
+package graft.runtime
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Two-phase global ranking/cumsum — the scale-safe replacement for
+  * un-partitioned `Window.orderBy` (which moves ALL rows to a single
+  * partition: fine at test SF, an OOM at 100 TB; the round-1 bench log
+  * was full of `WindowExec: No Partition Defined` warnings).
+  *
+  * Phase 1: `repartitionByRange` on the sort key (range exchange — each
+  * partition holds a contiguous key range, partitions ordered by id);
+  * per-partition `row_number`/running-sum under a partition-local window.
+  * Phase 2: per-partition row counts / sums (≤ shuffle-partitions rows)
+  * are collected, turned into cumulative offsets, and added back as a
+  * map-literal lookup — no second shuffle, no single-partition stage.
+  *
+  * Callers must make the sort key a TOTAL order (append a unique
+  * tie-break column) — ties split across a range boundary would
+  * otherwise get arbitrary relative ranks.
+  *
+  * The intermediate (pid, local-rank) frame is localCheckpoint'd so the
+  * range partitioner's sampled boundaries cannot differ between the
+  * offset-collect job and the final job.
+  */
+object Ranks {
+
+  /** Append a global row number (`startAt`, `startAt`+1, …) in `order`. */
+  def withGlobalRowNumber(
+      df: DataFrame, order: Seq[Column], out: String,
+      startAt: Long = 1L): DataFrame = {
+    val local = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy("__pid").orderBy(order: _*))
+          .cast("long"))
+      .localCheckpoint(true)
+    val counts = local.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val offsets: Map[Int, Long] = counts.map { case (p, n) =>
+      val o = p -> cum; cum += n; o
+    }.toMap
+    if (offsets.isEmpty) df.withColumn(out, lit(startAt)).limit(0)
+    else local
+      .withColumn(out,
+        col("__lrn") + element_at(typedLit(offsets), col("__pid")) +
+          lit(startAt - 1L))
+      .drop("__pid", "__lrn")
+  }
+
+  /** Append a running cumulative sum of `value` in `order` (inclusive of
+    * the current row), as double.
+    */
+  def withGlobalCumsum(
+      df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
+    val local = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcs",
+        sum(value.cast("double")).over(
+          Window.partitionBy("__pid").orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val sums = local.groupBy("__pid").agg(sum(value.cast("double")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    var cum = 0.0
+    val offsets: Map[Int, Double] = sums.map { case (p, s) =>
+      val o = p -> cum; cum += s; o
+    }.toMap
+    if (offsets.isEmpty) df.withColumn(out, lit(0.0)).limit(0)
+    else local
+      .withColumn(out, col("__lcs") + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid", "__lcs")
+  }
+
+  /** Dense ids (0, 1, …) for a TINY distinct set (group keys, tag ids):
+    * an explicit repartition(1) + in-partition sort + monotonic id —
+    * intentionally single-partition (the input is a handful of rows) and
+    * window-free, so no "No Partition Defined" stage appears in any plan
+    * (a constant partitionBy key would be folded away by Catalyst).
+    */
+  def tinyDenseId(df: DataFrame, order: Seq[Column], out: String): DataFrame =
+    df.repartition(1)
+      .sortWithinPartitions(order: _*)
+      .withColumn(out, monotonically_increasing_id().cast("long"))
+}

@@ -58,8 +58,8 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
   test("S9 ends ranking: upstream desc, >1m filter, 7dp coords") {
     val ends = Seq((1L, 500.0), (3L, 900.0), (5L, 0.5)).toDF("nid", "upstream_m")
     val r = DownOps.endsRanked(ends, nodes)
-      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(2)))
-    assert(r.toSet == Set((3L, 900.0, 1), (1L, 500.0, 2))) // 0.5 filtered
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    assert(r.toSet == Set((3L, 900.0, 1L), (1L, 500.0, 2L))) // 0.5 filtered
   }
 
   test("D11 upstream mini-segments: running values along the chain") {

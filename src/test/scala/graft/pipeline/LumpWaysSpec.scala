@@ -46,14 +46,14 @@ class LumpWaysSpec extends AnyFunSuite with SparkTestBase {
     assert(b.getAs[collection.Seq[String]]("grp") == Seq("B"))
     assert(b.getAs[Long]("root_nodeid") == 10L)
     assert(math.abs(b.getAs[Double]("length_m") - 10 * degLonM) < 0.01)
-    assert(b.getAs[Int]("length_desc_rank") == 0)
+    assert(b.getAs[Long]("length_desc_rank") == 0L)
     assert(b.getAs[Long]("num_nodes") == 2L)
 
     // group A: way1 contracts to (1,3)+way2 (3,4): 0.002°+0.001° ≈ 333.59 m
     assert(a.getAs[collection.Seq[String]]("grp") == Seq("A"))
     assert(a.getAs[Long]("root_nodeid") == 1L)
     assert(math.abs(a.getAs[Double]("length_m") - 3 * degLonM) < 0.01)
-    assert(a.getAs[Int]("length_desc_rank") == 1)
+    assert(a.getAs[Long]("length_desc_rank") == 1L)
     // 3 is degree-2 → compressed away → vertexes {1,4}
     assert(a.getAs[Long]("num_nodes") == 2L)
 
