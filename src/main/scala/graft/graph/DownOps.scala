@@ -124,6 +124,57 @@ object DownOps {
     topN.map(n => ranked.filter(col("upstream_m_rank") <= n)).getOrElse(ranked)
   }
 
+  /** S9 — ends CSV with the exact reference columns (ends_csv.rs:22-31,
+    * 85-99): `timestamp,iso_datetime,upstream_m,upstream_m_rank,nid,lat,
+    * lng[,<ends-tag values>…]`; filters `upstream_m > 1.0`,
+    * `--ends-csv-min-length-m`, `--ends-csv-only-tagged` (any end tag
+    * set), sort upstream desc (tie → nid asc, deterministic where the
+    * reference is input-order-stable), `--ends-csv-only-largest-n`
+    * truncation, 1-based rank AFTER truncation. Values use Rust
+    * `Display` number formatting. Streamed via toLocalIterator — a
+    * single ordered CSV sink, bounded driver memory.
+    *
+    * @param meta (nid, tag_<key> …) from [[Rescans.endsMembership]]
+    * @return (header, rows)
+    */
+  def endsCsv(
+      endUpstream: DataFrame, // (nid, upstream_m)
+      nodes: DataFrame,       // (nid, lat, lon)
+      meta: DataFrame,        // (nid, tag_<key>…) — may have no tag cols
+      endTagKeys: Seq[String],
+      latestTimestamp: Long,
+      onlyTagged: Boolean = false,
+      minLengthM: Option[Double] = None,
+      onlyLargestN: Option[Long] = None): (Seq[String], Iterator[Seq[String]]) = {
+    import scala.jdk.CollectionConverters._
+    import graft.outputs.Writers.rustNum
+    val iso = java.time.Instant.ofEpochSecond(latestTimestamp).toString
+    val tagCols = endTagKeys.map(k => s"tag_$k")
+    val base0 = endUpstream
+      .filter(col("upstream_m") > 1.0)
+      .filter(minLengthM.map(m => col("upstream_m") >= m).getOrElse(lit(true)))
+      .join(meta, Seq("nid"), "left")
+    val base = if (onlyTagged && tagCols.nonEmpty)
+      base0.filter(tagCols.map(c => col(c).isNotNull).reduce(_ || _))
+    else base0
+    val sorted = base.join(nodes, Seq("nid"))
+      .orderBy(col("upstream_m").desc, col("nid").asc)
+    val header = Seq("timestamp", "iso_datetime", "upstream_m",
+      "upstream_m_rank", "nid", "lat", "lng") ++ endTagKeys
+    val it = sorted.toLocalIterator().asScala
+    val limited = onlyLargestN.map(n => it.take(n.toInt)).getOrElse(it)
+    val rows = limited.zipWithIndex.map { case (r, i) =>
+      Seq(latestTimestamp.toString, iso,
+        rustNum(Geo.roundHalfAway(r.getAs[Double]("upstream_m"), 1)),
+        (i + 1).toString,
+        r.getAs[Long]("nid").toString,
+        rustNum(Geo.roundHalfAway(r.getAs[Double]("lat"), 7)),
+        rustNum(Geo.roundHalfAway(r.getAs[Double]("lon"), 7))) ++
+        tagCols.map(c => Option(r.getAs[String](c)).getOrElse(""))
+    }
+    (header, rows)
+  }
+
   /** D8 — ends GeoJSON features (down/main.rs:1067-1108): one Point
     * feature per end with `upstream_m` (1 dp), `nid`, `is_in_*` booleans
     * + `is_in_count`, `tag_*` values; `--min-upstream-m` gate.
@@ -288,11 +339,26 @@ object DownOps {
     */
   def groupedEndLines(
       edges: Seq[(Long, Long, Double)], // (src, dst, flow)
-      end: Long): Seq[Seq[Long]] = {
+      end: Long,
+      pos: Map[Long, (Double, Double)] = Map.empty, // (lat, lon), for splits
+      maxDistanceM: Option[Double] = None): Seq[Seq[Long]] = {
     val used = scala.collection.mutable.HashSet.empty[Int]
     val byDst = edges.zipWithIndex.groupBy(_._1._2)
-    def walkUp(start: Long): Seq[Long] = {
-      val line = scala.collection.mutable.ArrayBuffer(start)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    // max straight-line split (down/main.rs:1522-1544): when the haversine
+    // distance from the line's start to the current tip exceeds the max,
+    // the line is cut there and a new one starts at the tip
+    def tooFar(a: Long, b: Long): Boolean =
+      maxDistanceM.exists { max =>
+        (pos.get(a), pos.get(b)) match {
+          case (Some((la1, lo1)), Some((la2, lo2))) =>
+            Geo.haversineM(la1, lo1, la2, lo2) > max
+          case _ => false
+        }
+      }
+    def walkUp(start: Long): Int = {
+      val before = used.size
+      var line = scala.collection.mutable.ArrayBuffer(start)
       var cur = start
       var continue = true
       while (continue) {
@@ -303,19 +369,21 @@ object DownOps {
           used += i
           line += e._1
           cur = e._1
+          if (line.length >= 2 && tooFar(line.head, cur)) {
+            out += line.reverse.toSeq
+            line = scala.collection.mutable.ArrayBuffer(cur)
+          }
         }
       }
-      line.reverse.toSeq
+      if (line.length > 1) out += line.reverse.toSeq
+      used.size - before
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
-    val first = walkUp(end)
-    if (first.length > 1) out += first
+    walkUp(end)
     var remaining = edges.zipWithIndex.filterNot(x => used(x._2))
     while (remaining.nonEmpty) {
       val ((_, d, _), _) = remaining.maxBy { case ((s, _, f), _) => (f, -s) }
-      val line = walkUp(d)
-      if (line.length > 1) out += line
-      else used ++= remaining.filter(_._1._2 == d).map(_._2) // safety: consume
+      if (walkUp(d) == 0)
+        used ++= remaining.filter(_._1._2 == d).map(_._2) // safety: consume
       remaining = edges.zipWithIndex.filterNot(x => used(x._2))
     }
     out.toSeq
@@ -342,6 +410,78 @@ object DownOps {
         }
       }
       .toDF("end_nid", "line_idx", "line")
+  }
+
+  /** D10 — grouped-ends FEATURES (down/main.rs:1646-1688): per walked
+    * line, a LineString feature with props `avg_upstream_m` (midpoint of
+    * from/to), `end_nid`, `end_upstream_m`, `from_upstream_m` (flow of the
+    * line's first edge), `to_upstream_m` (flow of the last edge + its
+    * length), and `end_tag:<key>` values — keys emitted in serde_json's
+    * alphabetical order. Distributed per basin like [[groupedEnds]].
+    *
+    * @param edgeFlows (src, dst, flow_m, len)
+    * @param assignment (nid, end_nid)
+    * @param endMeta (end_nid, end_upstream_m, tag_<key>… — may be empty)
+    */
+  def groupedEndFeatures(
+      edgeFlows: DataFrame,
+      assignment: DataFrame,
+      endMeta: DataFrame,
+      nodes: DataFrame,
+      endTagKeys: Seq[String],
+      maxDistanceM: Option[Double] = None): DataFrame = {
+    val spark = edgeFlows.sparkSession
+    import spark.implicits._
+    import graft.outputs.GeoJson
+    val n1 = nodes.select(col("nid").as("src"), col("lat").as("slat"), col("lon").as("slon"))
+    val n2 = nodes.select(col("nid").as("dst"), col("lat").as("dlat"), col("lon").as("dlon"))
+    val tagCols = endTagKeys.map(k => s"tag_$k")
+    val meta = endMeta.select(
+      (col("end_nid") +: col("end_upstream_m").cast("double") +:
+        tagCols.map(col)): _*)
+    val rows = edgeFlows
+      .join(assignment.select(col("nid").as("dst"), col("end_nid")), Seq("dst"))
+      .join(n1, Seq("src")).join(n2, Seq("dst"))
+      .join(meta, Seq("end_nid"), "left")
+      .select((Seq(col("end_nid"), col("src"), col("dst"),
+        col("flow_m").cast("double"), col("len").cast("double"),
+        col("slat"), col("slon"), col("dlat"), col("dlon"),
+        coalesce(col("end_upstream_m"), lit(0.0)).as("end_up")) ++
+        tagCols.map(col)): _*)
+    rows
+      .groupByKey(r => r.getLong(0))
+      .flatMapGroups { (end, it) =>
+        val es = it.toSeq
+        val edges = es.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val lens = es.map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(4))).toMap
+        val flows = es.map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+        val pos = (es.map(r => (r.getLong(1), (r.getDouble(5), r.getDouble(6)))) ++
+          es.map(r => (r.getLong(2), (r.getDouble(7), r.getDouble(8))))).toMap
+        val endUp = es.head.getDouble(9)
+        val tagVals = endTagKeys.zipWithIndex.map { case (k, i) =>
+          (k, Option(es.head.getString(10 + i)))
+        }
+        val lines = groupedEndLines(edges, end, pos, maxDistanceM)
+        lines.zipWithIndex.map { case (line, idx) =>
+          val from = flows((line(0), line(1)))
+          val lastE = (line(line.length - 2), line.last)
+          val to = flows(lastE) + lens(lastE)
+          val props =
+            Seq(
+              "avg_upstream_m" -> GeoJson.numJson(Geo.roundHalfAway((from + to) / 2.0, 1)),
+              "end_nid" -> end.toString,
+              "end_upstream_m" -> GeoJson.numJson(Geo.roundHalfAway(endUp, 1)),
+              "from_upstream_m" -> GeoJson.numJson(Geo.roundHalfAway(from, 1)),
+              "to_upstream_m" -> GeoJson.numJson(Geo.roundHalfAway(to, 1))) ++
+              tagVals.collect { case (k, Some(v)) =>
+                s"end_tag:$k" -> GeoJson.jsonStr(v)
+              }
+          val coords = line.map(n => (pos(n)._2, pos(n)._1)) // (lon, lat)
+          (end, idx,
+            GeoJson.feature(GeoJson.propsJson(props), GeoJson.lineString(coords)))
+        }
+      }
+      .toDF("end_nid", "line_idx", "feature")
   }
 
   /** D16 — grouped waterways summary (down/main.rs:1908-2229): per tag

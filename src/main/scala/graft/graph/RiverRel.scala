@@ -112,11 +112,18 @@ object RiverRel {
       .groupBy("gkey", "nid")
       .agg(max(when(col("isIn"), 1).otherwise(0)).as("hasIn"),
         max(when(!col("isIn"), 1).otherwise(0)).as("hasOut"))
-    // confluence nodes: touched by ≥2 groups
-    val conflNodes = touch.groupBy("nid")
-      .agg(countDistinct("gkey").as("ng")).filter(col("ng") >= 2)
-      .select("nid")
-    val confl = touch.join(conflNodes, Seq("nid")).localCheckpoint(true)
+    // confluences (tag_group.rs:252-280): nid is a confluence OF group g
+    // iff g flows in and ANOTHER group flows out there, or vice versa —
+    // two groups merely co-terminating (both In) or co-starting (both
+    // Out) at a node do NOT join there.
+    val nodeTot = touch.groupBy("nid").agg(
+      sum(col("hasIn")).as("totIn"), sum(col("hasOut")).as("totOut"))
+    val confl = touch.join(nodeTot, Seq("nid"))
+      .filter(
+        (col("hasIn") === 1 && (col("totOut") - col("hasOut")) >= 1) ||
+          (col("hasOut") === 1 && (col("totIn") - col("hasIn")) >= 1))
+      .select("gkey", "nid", "hasIn", "hasOut")
+      .localCheckpoint(true)
 
     // per-group confluence sets: all confluence nids + the strictly-In
     // ones (tag_group.rs:885-888 filters a.confluences by flow_type.in_())
@@ -128,10 +135,9 @@ object RiverRel {
     // group infos
     val glens = g.join(lens, Seq("src", "dst"))
       .groupBy("gkey").agg(sum("len").as("length_m"), first("tag").as("tag"))
-    val sinks = g.select(col("gkey"), col("dst").as("nid"))
-      .join(g.select(col("gkey"), col("src").as("nid")),
-        Seq("gkey", "nid"), "left_anti")    // group-local sinks
-      .join(conflNodes, Seq("nid"), "left_anti") // not at a confluence
+    // sinks (tag_group.rs:258-260): group dsts with GLOBAL out-degree 0
+    val sinks = g.select(col("gkey"), col("dst").as("nid")).distinct()
+      .join(g.select(col("src").as("nid")).distinct(), Seq("nid"), "left_anti")
       .groupBy("gkey").agg(count(lit(1)).as("n_sinks"))
     val nConf = confl.groupBy("gkey").agg(count(lit(1)).as("n_confluences"))
     val infos = glens

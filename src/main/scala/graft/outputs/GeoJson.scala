@@ -63,6 +63,16 @@ object GeoJson {
     else if (v.isWhole && math.abs(v) < 1e15) s"${v.toLong}.0"
     else BigDecimal(v).bigDecimal.stripTrailingZeros.toPlainString
 
+  /** Properties object with serde_json's default (BTreeMap) key order —
+    * ALPHABETICAL, which is what the reference's `json!({...})` emits
+    * (its Cargo.toml does not enable preserve_order). Values must be
+    * pre-serialized JSON.
+    */
+  def propsJson(kvs: Iterable[(String, String)]): String =
+    kvs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:$v" }
+      .mkString("{", ",", "}")
+
   /** Minimal JSON string escaping for property values. */
   def jsonStr(s: String): String =
     "\"" + s.flatMap {

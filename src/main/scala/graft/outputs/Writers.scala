@@ -47,14 +47,46 @@ object Writers {
     */
   def writeCsv(
       header: Seq[String], rows: Iterator[Seq[String]],
-      path: String, overwrite: Boolean): Unit = {
-    def esc(s: String): String =
-      if (s.contains(',') || s.contains('"') || s.contains('\n'))
-        "\"" + s.replace("\"", "\"\"") + "\""
-      else s
+      path: String, overwrite: Boolean): Unit =
     writeLines(
       Iterator(header.mkString("", ",", "\n")) ++
-        rows.map(_.map(esc).mkString("", ",", "\n")),
+        rows.map(_.map(csvEsc).mkString("", ",", "\n")),
       path, overwrite)
+
+  private def csvEsc(s: String): String =
+    if (s.contains(',') || s.contains('"') || s.contains('\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Append-mode CSV (S8/S9: loops_csv_stats.rs:8-23, ends_csv.rs:14-54):
+    * create the file with the header if missing; if it exists, warn on a
+    * header mismatch (like the reference) and append the data rows.
+    */
+  def appendCsv(
+      header: Seq[String], rows: Iterator[Seq[String]], path: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    if (!Files.exists(p))
+      Files.writeString(p, header.mkString("", ",", "\n"))
+    else {
+      val first = Files.lines(p).findFirst().orElse("")
+      if (first != header.mkString(","))
+        System.err.println(
+          s"warn: different headers in $path. Expected $header got $first. " +
+            "Continuing anyway, and writing the columns we expect.")
+    }
+    val w = new BufferedWriter(new FileWriter(path, true), 1 << 20)
+    try rows.foreach(r => w.write(r.map(csvEsc).mkString("", ",", "\n")))
+    finally w.close()
+  }
+
+  /** Rust `f64::Display`-style number rendering ("900", "0.1", "0.0001" —
+    * shortest round-trip, no scientific notation, no trailing ".0"),
+    * used for CSV value parity (ends_csv.rs:89-93 `.to_string()`).
+    */
+  def rustNum(v: Double): String = {
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(v))
+      .stripTrailingZeros()
+    bd.toPlainString
   }
 }

@@ -100,20 +100,21 @@ object QueriesRivers {
        |    SELECT gkey, dst AS nid, 1 AS isin, 0 AS isout FROM g
        |    UNION ALL SELECT gkey, src AS nid, 0 AS isin, 1 AS isout FROM g)
        |  GROUP BY gkey, nid),
-       |conflnodes AS (
-       |  SELECT nid FROM touch GROUP BY nid HAVING COUNT(DISTINCT gkey) >= 2),
+       |nodetot AS (
+       |  SELECT nid, SUM(hasin) AS totin, SUM(hasout) AS totout
+       |  FROM touch GROUP BY nid),
        |confl AS (
        |  SELECT t.gkey, t.nid, t.hasin, t.hasout
-       |  FROM touch t JOIN conflnodes c ON c.nid = t.nid),
+       |  FROM touch t JOIN nodetot n ON n.nid = t.nid
+       |  WHERE (t.hasin = 1 AND n.totout - t.hasout >= 1)
+       |     OR (t.hasout = 1 AND n.totin - t.hasin >= 1)),
        |glens AS (
        |  SELECT gkey, SUM(CAST((src * 7 + dst * 13) % 1000 + 1 AS DOUBLE))
        |    AS length_m FROM g GROUP BY gkey),
        |gsinks AS (
        |  SELECT s.gkey, COUNT(*) AS n_sinks
-       |  FROM (SELECT gkey, dst AS nid FROM g) s
-       |  WHERE NOT EXISTS (SELECT 1 FROM g h
-       |          WHERE h.gkey = s.gkey AND h.src = s.nid)
-       |    AND s.nid NOT IN (SELECT nid FROM conflnodes)
+       |  FROM (SELECT DISTINCT gkey, dst AS nid FROM g) s
+       |  WHERE NOT EXISTS (SELECT 1 FROM g h WHERE h.src = s.nid)
        |  GROUP BY s.gkey),
        |nconf AS (SELECT gkey, COUNT(*) AS n_confluences FROM confl GROUP BY gkey),
        |gsets AS (

@@ -193,23 +193,38 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("D13 exact rule-2 subset: fires when a meets a third group elsewhere") {
-    // A's In-confluence (node 2) IS inside B's confluence set, but A also
-    // meets C at node 5 — so A's total confluence count (2) differs from
-    // the (A,B) shared count (1). The round-1 count-equality approximation
-    // missed this tributary; the exact subset check (tag_group.rs:879-890)
-    // finds it.
+    // A forks (7→5→2, 7→6→1) into B's Through-node 2 AND B's source node 1
+    // → shared confs {(In,Through), (In,Out)} so no pure rule matches and
+    // side-channel fails (A never flows Out at a confluence). A also meets
+    // C at node 5 — so A's total confluence count (3) differs from the
+    // (A,B) shared count (2), and the round-1 count-equality approximation
+    // missed this tributary; the exact subset check (tag_group.rs:879-890:
+    // A's strictly-In confluences {1,2} ⊆ B's confluences {1,2}) finds it.
     val tg = Seq(
-      (1L, 2L, "B", 1L),                    // B terminates at 2 (In at 2)
-      (6L, 5L, "A", 5L), (5L, 2L, "A", 5L), // A through 5, into 2
-      (7L, 5L, "C", 7L))                    // C into 5 → A has a 2nd confluence
+      (1L, 2L, "B", 1L), (2L, 3L, "B", 1L), (3L, 4L, "B", 1L),
+      (7L, 5L, "A", 1L), (7L, 6L, "A", 1L), (5L, 2L, "A", 1L), (6L, 1L, "A", 1L),
+      (9L, 5L, "C", 5L)) // C into A's Through-node 5
       .toDF("src", "dst", "tag", "tag_group_nid")
-    val lens = Seq((1L, 2L, 100.0), (6L, 5L, 5.0), (5L, 2L, 10.0), (7L, 5L, 50.0))
+    val lens = Seq(
+      (1L, 2L, 100.0), (2L, 3L, 100.0), (3L, 4L, 100.0),
+      (7L, 5L, 5.0), (7L, 6L, 5.0), (5L, 2L, 5.0), (6L, 1L, 5.0),
+      (9L, 5L, 50.0))
       .toDF("src", "dst", "len")
     val rels = RiverRel.classifyPairs(tg, lens)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-    assert(rels.contains((RiverRel.ATributaryB, "A#5", "B#1")),
+    assert(rels.contains((RiverRel.ATributaryB, "A#1", "B#1")),
       s"exact subset rule-2 should classify A as tributary of B; got $rels")
-    assert(rels.contains((RiverRel.ATributaryB, "C#7", "A#5")))
+    assert(rels.contains((RiverRel.ATributaryB, "C#5", "A#1")))
+  }
+
+  test("D13 confluence def: co-terminating groups do NOT join") {
+    // A and B both flow INTO node 2 and nothing flows out — under the
+    // reference's confluence rule (tag_group.rs:252-280) that is not a
+    // junction, so the pair is never classified.
+    val tg = Seq((1L, 2L, "A", 1L), (3L, 2L, "B", 3L))
+      .toDF("src", "dst", "tag", "tag_group_nid")
+    val lens = Seq((1L, 2L, 10.0), (3L, 2L, 100.0)).toDF("src", "dst", "len")
+    assert(RiverRel.classifyPairs(tg, lens).isEmpty)
   }
 
   test("D13 DataFrame driver: tributary found on a confluence graph") {
