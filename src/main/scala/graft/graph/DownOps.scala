@@ -286,12 +286,12 @@ object DownOps {
   def streamLevels(
       groupFlows: Seq[(Long, Long)],
       groupUpstream: Map[Long, Double],
-      sinkGroups: Seq[Long]): Map[Long, (Int, String)] = {
+      sinkGroups: Seq[Long]): Map[Long, (Int, Seq[Int])] = {
     val childrenOf = groupFlows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val out = scala.collection.mutable.LinkedHashMap.empty[Long, (Int, String)]
+    val out = scala.collection.mutable.LinkedHashMap.empty[Long, (Int, Seq[Int])]
     val roots = sinkGroups.distinct
       .sortBy(g => (-groupUpstream.getOrElse(g, 0.0), g))
-    roots.zipWithIndex.foreach { case (g, i) => out(g) = (0, (i + 1).toString) }
+    roots.zipWithIndex.foreach { case (g, i) => out(g) = (0, Seq(i + 1)) }
     var frontier = roots
     var level = 0
     while (frontier.nonEmpty) {
@@ -302,7 +302,7 @@ object DownOps {
           .filterNot(out.contains)
           .sortBy(k => (-groupUpstream.getOrElse(k, 0.0), k))
         kids.zipWithIndex.foreach { case (k, i) =>
-          out(k) = (pl + 1, pcode + (i + 1).toString)
+          out(k) = (pl + 1, pcode :+ (i + 1))
           next += k
         }
       }
@@ -311,6 +311,9 @@ object DownOps {
     }
     out.toMap
   }
+
+  /** `stream_level_code_str` (tag_group.rs:55-60): code parts joined ".". */
+  def streamLevelCodeStr(code: Seq[Int]): String = code.mkString(".")
 
   /** D15 — confluence distances (tag_group.rs:716-806): within one group,
     * Dijkstra flood DOWNSTREAM from each marked node (confluence / source

@@ -98,32 +98,40 @@ object RiverRel {
     * @return (rel, group_a, group_b) — group ids are (tag, tag_group_nid)
     *         densified as min-nid keys (tag carried alongside)
     */
-  def classifyPairs(tagGrouped: DataFrame, lens: DataFrame): DataFrame = {
-    val spark = tagGrouped.sparkSession
-    import spark.implicits._
+  /** Null-safe group key: tag#min_nid with a sentinel for untagged. */
+  def gkeyCol: org.apache.spark.sql.Column =
+    concat(coalesce(col("tag"), lit("")), lit("#"), col("tag_group_nid"))
 
-    val g = tagGrouped.select(
-      concat(col("tag"), lit("#"), col("tag_group_nid")).as("gkey"),
-      col("src"), col("dst"), col("tag"))
-
-    // per (gkey, nid): in/out flags
+  /** Confluence membership per (gkey, nid) with in/out flags
+    * (tag_group.rs:252-280): nid is a confluence OF group g iff g flows in
+    * and ANOTHER group flows out there, or vice versa — two groups merely
+    * co-terminating (both In) or co-starting (both Out) at a node do NOT
+    * join there.
+    * @param g (gkey, src, dst, …)
+    */
+  def confluencesOf(g: DataFrame): DataFrame = {
     val touch = g.select(col("gkey"), col("dst").as("nid"), lit(true).as("isIn"))
       .union(g.select(col("gkey"), col("src").as("nid"), lit(false).as("isIn")))
       .groupBy("gkey", "nid")
       .agg(max(when(col("isIn"), 1).otherwise(0)).as("hasIn"),
         max(when(!col("isIn"), 1).otherwise(0)).as("hasOut"))
-    // confluences (tag_group.rs:252-280): nid is a confluence OF group g
-    // iff g flows in and ANOTHER group flows out there, or vice versa —
-    // two groups merely co-terminating (both In) or co-starting (both
-    // Out) at a node do NOT join there.
     val nodeTot = touch.groupBy("nid").agg(
       sum(col("hasIn")).as("totIn"), sum(col("hasOut")).as("totOut"))
-    val confl = touch.join(nodeTot, Seq("nid"))
+    touch.join(nodeTot, Seq("nid"))
       .filter(
         (col("hasIn") === 1 && (col("totOut") - col("hasOut")) >= 1) ||
           (col("hasOut") === 1 && (col("totIn") - col("hasIn")) >= 1))
       .select("gkey", "nid", "hasIn", "hasOut")
-      .localCheckpoint(true)
+  }
+
+  def classifyPairs(tagGrouped: DataFrame, lens: DataFrame): DataFrame = {
+    val spark = tagGrouped.sparkSession
+    import spark.implicits._
+
+    val g = tagGrouped.select(
+      gkeyCol.as("gkey"), col("src"), col("dst"), col("tag"))
+
+    val confl = confluencesOf(g).localCheckpoint(true)
 
     // per-group confluence sets: all confluence nids + the strictly-In
     // ones (tag_group.rs:885-888 filters a.confluences by flow_type.in_())

@@ -116,10 +116,11 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
     val flows = Seq((1L, 2L), (1L, 3L), (2L, 4L))
     val up = Map(1L -> 100.0, 2L -> 60.0, 3L -> 80.0, 4L -> 10.0)
     val lv = DownOps.streamLevels(flows, up, Seq(1L))
-    assert(lv(1L) == (0, "1"))
-    assert(lv(3L) == (1, "11")) // larger upstream child first
-    assert(lv(2L) == (1, "12"))
-    assert(lv(4L) == (2, "121"))
+    assert(lv(1L) == (0, Seq(1)))
+    assert(lv(3L) == (1, Seq(1, 1))) // larger upstream child first
+    assert(lv(2L) == (1, Seq(1, 2)))
+    assert(lv(4L) == (2, Seq(1, 2, 1)))
+    assert(DownOps.streamLevelCodeStr(Seq(1, 2, 1)) == "1.2.1")
   }
 
   test("D15 confluence distances: pairwise downstream Dijkstra") {
@@ -160,6 +161,66 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Double]("length_m") == 40.0) // 1→2→4 longest through-path
     assert(r.getAs[Long]("n_sources") == 1L && r.getAs[Long]("n_sinks") == 2L)
     assert(r.getAs[Double]("max_upstream_m") == 5.0)
+  }
+
+  test("D16 grouped-waterway features: nested relationship JSON byte parity") {
+    // B main river 1→2→3 with trib A 5→2 joining at node 2
+    val tg = Seq((1L, 2L, "B", 1L), (2L, 3L, "B", 1L), (5L, 2L, "A", 5L))
+      .toDF("src", "dst", "tag", "tag_group_nid")
+    val lens = Seq((1L, 2L, 10.0), (2L, 3L, 5.0), (5L, 2L, 10.0))
+      .toDF("src", "dst", "len")
+    val flows = Seq((1L, 2L, 0.0), (2L, 3L, 20.0), (5L, 2L, 0.0))
+      .toDF("src", "dst", "flow_m")
+    val feats = WaterwayFeatures
+      .groupedWaterwayFeatures(tg, lens, flows, nodes)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(feats.keySet == Set("A#5", "B#1"))
+    val b = feats("B#1")
+    // props keys in serde_json (BTreeMap) alphabetical order
+    assert(b.contains(
+      """"tributaries":[{"confluences":[{"lat":0.0,"lon":0.001,"nid":2,"upstream_m":10.0}],""" +
+        """"inflow_m":10.0,"min_nid":2,"stream_level_code":[1,1],"tag_group_value":"A"}]"""),
+      b)
+    assert(b.contains(
+      """"distributaries_sea":[{"lat":0.0,"lon":0.002,"nid":3,"upstream_m":25.0}]"""), b)
+    assert(b.contains(""""stream_level":0""") && b.contains(""""stream_level_code_str":"1""""))
+    assert(b.contains(""""cum_length_m":15.0""") && b.contains(""""length_m":15.0"""))
+    assert(b.contains(""""max_upstream_m":20.0""") && b.contains(""""mean_upstream_m":10.0"""))
+    // geometry: one merged line 1→2→3
+    assert(b.contains(
+      """"coordinates":[[[0.000000, 0.000000],[0.001000, 0.000000],[0.002000, 0.000000]]]"""), b)
+    val a = feats("A#5")
+    assert(a.contains(""""stream_level":1""") && a.contains(""""stream_level_code":[1,1]"""))
+    assert(a.contains(
+      """"parent_rivers":[{"confluences":[{"lat":0.0,"lon":0.004,"nid":5,"upstream_m":0.0}],""" +
+        """"min_nid":1,"stream_level_code":[1],"tag_group_value":"B"}]"""), a)
+    // alphabetical key order of the top-level props
+    val keys = """"([a-z_0-9]+)":""".r
+      .findAllMatchIn(a.takeWhile(_ != '[')).map(_.group(1)).toSeq
+    assert(keys == keys.sorted, keys)
+  }
+
+  test("D10 grouped-end features: props + max-straight-line split") {
+    val flows = Seq((1L, 2L, 0.0, 5.0), (2L, 3L, 5.0, 10.0))
+      .toDF("src", "dst", "flow_m", "len")
+    val assign = Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("nid", "end_nid")
+    val endMeta = Seq((3L, 15.0)).toDF("end_nid", "end_upstream_m")
+    val f = DownOps.groupedEndFeatures(flows, assign, endMeta, nodes, Nil)
+      .collect().map(_.getString(2))
+    assert(f.length == 1)
+    // from = flow(1→2) = 0; to = flow(2→3) + len(2→3) = 15; avg 7.5
+    assert(f.head.contains(""""avg_upstream_m":7.5"""), f.head)
+    assert(f.head.contains(""""end_nid":3,"end_upstream_m":15.0,"from_upstream_m":0.0,"to_upstream_m":15.0"""))
+    // max-distance split (main.rs:1522-1544): the line is cut AFTER the
+    // node that exceeds the cap, and a fresh line continues from there —
+    // start-to-tip 1→3 is ~222m, cap 120m ⇒ [1,2,3] emitted, walk
+    // restarts at 1 and picks up 0→1 as its own line
+    val lines = DownOps.groupedEndLines(
+      Seq((0L, 1L, 0.0), (1L, 2L, 1.0), (2L, 3L, 5.0)), 3L,
+      Map(0L -> (0.0, -0.001), 1L -> (0.0, 0.0),
+        2L -> (0.0, 0.001), 3L -> (0.0, 0.002)),
+      maxDistanceM = Some(120.0))
+    assert(lines == Seq(Seq(1L, 2L, 3L), Seq(0L, 1L)), lines)
   }
 
   test("D13 classification: pure rules match the reference tables") {
