@@ -195,8 +195,9 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
       """"parent_rivers":[{"confluences":[{"lat":0.0,"lon":0.004,"nid":5,"upstream_m":0.0}],""" +
         """"min_nid":1,"stream_level_code":[1],"tag_group_value":"B"}]"""), a)
     // alphabetical key order of the top-level props
+    val propsPart = a.stripPrefix("""{"properties":{""").takeWhile(_ != '[')
     val keys = """"([a-z_0-9]+)":""".r
-      .findAllMatchIn(a.takeWhile(_ != '[')).map(_.group(1)).toSeq
+      .findAllMatchIn(propsPart).map(_.group(1)).toSeq
     assert(keys == keys.sorted, keys)
   }
 
