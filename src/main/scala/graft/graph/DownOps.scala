@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.geo.Geo
@@ -41,8 +41,11 @@ object DownOps {
     * (down/main.rs:544-663). Areas come from a PIP join done by the
     * caller on (root_lat, root_lon).
     */
-  def loops(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    val scc = Scc.run(edges.select("src", "dst")).localCheckpoint(true)
+  def loops(
+      edges: DataFrame, nodes: DataFrame,
+      sccOpt: Option[DataFrame] = None): DataFrame = {
+    val scc = sccOpt.getOrElse(
+      Scc.run(edges.select("src", "dst")).localCheckpoint(true))
     val intra = edges
       .join(scc.withColumnRenamed("nid", "src").withColumnRenamed("scc", "s1"), Seq("src"))
       .join(scc.withColumnRenamed("nid", "dst").withColumnRenamed("scc", "s2"), Seq("dst"))
@@ -67,12 +70,83 @@ object DownOps {
         n => concat(lit("n"), n.cast("string")))).as("nodes"))
     withLen
       .groupBy(col("s1").as("scc"))
-      .agg(Geo.roundHalfAway(sum("len"), 1).as("length_m"))
+      .agg(Geo.roundHalfAway(sum("len"), 1).as("length_m"),
+        sum("len").as("length_m_raw"))
       .join(members, Seq("scc"))
       .join(nodes.select(col("nid").as("root_nid"),
         col("lat").as("root_lat"), col("lon").as("root_lon")), Seq("root_nid"))
-      .select("scc", "root_nid", "num_nodes", "length_m", "nodes",
-        "root_lat", "root_lon")
+      .select("scc", "root_nid", "num_nodes", "length_m", "length_m_raw",
+        "nodes", "root_lat", "root_lon")
+  }
+
+  /** D2 — loops GeoJSON features (down/main.rs:568-604): props
+    * `root_nid`, `num_nodes`, `length_m` (1 dp), optional `nodes` string,
+    * `area_<i>` / `areas` / `areas_s` (areas sorted longest-code-first,
+    * `unknown_area` when none) — serde-alphabetical key order; geometry =
+    * the loop's intra-SCC edges peeled into merged lines.
+    *
+    * @param loopAreas (scc, area) from a PIP join; may be empty
+    * @return (scc, length_m_raw, areas, feature)
+    */
+  def loopFeatures(
+      edges: DataFrame, // (src, dst)
+      nodes: DataFrame,
+      scc: DataFrame,
+      loopsDf: DataFrame, // from [[loops]]
+      loopAreas: DataFrame, // (scc, area)
+      inclNids: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import graft.outputs.GeoJson
+    val intra = edges
+      .join(scc.withColumnRenamed("nid", "src").withColumnRenamed("scc", "s1"), Seq("src"))
+      .join(scc.withColumnRenamed("nid", "dst").withColumnRenamed("scc", "s2"), Seq("dst"))
+      .filter(col("s1") === col("s2"))
+      .join(nodes.select(col("nid").as("src"), col("lat").as("slat"),
+        col("lon").as("slon")), Seq("src"))
+      .join(nodes.select(col("nid").as("dst"), col("lat").as("dlat"),
+        col("lon").as("dlon")), Seq("dst"))
+    val geom = intra
+      .select(col("s1").as("scc"), col("src"), col("dst"),
+        col("slat"), col("slon"), col("dlat"), col("dlon"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (sccId, it) =>
+        val es = it.toSeq
+        val pos = (es.map(x => (x._2, (x._4, x._5))) ++
+          es.map(x => (x._3, (x._6, x._7)))).toMap
+        val walks = Local.peelLines(es.map(x => (x._2, x._3)).sorted)
+        val coords = walks.map(_.map(n => (pos(n)._2, pos(n)._1)))
+        (sccId, GeoJson.multiLineString(coords))
+      }
+      .toDF("scc", "geom")
+    val areasAgg = loopAreas.groupBy("scc")
+      .agg(collect_list("area").as("areas"))
+    loopsDf.join(areasAgg, Seq("scc"), "left").join(geom, Seq("scc"))
+      .select(col("scc"), col("root_nid"), col("num_nodes"), col("length_m"),
+        col("length_m_raw"), col("nodes"), col("areas"), col("geom"))
+      .map { r =>
+        val areas0 = Option(r.getAs[collection.Seq[String]]("areas"))
+          .map(_.toSeq).getOrElse(Nil)
+        // longest-code-first, then alpha, matching sort_by_key(-len)
+        val areas = (if (areas0.isEmpty) Seq("unknown_area") else areas0)
+          .sortBy(a => (-a.length, a))
+        val props = Seq(
+          "root_nid" -> r.getAs[Long]("root_nid").toString,
+          "num_nodes" -> r.getAs[Long]("num_nodes").toString,
+          "length_m" -> GeoJson.numJson(r.getAs[Double]("length_m")),
+          "areas_s" -> GeoJson.jsonStr(areas.mkString(",", ",", ",")),
+          "areas" -> areas.map(GeoJson.jsonStr).mkString("[", ",", "]")) ++
+          areas.zipWithIndex.map { case (a, i) =>
+            s"area_$i" -> GeoJson.jsonStr(a)
+          } ++
+          (if (inclNids) Seq("nodes" -> GeoJson.jsonStr(r.getAs[String]("nodes")))
+           else Nil)
+        (r.getAs[Long]("scc"), r.getAs[Double]("length_m_raw"),
+          areas,
+          GeoJson.feature(GeoJson.propsJson(props), r.getAs[String]("geom")))
+      }
+      .toDF("scc", "length_m_raw", "areas", "feature")
   }
 
   /** S8 — per-area loop stats: (area, loops_count, loops_length_m)
@@ -176,8 +250,10 @@ object DownOps {
   }
 
   /** D8 — ends GeoJSON features (down/main.rs:1067-1108): one Point
-    * feature per end with `upstream_m` (1 dp), `nid`, `is_in_*` booleans
-    * + `is_in_count`, `tag_*` values; `--min-upstream-m` gate.
+    * feature per end with `upstream_m` (1 dp), `nid`,
+    * `is_in:<filter-display>` booleans + numeric `is_in_count`, and
+    * `tag:<key>` values (omitted when unset); `--min-upstream-m` gate.
+    * Property keys render in serde_json's alphabetical order.
     * Returns a single-column DF of pre-serialized feature JSON, ordered
     * by nid (stream through Writers for the RS-framed file).
     */
@@ -185,30 +261,41 @@ object DownOps {
       endUpstream: DataFrame, // (nid, upstream_m)
       nodes: DataFrame,
       membership: DataFrame, // from Rescans.endsMembership (may be empty cols)
-      minUpstreamM: Option[Double] = None): DataFrame = {
-    val spark = endUpstream.sparkSession
-    import spark.implicits._
-    val extraCols = membership.columns.filterNot(_ == "nid").toSeq
+      minUpstreamM: Option[Double] = None,
+      membershipFilters: Seq[graft.tagfilter.TagFilter] = Nil,
+      endTagKeys: Seq[String] = Nil): DataFrame = {
+    import graft.outputs.GeoJson
     val base = endUpstream
       .filter(minUpstreamM.map(m => col("upstream_m") >= m).getOrElse(lit(true)))
       .join(nodes, Seq("nid"))
       .join(membership, Seq("nid"), "left")
       .orderBy("nid")
+    // (key → fragment) pairs; fragment is "" when the prop is omitted
+    val frags: Seq[(String, Column)] =
+      Seq(
+        "upstream_m" -> concat(lit("\"upstream_m\":"),
+          format_string("%.1f", Geo.roundHalfAway(col("upstream_m"), 1))),
+        "nid" -> concat(lit("\"nid\":"), col("nid").cast("string"))) ++
+        membershipFilters.zipWithIndex.map { case (f, i) =>
+          val key = s"is_in:${f.display}"
+          key -> concat(lit(GeoJson.jsonStr(key) + ":"),
+            coalesce(col(s"is_in_$i").cast("string"), lit("false")))
+        } ++
+        (if (membershipFilters.nonEmpty)
+          Seq("is_in_count" -> concat(lit("\"is_in_count\":"),
+            coalesce(col("is_in_count").cast("string"), lit("0"))))
+        else Nil) ++
+        endTagKeys.map { k =>
+          val key = s"tag:$k"
+          key -> when(col(s"tag_$k").isNull, lit(""))
+            .otherwise(concat(lit(GeoJson.jsonStr(key) + ":\""),
+              col(s"tag_$k"), lit("\"")))
+        }
+    val propCols = frags.sortBy(_._1).map(_._2)
     base.select(
       concat(
-        lit("""{"properties":{"upstream_m":"""),
-        format_string("%.1f", graft.geo.Geo.roundHalfAway(col("upstream_m"), 1)),
-        lit(""","nid":"""), col("nid"),
-        concat_ws("", extraCols.map { c =>
-          val jsonKey = if (c.startsWith("tag_")) s"tag:${c.stripPrefix("tag_")}"
-            else if (c.startsWith("is_in_") && c != "is_in_count") s"is_in:${c.stripPrefix("is_in_")}"
-            else c
-          when(col(c).isNull, lit(""))
-            .otherwise(concat(lit(s""","$jsonKey":"""),
-              when(col(c).cast("string").isin("true", "false"),
-                col(c).cast("string"))
-                .otherwise(concat(lit("\""), col(c).cast("string"), lit("\"")))))
-        }: _*),
+        lit("""{"properties":{"""),
+        concat_ws(",", filter(array(propCols: _*), f => f =!= "")),
         lit("""},"geometry":{"coordinates":["""),
         format_string("%.6f", col("lon")), lit(", "),
         format_string("%.6f", col("lat")),
@@ -258,9 +345,12 @@ object DownOps {
     */
   def tagGroupCC(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
+    // null-safe tag key: the equal-split mode runs with tag = NULL, which
+    // a plain equi-join would drop
+    val keyed = edges.withColumn("__tagc", coalesce(col("tag"), lit("")))
     val tags = graft.runtime.Ranks.tinyDenseId(
-      edges.select("tag").distinct(), Seq(col("tag")), "tid")
-    val e = edges.join(tags, Seq("tag"))
+      keyed.select("__tagc").distinct(), Seq(col("__tagc")), "tid")
+    val e = keyed.join(tags, Seq("__tagc")).drop("__tagc")
       .withColumn("csrc", shiftleft(col("tid"), 40).bitwiseOR(col("src")))
       .withColumn("cdst", shiftleft(col("tid"), 40).bitwiseOR(col("dst")))
     val labels = ConnectedComponents.run(

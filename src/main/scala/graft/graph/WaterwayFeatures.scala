@@ -21,7 +21,7 @@ import graft.outputs.GeoJson
   */
 object WaterwayFeatures {
 
-  private case class GMeta(
+  final case class GMeta(
       gkey: String,
       tag: Option[String],
       gid: Long,            // deterministic dense internal_groupid
@@ -30,26 +30,25 @@ object WaterwayFeatures {
       confl: Set[Long],
       sinks: Set[Long])
 
+  /** Group-count-sized metadata bundle shared by the grouped-waterways
+    * features, the upstreams file, and longest-source-mouth follow rules.
+    */
+  final case class GroupBundle(
+      metas: Array[GMeta],
+      byKey: Map[String, GMeta],
+      levels: Map[Long, (Int, Seq[Int])], // gid → (stream level, code)
+      sideChannelGroups: Set[String])     // gkeys with a parent channel
+
   private def num(v: Double, dp: Int): String =
     GeoJson.numJson(Geo.roundHalfAway(v, dp))
 
-  /** @param tagGrouped (src, dst, tag nullable, tag_group_nid)
-    * @param lens (src, dst, len)
-    * @param flows (src, dst, flow_m) — per-edge upstream
-    * @param nodes (nid, lat, lon)
-    * @return (gkey, feature) one pre-serialized Feature per tag group,
-    *         minus groups dropped by `minLengthM`
-    */
-  def groupedWaterwayFeatures(
-      tagGrouped: DataFrame,
-      lens: DataFrame,
-      flows: DataFrame,
-      nodes: DataFrame,
-      minLengthM: Option[Double] = None): DataFrame = {
-    val spark = tagGrouped.sparkSession
-    import spark.implicits._
+  type ConfEdge = (String, Long, Long, Double, Double,
+    (Double, Double), (Double, Double))
 
-    val e = tagGrouped
+  /** Normalised edge frame: (gkey, tag, src, dst, len, flow). */
+  def edgesWithMeta(
+      tagGrouped: DataFrame, lens: DataFrame, flows: DataFrame): DataFrame =
+    tagGrouped
       .withColumn("gkey", RiverRel.gkeyCol)
       .join(lens, Seq("src", "dst"))
       .join(flows, Seq("src", "dst"), "left")
@@ -58,7 +57,17 @@ object WaterwayFeatures {
         coalesce(col("flow_m"), lit(0.0)).cast("double").as("flow"))
       .localCheckpoint(true)
 
-    // ---- group-count-sized metadata (DataFrame-aggregated, collected) --
+  /** Collect the group-count-sized metadata: per-group info, stream
+    * levels, relationship classification, junction-incident edges.
+    */
+  def groupBundle(
+      tagGrouped: DataFrame, lens: DataFrame, flows: DataFrame,
+      nodes: DataFrame)
+      : (DataFrame, GroupBundle, Array[(String, String, String)],
+        Map[String, Array[ConfEdge]]) = {
+    val spark = tagGrouped.sparkSession
+    val e = edgesWithMeta(tagGrouped, lens, flows)
+
     // end segments (tag_group.rs:112-134): edges with no same-TAG-value
     // out-edge at dst; group upstream = Σ their flows (tag_group.rs:240-248)
     val endSegs = e.as("a").join(e.as("b"),
@@ -101,11 +110,52 @@ object WaterwayFeatures {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4), (r.getDouble(5), r.getDouble(6)),
         (r.getDouble(7), r.getDouble(8))))
-    val edgesByG = conflEdges.groupBy(_._1)
+    val edgesByG: Map[String, Array[ConfEdge]] = conflEdges.groupBy(_._1)
 
     // relationships (D13) — drives the tributary/distributary arrays
     val rels = RiverRel.classifyPairs(tagGrouped, lens).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+
+    // stream levels (D14, tag_group.rs:468-536): roots = groups with
+    // sinks, BFS by confluence in-flow, upstream-desc child order
+    val groupFlows = for {
+      parent <- metas.toSeq
+      nid <- parent.confl
+      (child, _, d, _, _, _, _) <- edgesByG.values.flatten
+      if d == nid && child != parent.gkey
+    } yield (parent.gid, byKey(child).gid)
+    val levels = DownOps.streamLevels(
+      groupFlows.distinct,
+      metas.map(m => m.gid -> m.upstreamM).toMap,
+      metas.filter(_.sinks.nonEmpty).map(_.gid).toSeq)
+    val sideChannelGroups = rels.collect {
+      case (rel, a, _) if rel == RiverRel.ASideChannelB => a
+    }.toSet
+    (e, GroupBundle(metas, byKey, levels, sideChannelGroups), rels, edgesByG)
+  }
+
+  /** @param tagGrouped (src, dst, tag nullable, tag_group_nid)
+    * @param lens (src, dst, len)
+    * @param flows (src, dst, flow_m) — per-edge upstream
+    * @param nodes (nid, lat, lon)
+    * @return (gkey, feature) one pre-serialized Feature per tag group,
+    *         minus groups dropped by `minLengthM`
+    */
+  def groupedWaterwayFeatures(
+      tagGrouped: DataFrame,
+      lens: DataFrame,
+      flows: DataFrame,
+      nodes: DataFrame,
+      minLengthM: Option[Double] = None): DataFrame = {
+    val spark = tagGrouped.sparkSession
+    import spark.implicits._
+    val (e, bundle, rels, edgesByG) = groupBundle(tagGrouped, lens, flows, nodes)
+    val metas = bundle.metas
+    val byKey = bundle.byKey
+    val levels = bundle.levels
+    val n1 = nodes.select(col("nid").as("src"), col("lat").as("slat"), col("lon").as("slon"))
+    val n2 = nodes.select(col("nid").as("dst"), col("lat").as("dlat"), col("lon").as("dlon"))
+
     def rel(relName: String): Seq[(String, String)] =
       rels.toSeq.collect { case (`relName`, a, b) => (a, b) }
     def sortedPeers(pairs: Seq[String]): Seq[GMeta] =
@@ -122,20 +172,6 @@ object WaterwayFeatures {
       (rel(RiverRel.ATributaryB) ++ rel(RiverRel.ABranchingDistributaryB) ++
         rel(RiverRel.ATerminalDistributaryB)).groupBy(_._1)
         .view.mapValues(ps => sortedPeers(ps.map(_._2))).toMap
-
-    // stream levels (D14, tag_group.rs:468-536): roots = groups with
-    // sinks, BFS by confluence in-flow, upstream-desc child order
-    val groupFlows = for {
-      parent <- metas.toSeq
-      nid <- parent.confl
-      (child, _, d, _, _, _, _) <- edgesByG.values.flatten
-      if d == nid && child != parent.gkey
-    } yield (parent.gid, byKey(child).gid)
-    val levels = DownOps.streamLevels(
-      groupFlows.distinct,
-      metas.map(m => m.gid -> m.upstreamM).toMap,
-      metas.filter(_.sinks.nonEmpty).map(_.gid).toSeq)
-    val gidToMeta = metas.map(m => m.gid -> m).toMap
 
     // per-confluence JSON (down/main.rs:1937-1945 seg_to_distrib_json):
     // {lat, lon, nid, upstream_m} at the chosen endpoint of each
@@ -303,5 +339,90 @@ object WaterwayFeatures {
         }
       }
       .toDF("gkey", "feature")
+  }
+
+  /** Upstreams-file features (down/main.rs:1810-1860): one 2-point
+    * LineString per flow segment with `nids`, `from_upstream_m`,
+    * `to_upstream_m`, optional `from_upstream_m_<N>` multiples,
+    * `flow_tag_group` / `tag_group_value` / `stream_level*` from the
+    * edge's tag group, and the assigned end's nid / upstream / tags.
+    * Keys in serde alphabetical order.
+    *
+    * @param e (gkey, tag, src, dst, len, flow) from [[edgesWithMeta]]
+    * @param assignment (nid, end_nid)
+    * @param endMeta (end_nid, end_upstream_m, tag_<key>…)
+    */
+  def upstreamFeatures(
+      e: DataFrame,
+      assignment: DataFrame,
+      endMeta: DataFrame,
+      nodes: DataFrame,
+      bundle: GroupBundle,
+      endTagKeys: Seq[String],
+      minUpstreamM: Option[Double] = None,
+      fromUpstreamMultiples: Seq[Double] = Nil): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // dense flow_tag_group id per distinct tag value (reference: tagid)
+    val tagIds = bundle.metas.flatMap(_.tag).distinct.sorted.zipWithIndex.toMap
+    val info = bundle.metas.map { m =>
+      m.gkey -> (m.tag, bundle.levels.get(m.gid))
+    }.toMap
+    val bInfo = spark.sparkContext.broadcast((tagIds, info))
+    val n1 = nodes.select(col("nid").as("src"), col("lat").as("slat"), col("lon").as("slon"))
+    val n2 = nodes.select(col("nid").as("dst"), col("lat").as("dlat"), col("lon").as("dlon"))
+    val tagCols = endTagKeys.map(k => s"tag_$k")
+    val meta = endMeta.select(
+      (col("end_nid") +: col("end_upstream_m").cast("double") +:
+        tagCols.map(col)): _*)
+    val base = e
+      .filter(minUpstreamM
+        .map(m => col("flow") >= m || (col("flow") + col("len")) >= m)
+        .getOrElse(lit(true)))
+      .join(assignment.select(col("nid").as("dst"), col("end_nid")), Seq("dst"), "left")
+      .join(meta, Seq("end_nid"), "left")
+      .join(n1, Seq("src")).join(n2, Seq("dst"))
+    base.select((Seq(col("gkey"), col("src"), col("dst"), col("flow"),
+        col("len"), col("slat"), col("slon"), col("dlat"), col("dlon"),
+        col("end_nid"), col("end_upstream_m")) ++ tagCols.map(col)): _*)
+      .map { r =>
+        val (tagIdsV, infoV) = bInfo.value
+        val gkey = r.getString(0)
+        val (src, dst) = (r.getLong(1), r.getLong(2))
+        val (flow, len) = (r.getDouble(3), r.getDouble(4))
+        val to = flow + len
+        val (tag, lvl) = infoV.getOrElse(gkey, (None, None))
+        val props = Seq(
+          "nids" -> GeoJson.jsonStr(s"$src,$dst"),
+          "from_upstream_m" -> num(flow, 1),
+          "to_upstream_m" -> num(to, 1),
+          "flow_tag_group" ->
+            tag.flatMap(tagIdsV.get).map(_.toString).getOrElse("null"),
+          "tag_group_value" -> tag.map(GeoJson.jsonStr).getOrElse("null"),
+          "stream_level" -> lvl.map(_._1.toString).getOrElse("null"),
+          "stream_level_code" ->
+            lvl.map(_._2.mkString("[", ",", "]")).getOrElse("null"),
+          "stream_level_code_str" -> lvl
+            .map(l => GeoJson.jsonStr(DownOps.streamLevelCodeStr(l._2)))
+            .getOrElse("null"),
+          "end_nid" ->
+            (if (r.isNullAt(9)) "null" else r.getLong(9).toString),
+          "end_upstream_m" ->
+            (if (r.isNullAt(10)) "null" else num(r.getDouble(10), 1))) ++
+          // key uses Rust Display of the multiple ("100", not "100.0");
+          // value is the rounded multiple, serde-serialized
+          fromUpstreamMultiples.map(m =>
+            s"from_upstream_m_${graft.outputs.Writers.rustNum(m)}"
+              -> GeoJson.numJson(Geo.roundMult(flow, m))) ++
+          endTagKeys.zipWithIndex.collect {
+            case (k, i) if !r.isNullAt(11 + i) =>
+              s"end_tag:$k" -> GeoJson.jsonStr(r.getString(11 + i))
+          }
+        val coords = Seq((r.getDouble(6), r.getDouble(5)),
+          (r.getDouble(8), r.getDouble(7)))
+        (src, dst, flow,
+          GeoJson.feature(GeoJson.propsJson(props), GeoJson.lineString(coords)))
+      }
+      .toDF("src", "dst", "from_upstream_m", "feature")
   }
 }

@@ -63,6 +63,125 @@ object Extras {
       .toDF("comp", "src", "dst", "value", "value_fraction_max")
   }
 
+  /** D17 — longest source→mouth FEATURES
+    * (/root/reference/src/bin/osm-lump-ways-down/longest_source_mouth.rs:
+    * 209-315): per mouth, the longest upstream path is chunked into
+    * consecutive same-tag-group runs; each chunk becomes a LineString
+    * feature with `idx`/`revidx`/`num_parts`/`name` (default the
+    * reference's misspelled "unnnamed") and the `river_system_*` props.
+    * NOTE (bug-compatible): the reference labels path[0] — the furthest
+    * UPSTREAM node — `river_system_mouth_nid` and the path's last node
+    * `river_system_source_nid`; replicated as-is.
+    *
+    * @param edges (src, dst, len, tag nullable, gkey, follow: whether the
+    *              flood may use this edge — groups with a parent channel
+    *              and, under only-named, untagged groups are excluded;
+    *              gid: dense internal group id)
+    * @param nodeUp (nid, upstream_m) — gates mouths below `minLengthM`
+    * @return (mouth, dist_m, idx, feature)
+    */
+  def longestSourceMouthFeatures(
+      edges: DataFrame,
+      nodes: DataFrame,
+      nodeUp: DataFrame,
+      minLengthM: Double,
+      onlyNamed: Boolean,
+      unnamedString: String,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import graft.outputs.GeoJson
+    import graft.geo.Geo
+    val weak = ConnectedComponents.run(edges.select("src", "dst")).labels
+    val e = edges
+      .join(weak.withColumnRenamed("nid", "src"), Seq("src"))
+      .join(nodes.select(col("nid").as("src"), col("lat").as("slat"),
+        col("lon").as("slon")), Seq("src"))
+      .join(nodes.select(col("nid").as("dst"), col("lat").as("dlat"),
+        col("lon").as("dlon")), Seq("dst"))
+      .join(nodeUp.select(col("nid").as("dst"), col("upstream_m").as("dup")),
+        Seq("dst"), "left")
+      .select(col("comp"), col("src"), col("dst"), col("len"), col("tag"),
+        col("gkey"), col("follow"), col("gid"),
+        col("slat"), col("slon"), col("dlat"), col("dlon"),
+        coalesce(col("dup"), lit(0.0)).as("dup"))
+      .as[(Long, Long, Long, Double, Option[String], String, Boolean, Long,
+        Double, Double, Double, Double, Double)]
+    e.groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val es = rows.toSeq
+        val pos = (es.map(x => (x._2, (x._9, x._10))) ++
+          es.map(x => (x._3, (x._11, x._12)))).toMap
+        val upOf = es.map(x => (x._3, x._13)).toMap
+        val outs = es.groupBy(_._2)
+        val allNids = (es.map(_._2) ++ es.map(_._3)).distinct
+        val mouths = allNids.filter { n =>
+          val o = outs.getOrElse(n, Nil)
+          o.isEmpty || (onlyNamed && o.forall(_._5.isEmpty))
+        }.filter(n => upOf.getOrElse(n, 0.0) >= minLengthM).sorted
+        val radj = es.filter(_._7).groupBy(_._3).view
+          .mapValues(_.map(x => (x._2, x._4)).sortBy(y => (y._2, y._1))).toMap
+        val edgeInfo = es.map(x => ((x._2, x._3), (x._4, x._5, x._6, x._8))).toMap
+        mouths.iterator.flatMap { mouth =>
+          val (dist, parent) = Local.dijkstra(radj, mouth)
+          if (dist.size <= 1) Iterator.empty
+          else {
+            val (source, d) = dist.maxBy { case (n, dd) => (dd, -n) }
+            if (d < minLengthM || source == mouth) Iterator.empty
+            else {
+              val path = Local.pathTo(parent, mouth, source)
+                .map(_.reverse).getOrElse(Seq(source, mouth))
+              // chunk consecutive same-group runs (rs:208-232)
+              val segs = path.sliding(2).map { case Seq(a, b) =>
+                (a, b, edgeInfo((a, b)))
+              }.toSeq
+              val chunks = scala.collection.mutable.ArrayBuffer
+                .empty[(String, Option[String], Long, Seq[Long], Double)]
+              for ((a, b, (len, tag, gkey, gid)) <- segs) {
+                if (chunks.nonEmpty && chunks.last._1 == gkey) {
+                  val c = chunks.last
+                  chunks(chunks.length - 1) =
+                    (c._1, c._2, c._3, c._4 :+ b, c._5 + len)
+                } else chunks += ((gkey, tag, gid, Seq(a, b), len))
+              }
+              val numParts = chunks.length
+              val names = chunks.map(c => c._2.getOrElse(unnamedString))
+              val allNames = names.reverse
+              val totalLen = chunks.map(_._5).sum
+              val mouthNid = path.head   // sic — reference's labelling
+              val sourceNid = path.last
+              val allGids = chunks.map(_._3).reverse
+              chunks.iterator.zipWithIndex.map { case ((_, tag, gid, nids, len), idx) =>
+                val props = Seq(
+                  "idx" -> idx.toString,
+                  "revidx" -> (numParts - idx - 1).toString,
+                  "num_parts" -> numParts.toString,
+                  "internal_groupid" -> gid.toString,
+                  "name" -> GeoJson.jsonStr(tag.getOrElse(unnamedString)),
+                  "length_m" -> GeoJson.numJson(Geo.roundHalfAway(len, 1)),
+                  "river_system_length_m" ->
+                    GeoJson.numJson(Geo.roundHalfAway(totalLen, 1)),
+                  "river_system_names" ->
+                    allNames.map(GeoJson.jsonStr).mkString("[", ",", "]"),
+                  "river_system_names_s" ->
+                    GeoJson.jsonStr(allNames.mkString(" - ")),
+                  "river_system_mouth_nid" -> mouthNid.toString,
+                  "river_system_source_nid" -> sourceNid.toString,
+                  "river_system_mouth_source_nids" -> s"[$mouthNid,$sourceNid]",
+                  "river_system_mouth_source_nids_s" ->
+                    GeoJson.jsonStr(s"$mouthNid,$sourceNid"),
+                  "river_system_internal_groupids" ->
+                    allGids.mkString("[", ",", "]"))
+                val coords = nids.map(n => (pos(n)._2, pos(n)._1))
+                (mouth, d, idx,
+                  GeoJson.feature(GeoJson.propsJson(props), GeoJson.lineString(coords)))
+              }
+            }
+          }
+        }
+      }
+      .toDF("mouth", "dist_m", "idx", "feature")
+  }
+
   /** D17 — longest source→mouth per basin
     * (/root/reference/src/longest_source_mouth.rs:45-315): mouths = no-out
     * vertexes; per mouth, Dijkstra flood UPSTREAM (max over shortest-path

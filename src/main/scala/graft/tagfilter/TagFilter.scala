@@ -16,6 +16,27 @@ import scala.util.matching.Regex
   */
 sealed trait TagFilter {
 
+  /** The reference's `Display` rendering (tagfilter.rs:27-62) — used in
+    * output property keys (`is_in:<filter>`), so it must match exactly.
+    */
+  def display: String = this match {
+    case TagFilter.HasK(k)               => s"∃$k"
+    case TagFilter.HasReK(re)            => s"∃~${re.pattern.pattern}"
+    case TagFilter.HasKLeftRightBoth(k)  => s"∃(lrb)$k"
+    case TagFilter.NotHasKLeftRightBoth(k) => s"∄(lrb)$k"
+    case TagFilter.NotHasK(k)            => s"∄$k"
+    case TagFilter.NotHasReK(re)         => s"∄~${re.pattern.pattern}"
+    case TagFilter.KV(k, v)              => s"$k=$v"
+    case TagFilter.KneV(k, v)            => s"$k≠$v"
+    case TagFilter.KinV(k, vs)           => s"$k∈${vs.mkString(",")}"
+    case TagFilter.KnotInV(k, vs)        => s"$k∉${vs.mkString(",")}"
+    case TagFilter.HasKnotInV(k, vs)     => s"∃$k∉${vs.mkString(",")}"
+    case TagFilter.KreV(k, re)           => s"$k~${re.pattern.pattern}"
+    case TagFilter.Or(fs)                => fs.map(_.display).mkString("∨")
+    case TagFilter.And(fs)               => fs.map(_.display).mkString("∧")
+    case TagFilter.OSMObj(incl, t, id)   => s"${if (incl) "" else "¬"}$t$id"
+  }
+
   /** In-memory evaluation over a tag map (unit-test / local-algorithm
     * path; mirrors tagfilter.rs:72-109 `filter`).
     */

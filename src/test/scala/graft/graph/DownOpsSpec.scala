@@ -224,6 +224,33 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lines == Seq(Seq(1L, 2L, 3L), Seq(0L, 1L)), lines)
   }
 
+  test("D17 longest-source-mouth features: chunking + river_system props") {
+    import graft.pipeline.Extras
+    val edges = Seq(
+      (1L, 2L, 100.0, Some("Amazon"), "Amazon#1", true, 1L),
+      (2L, 3L, 50.0, None: Option[String], "#2", true, 0L),
+      (3L, 4L, 200.0, Some("Sea"), "Sea#3", true, 2L))
+      .toDF("src", "dst", "len", "tag", "gkey", "follow", "gid")
+    val nodeUp = Seq((4L, 350.0)).toDF("nid", "upstream_m")
+    val f = Extras.longestSourceMouthFeatures(
+        edges, nodes, nodeUp, 0.0, onlyNamed = false, "unnnamed", spark)
+      .orderBy("idx").collect().map(_.getString(3))
+    assert(f.length == 3)
+    assert(f(0).contains(""""idx":0""") && f(0).contains(""""name":"Amazon""""))
+    assert(f(0).contains(""""revidx":2""") && f(0).contains(""""num_parts":3"""))
+    assert(f(0).contains(""""length_m":100.0"""))
+    assert(f(1).contains(""""name":"unnnamed"""")) // reference's default, sic
+    assert(f(0).contains(""""river_system_length_m":350.0"""))
+    assert(f(0).contains(
+      """"river_system_names":["Sea","unnnamed","Amazon"]"""), f(0))
+    assert(f(0).contains(""""river_system_names_s":"Sea - unnnamed - Amazon""""))
+    // bug-compatible labels: mouth_nid = path[0] (the upstream source)
+    assert(f(0).contains(""""river_system_mouth_nid":1"""))
+    assert(f(0).contains(""""river_system_source_nid":4"""))
+    assert(f(0).contains(""""river_system_mouth_source_nids":[1,4]"""))
+    assert(f(0).contains(""""river_system_internal_groupids":[2,0,1]"""))
+  }
+
   test("D13 classification: pure rules match the reference tables") {
     import RiverRel._
     def gi(len: Double, tagged: Boolean = true, sinksEmpty: Boolean = false,

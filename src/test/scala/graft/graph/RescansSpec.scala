@@ -60,16 +60,22 @@ class RescansSpec extends AnyFunSuite with SparkTestBase {
     val ends = Seq((100L, 1234.56), (200L, 0.4)).toDF("nid", "upstream_m")
     val nodes = Seq((100L, 10.5, -3.25), (200L, 0.0, 0.0)).toDF("nid", "lat", "lon")
     val membership = Seq((100L, true, 1L, "a;b")).toDF("nid", "is_in_0", "is_in_count", "tag_name")
-    val feats = DownOps.endsGeoJson(ends, nodes, membership, Some(1.0))
+    val feats = DownOps.endsGeoJson(ends, nodes, membership, Some(1.0),
+        Seq(TagFilter.unsafeParse("canal=yes")), Seq("name"))
       .collect().map(_.getString(0))
     assert(feats.length == 1) // 0.4 gated by min-upstream
     val f = feats.head
     assert(f.contains(""""upstream_m":1234.6"""))
     assert(f.contains(""""nid":100"""))
-    assert(f.contains(""""is_in:0":true"""))
-    assert(f.contains(""""is_in_count":"1""""))
+    // reference Display key + numeric count (down/main.rs:1078-1082)
+    assert(f.contains(""""is_in:canal=yes":true"""), f)
+    assert(f.contains(""""is_in_count":1"""), f)
     assert(f.contains(""""tag:name":"a;b""""))
     assert(f.contains(""""coordinates":[-3.250000, 10.500000]"""))
     assert(f.endsWith(""""type":"Feature"}"""))
+    // serde_json alphabetical key order
+    val propsPart = f.stripPrefix("""{"properties":{""").takeWhile(_ != '}')
+    val keys = """"([a-z_:=]+)":""".r.findAllMatchIn(propsPart).map(_.group(1)).toSeq
+    assert(keys == keys.sorted, keys)
   }
 }
