@@ -40,23 +40,22 @@ object LumpWaysMain {
           val t0 = System.nanoTime()
           val cfg = args.config.copy(onlyNodeids = args.onlyTheseWayGroupsNodeid)
           val feats = LumpWays.features(ways, nodes, cfg, spark)
-          val lines = LumpWays.toGeoJsonSeq(feats)
+          // serialize per-row on executors, stream through toLocalIterator
+          // — no full-result collect() anywhere on the sink path
+          val lines = LumpWays.featureJson(feats).localCheckpoint(true)
+          val nFeatures = lines.count()
           fmt match {
             case Cli.GeoJsonSeq =>
-              Writers.writeLines(lines.iterator, args.outputFilename, args.overwrite)
+              Writers.writeGeoJsonSeq(lines, args.outputFilename, args.overwrite)
             case Cli.GeoJson =>
-              // strip the Seq framing, wrap as FeatureCollection
-              Writers.writeLines(
-                GeoJson.featureCollection(
-                  lines.iterator.map(_.stripPrefix("\u001e").stripSuffix("\n"))),
-                args.outputFilename, args.overwrite)
+              Writers.writeGeoJson(lines, args.outputFilename, args.overwrite)
             case Cli.Csv =>
               System.err.println("error: csv output not supported for way groups")
               sys.exit(2)
           }
           val secs = (System.nanoTime() - t0) / 1e9
           val nWays = ways.count()
-          println(f"[lump-ways] wrote ${lines.length} features to ${args.outputFilename} " +
+          println(f"[lump-ways] wrote $nFeatures features to ${args.outputFilename} " +
             f"($nWays ways in $secs%.1f s, ${nWays / secs}%.0f ways/sec)")
         } finally spark.stop()
     }

@@ -235,37 +235,50 @@ object LumpWays {
     withRanks.join(geoms, Seq("comp"))
   }
 
-  /** Serialize features to GeoJSONSeq strings, ordered length-desc
-    * (main.rs:661,742 — output ordering is part of parity).
+  /** Per-row feature serialization — runs ON EXECUTORS (the round-1 CLI
+    * collected every feature to the driver first). Returns a
+    * single-column frame of feature JSON ordered length-desc
+    * (main.rs:661,742 — output ordering is part of parity); stream it
+    * through `Writers.writeGeoJsonSeq`'s bounded `toLocalIterator`.
     */
-  def toGeoJsonSeq(features: DataFrame): Seq[String] = {
-    val rows = features
+  def featureJson(features: DataFrame): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features
       .orderBy(col("length_m").desc, col("comp").asc)
-      .collect()
-    rows.toSeq.map { r =>
-      val lengthM = r.getAs[Double]("length_m")
-      val grp = r.getAs[collection.Seq[String]]("grp")
-      val props = new StringBuilder("{")
-      props.append("\"root_nodeid\":").append(r.getAs[Long]("root_nodeid"))
-      props.append(",\"root_nodeid_120\":").append(r.getAs[Long]("root_nodeid") % 120)
-      props.append(",\"length_m\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM, 1)))
-      props.append(",\"length_m_int\":").append(math.round(lengthM))
-      props.append(",\"length_km\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM / 1000.0, 2)))
-      props.append(",\"length_km_int\":").append(math.round(lengthM / 1000.0))
-      grp.zipWithIndex.foreach { case (g, i) =>
-        props.append(s""","tag_group_$i":${if (g == null) "null" else GeoJson.jsonStr(g)}""")
-      }
-      props.append(",\"num_nodes\":").append(r.getAs[Long]("num_nodes"))
-      props.append(",\"length_desc_rank\":").append(r.getAs[Long]("length_desc_rank"))
-      props.append(",\"length_m_fraction_total\":")
-        .append(GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")))
-      props.append("}")
-      val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
-        .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq).toSeq
-      val geom =
-        if (coords.length == 1) GeoJson.lineString(coords.head)
-        else GeoJson.multiLineString(coords)
-      GeoJson.seqFrame(GeoJson.feature(props.toString, geom))
-    }
+      .map(serializeFeature)
+      .toDF("feature")
   }
+
+  private def serializeFeature(r: org.apache.spark.sql.Row): String = {
+    val lengthM = r.getAs[Double]("length_m")
+    val grp = r.getAs[collection.Seq[String]]("grp")
+    val props = new StringBuilder("{")
+    props.append("\"root_nodeid\":").append(r.getAs[Long]("root_nodeid"))
+    props.append(",\"root_nodeid_120\":").append(r.getAs[Long]("root_nodeid") % 120)
+    props.append(",\"length_m\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM, 1)))
+    props.append(",\"length_m_int\":").append(math.round(lengthM))
+    props.append(",\"length_km\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM / 1000.0, 2)))
+    props.append(",\"length_km_int\":").append(math.round(lengthM / 1000.0))
+    grp.zipWithIndex.foreach { case (g, i) =>
+      props.append(s""","tag_group_$i":${if (g == null) "null" else GeoJson.jsonStr(g)}""")
+    }
+    props.append(",\"num_nodes\":").append(r.getAs[Long]("num_nodes"))
+    props.append(",\"length_desc_rank\":").append(r.getAs[Long]("length_desc_rank"))
+    props.append(",\"length_m_fraction_total\":")
+      .append(GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")))
+    props.append("}")
+    val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
+      .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq).toSeq
+    val geom =
+      if (coords.length == 1) GeoJson.lineString(coords.head)
+      else GeoJson.multiLineString(coords)
+    GeoJson.feature(props.toString, geom)
+  }
+
+  /** Collected GeoJSONSeq strings (test/fixture convenience; the CLI
+    * streams [[featureJson]] instead).
+    */
+  def toGeoJsonSeq(features: DataFrame): Seq[String] =
+    featureJson(features).collect().map(r => GeoJson.seqFrame(r.getString(0))).toSeq
 }
