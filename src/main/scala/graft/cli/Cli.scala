@@ -28,7 +28,9 @@ object Cli {
       config: LumpWays.Config = LumpWays.Config(),
       outputFrames: Option[String] = None,
       framesGroupMinLengthM: Option[Double] = None,
-      betweenness: Boolean = false,
+      betweennessOutput: Option[String] = None,
+      betweennessMinValue: Double = 1.0,   // cli_args.rs:227-233 default 1
+      betweennessMinFraction: Double = 0.0,
       betweennessMaxNodes: Long = 2000,
       saveAsLinestrings: Boolean = false,
       inclWayIds: Boolean = false,
@@ -79,7 +81,11 @@ object Cli {
             a = a.copy(outputFrames = Some(next()))
           case "--frames-group-min-length-m" =>
             a = a.copy(framesGroupMinLengthM = Some(next().toDouble))
-          case "--betweenness" => a = a.copy(betweenness = true)
+          case "--betweenness-output" => a = a.copy(betweennessOutput = Some(next()))
+          case "--betweenness-min-value" =>
+            a = a.copy(betweennessMinValue = next().toDouble)
+          case "--betweenness-min-fraction" =>
+            a = a.copy(betweennessMinFraction = next().toDouble)
           case "--betweenness-max-nodes" =>
             parseIntHuman(next()).fold(e => return Left(e),
               n => a = a.copy(betweennessMaxNodes = n))
@@ -88,6 +94,12 @@ object Cli {
           case "--only-these-way-groups-nodeid" =>
             a = a.copy(
               onlyTheseWayGroupsNodeid = a.onlyTheseWayGroupsNodeid :+ next().toLong)
+          case "--split-into-single-paths" =>
+            a = a.copy(config = a.config.copy(splitIntoSinglePaths = true))
+          case "--only-longest-n-splitted-paths" =>
+            parseIntHuman(next()).fold(e => return Left(e),
+              n => a = a.copy(config =
+                a.config.copy(onlyLongestNSplittedPaths = Some(n.toInt))))
           case flag if lumpInertFlags.contains(flag) =>
             // reference parses these; some it asserts empty (main.rs:520-521,
             // :706, :735) — record and (like the reference) reject use

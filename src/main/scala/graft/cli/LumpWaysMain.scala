@@ -53,11 +53,69 @@ object LumpWaysMain {
               System.err.println("error: csv output not supported for way groups")
               sys.exit(2)
           }
+          // P8: betweenness output with the reference's pre-pass +
+          // min-value/min-fraction cutoffs (main.rs:987-1156)
+          args.betweennessOutput.foreach { path =>
+            val filtered = ways.filter(graft.tagfilter.TagFilterCompiler
+              .passFilters(cfg.tagFilters, cfg.tagFilterFunc,
+                org.apache.spark.sql.functions.col("tags")))
+            val edges = filtered
+              .selectExpr("posexplode(nids) AS (i, u)", "nids")
+              .where("i < size(nids) - 1")
+              .selectExpr("LEAST(u, nids[i + 1]) AS src",
+                "GREATEST(u, nids[i + 1]) AS dst")
+              .where("src <> dst").distinct()
+            val b = graft.pipeline.Extras.betweenness(
+              edges, nodes, spark, args.betweennessMaxNodes.toInt,
+              args.betweennessMinValue, args.betweennessMinFraction)
+            val feats = betweennessFeatures(b, nodes, spark)
+            (Cli.formatOf(path) match {
+              case Right(Cli.GeoJsonSeq) =>
+                Writers.writeGeoJsonSeq(feats, path, args.overwrite)
+              case _ => Writers.writeGeoJson(feats, path, args.overwrite)
+            })
+          }
           val secs = (System.nanoTime() - t0) / 1e9
           val nWays = ways.count()
           println(f"[lump-ways] wrote $nFeatures features to ${args.outputFilename} " +
             f"($nWays ways in $secs%.1f s, ${nWays / secs}%.0f ways/sec)")
         } finally spark.stop()
     }
+  }
+
+  /** One LineString feature per scored edge, props in serde-alphabetical
+    * order (main.rs:1134-1141: betweenness_value, max_betweenness_value,
+    * betweenness_fraction, betweenness_fraction_max, 6 dp fractions).
+    */
+  private def betweennessFeatures(
+      b: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame,
+      spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val maxV = b.agg(max("value")).head() match {
+      case r if r.isNullAt(0) => 1.0
+      case r => math.max(r.getDouble(0), 1e-12)
+    }
+    b.join(nodes.select(col("nid").as("src"), col("lat").as("slat"),
+        col("lon").as("slon")), Seq("src"))
+      .join(nodes.select(col("nid").as("dst"), col("lat").as("dlat"),
+        col("lon").as("dlon")), Seq("dst"))
+      .orderBy("comp", "src", "dst")
+      .map { r =>
+        val v = r.getAs[Double]("value")
+        val props = Seq(
+          "betweenness_value" -> GeoJson.numJson(v),
+          "max_betweenness_value" -> GeoJson.numJson(maxV),
+          "betweenness_fraction" ->
+            GeoJson.numJson(graft.geo.Geo.roundHalfAway(r.getAs[Double]("value_fraction"), 6)),
+          "betweenness_fraction_max" ->
+            GeoJson.numJson(graft.geo.Geo.roundHalfAway(r.getAs[Double]("value_fraction_max"), 6)))
+        GeoJson.feature(GeoJson.propsJson(props),
+          GeoJson.lineString(Seq(
+            (r.getAs[Double]("slon"), r.getAs[Double]("slat")),
+            (r.getAs[Double]("dlon"), r.getAs[Double]("dlat")))))
+      }
+      .toDF("feature")
   }
 }

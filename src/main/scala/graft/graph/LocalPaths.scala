@@ -175,6 +175,16 @@ object LocalPaths {
     val adj = havAdjacency(edges, pos)
     val verts = adj.keys.toSeq.sorted
     val samples = farthestPointSample(verts, pos, math.min(maxSamples, verts.length))
+    betweennessWeighted(adj, samples)
+  }
+
+  /** Brandes over an explicit weighted adjacency and sample set — the
+    * pre-pass (spike removal + compression, main.rs:1056-1096) hands in a
+    * reduced graph whose edge weights are chain lengths.
+    */
+  def betweennessWeighted(
+      adj: Map[Long, Seq[(Long, Double)]],
+      samples: Seq[Long]): Map[(Long, Long), Double] = {
     val score = mutable.HashMap.empty[(Long, Long), Double].withDefaultValue(0.0)
 
     for (s <- samples) {

@@ -38,14 +38,22 @@ object Extras {
       .toDF("comp", "line_idx", "line")
   }
 
-  /** P8 — betweenness per component:
-    * (comp, src, dst, value, value_fraction_max) with the reference's
-    * min-fraction cutoff semantics applied by the caller.
+  /** P8 — betweenness per component with the reference's pre-pass
+    * (main.rs:1056-1096): sample ≤ `maxSamples` vertexes, remove spikes
+    * and compress degree-2 chains PRESERVING the samples, run Brandes on
+    * the reduced graph (edge weight = chain length), then apply the
+    * `--betweenness-min-value` / `--betweenness-min-fraction` cutoffs
+    * (main.rs:1123-1133). Emits per reduced edge:
+    * (comp, src, dst, value, value_fraction = v/max value,
+    *  value_fraction_max = v/(n·(n−1)/2)).
     */
   def betweenness(
       edges: DataFrame, nodes: DataFrame, spark: SparkSession,
-      maxSamples: Int = 2000): DataFrame = {
+      maxSamples: Int = 2000,
+      minValue: Double = 0.0,
+      minFraction: Double = 0.0): DataFrame = {
     import spark.implicits._
+    import graft.geo.Geo
     labelled(edges, nodes)
       .select("comp", "src", "dst", "lat1", "lon1", "lat2", "lon2")
       .as[(Long, Long, Long, Double, Double, Double, Double)]
@@ -54,13 +62,35 @@ object Extras {
         val es = rows.toSeq
         val pos: LocalPaths.Pos =
           (es.map(e => e._2 -> (e._4, e._5)) ++ es.map(e => e._3 -> (e._6, e._7))).toMap
-        val b = LocalPaths.betweenness(es.map(e => (e._2, e._3)), pos, maxSamples)
+        val verts = (es.map(_._2) ++ es.map(_._3)).distinct.sorted
+        val samples = LocalPaths.farthestPointSample(
+          verts, pos, math.min(maxSamples, verts.length))
+        val keep = samples.toSet
+        // pre-pass: spikes off, degree-2 chains compressed — samples pinned
+        val despiked = Local.removeSpikes(es.map(e => (e._2, e._3)), keep.contains)
+        val compressed = Local.compress(
+          despiked.map { case (a, b) => (a, b, Seq.empty[Long]) }, keep.contains)
+        val adj = compressed
+          .flatMap { case (a, b, inter) =>
+            val chain = a +: inter :+ b
+            val w = chain.sliding(2).map { case Seq(x, y) =>
+              Geo.haversineM(pos(x)._1, pos(x)._2, pos(y)._1, pos(y)._2)
+            }.sum
+            Seq(a -> (b, w), b -> (a, w))
+          }
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).sortBy(x => (x._2, x._1))).toMap
+        val b = LocalPaths.betweennessWeighted(adj, samples.filter(adj.contains))
         val maxV = if (b.isEmpty) 1.0 else math.max(b.values.max, 1e-12)
-        b.toSeq.sortBy(_._1).map { case ((a, c), v) =>
-          (comp, a, c, v, v / maxV)
-        }
+        val maxPossible =
+          math.max(samples.length.toLong * (samples.length - 1) / 2.0, 1.0)
+        b.toSeq.sortBy(_._1)
+          .filter { case (_, v) => v >= minValue && v / maxV >= minFraction }
+          .map { case ((a, c), v) =>
+            (comp, a, c, v, v / maxV, v / maxPossible)
+          }
       }
-      .toDF("comp", "src", "dst", "value", "value_fraction_max")
+      .toDF("comp", "src", "dst", "value", "value_fraction", "value_fraction_max")
   }
 
   /** D17 — longest source→mouth FEATURES

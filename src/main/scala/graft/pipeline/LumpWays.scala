@@ -61,7 +61,9 @@ object LumpWays {
       minLength: Option[MinLengthFilter] = None,
       maxLengthM: Option[Double] = None,
       topN: Option[Int] = None,
-      onlyNodeids: Seq[Long] = Nil) // C6 --only-these-way-groups-nodeid
+      onlyNodeids: Seq[Long] = Nil, // C6 --only-these-way-groups-nodeid
+      splitIntoSinglePaths: Boolean = false, // P2 (as-crow-flies only)
+      onlyLongestNSplittedPaths: Option[Int] = None)
 
   /** Composite (group id, node id) packed into one Long for the CC key —
     * group graphs are independent (SURVEY C1: a node can sit in different
@@ -196,7 +198,7 @@ object LumpWays {
         col("lat"), col("lon"))
       .as[(Long, Long, Long, Int, Long, Double, Double)]
       .groupByKey(_._1)
-      .mapGroups { (comp, rows) =>
+      .flatMapGroups { (comp, rows) =>
         val byEdge = rows.toSeq.groupBy(r => (r._2, r._3))
         val edges = byEdge.toSeq.map { case ((s, d), pts) =>
           val ordered = pts.sortBy(_._4)
@@ -217,7 +219,14 @@ object LumpWays {
         // num_nodes = vertex count AFTER degree-2 compression
         // (main.rs:611-632 runs before json_props at :652)
         val numNodes = compressed.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
-        val walks = Local.peelLines(compressed.map(e => (e._1, e._2)))
+        // P2: as-crow-flies single paths (main.rs:761-770, discovery
+        // order, `.take(N)`); default: random peel (P1)
+        val walks =
+          if (cfg.splitIntoSinglePaths)
+            graft.graph.LocalPaths
+              .linesAsCrowFlies(compressed.map(e => (e._1, e._2)), pos)
+              .take(cfg.onlyLongestNSplittedPaths.getOrElse(Int.MaxValue))
+          else Local.peelLines(compressed.map(e => (e._1, e._2)))
         val expanded = walks.map { walk =>
           walk.head +: walk.sliding(2).flatMap {
             case Seq(a, b) =>
@@ -228,9 +237,15 @@ object LumpWays {
         }
         val coords = expanded.map(_.map(n =>
           (pos(n)._2, pos(n)._1))) // (lon, lat) GeoJSON order
-        (comp, expanded, coords, numNodes)
+        if (cfg.splitIntoSinglePaths)
+          // one row per path — each serializes to its own feature with
+          // dist_ends props (main.rs:788-797)
+          expanded.indices.iterator.map { i =>
+            (comp, Seq(expanded(i)), Seq(coords(i)), numNodes, i)
+          }
+        else Iterator((comp, expanded, coords, numNodes, -1))
       }
-      .toDF("comp", "lines", "coords", "num_nodes")
+      .toDF("comp", "lines", "coords", "num_nodes", "path_idx")
 
     withRanks.join(geoms, Seq("comp"))
   }
@@ -267,9 +282,18 @@ object LumpWays {
     props.append(",\"length_desc_rank\":").append(r.getAs[Long]("length_desc_rank"))
     props.append(",\"length_m_fraction_total\":")
       .append(GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")))
-    props.append("}")
     val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
       .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq).toSeq
+    // P2 split mode: per-path dist_ends props (main.rs:788-797)
+    if (r.getAs[Int]("path_idx") >= 0 && coords.nonEmpty && coords.head.nonEmpty) {
+      val c = coords.head
+      val distEnds = Geo.haversineM(c.head._2, c.head._1, c.last._2, c.last._1)
+      props.append(",\"dist_ends_m\":").append(GeoJson.numJson(distEnds))
+      props.append(",\"dist_ends_m_int\":").append(math.round(distEnds))
+      props.append(",\"dist_ends_km\":").append(GeoJson.numJson(distEnds / 1000.0))
+      props.append(",\"dist_ends_km_int\":").append(math.round(distEnds / 1000.0))
+    }
+    props.append("}")
     val geom =
       if (coords.length == 1) GeoJson.lineString(coords.head)
       else GeoJson.multiLineString(coords)

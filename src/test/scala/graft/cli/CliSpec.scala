@@ -20,9 +20,12 @@ class CliSpec extends AnyFunSuite {
       "-g", "name,name:en",
       "--min-length-m", "50km",
       "--only-longest-n-per-file", "5k",
-      "--betweenness", "--betweenness-max-nodes", "100"))
+      "--betweenness-output", "b.geojsons", "--betweenness-max-nodes", "100",
+      "--betweenness-min-value", "2", "--betweenness-min-fraction", "0.1"))
     assert(a.inputFilename == "/in" && a.outputFilename == "out.geojsons")
-    assert(a.overwrite && a.betweenness && a.betweennessMaxNodes == 100)
+    assert(a.overwrite && a.betweennessOutput.contains("b.geojsons"))
+    assert(a.betweennessMaxNodes == 100 && a.betweennessMinValue == 2.0)
+    assert(a.betweennessMinFraction == 0.1)
     assert(a.config.tagFilters == Seq(
       TagFilter.KV("waterway", "river"), TagFilter.NotHasK("tunnel")))
     assert(a.config.groupKeys == Seq(Seq("name", "name:en")))

@@ -110,6 +110,31 @@ class LumpWaysSpec extends AnyFunSuite with SparkTestBase {
     assert(LumpWays.features(ways, nodes, cfgDrop, spark).count() == 2)
   }
 
+  test("P2 split-into-single-paths: per-path features with dist_ends props") {
+    // Y shape: 1-2-3-4 plus branch 3-21 → as-crow-flies yields the 1..4
+    // main path first, the branch as a second path
+    val waysY = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Map("name" -> "A"), ts),
+      (2L, Seq(3L, 21L), Map("name" -> "A"), ts))
+      .toDF("wid", "nids", "tags", "ts")
+    val cfg = Config(groupKeys = Seq(Seq("name")), splitIntoSinglePaths = true)
+    val f = LumpWays.features(waysY, nodes, cfg, spark)
+      .orderBy("path_idx").collect()
+    assert(f.length == 2)
+    assert(f(0).getAs[Int]("path_idx") == 0 && f(1).getAs[Int]("path_idx") == 1)
+    // first path = farthest pair 1..4 (expanded through 2, 3)
+    assert(f(0).getAs[collection.Seq[collection.Seq[Long]]]("lines")
+      == Seq(Seq(1L, 2L, 3L, 4L)))
+    val json = LumpWays.toGeoJsonSeq(
+      LumpWays.features(waysY, nodes, cfg, spark))
+    assert(json.length == 2)
+    assert(json.head.contains(""""dist_ends_m":"""), json.head)
+    assert(json.head.contains(""""dist_ends_km_int":0"""))
+    // truncation keeps only the first (discovery-order) path
+    val cfg1 = cfg.copy(onlyLongestNSplittedPaths = Some(1))
+    assert(LumpWays.features(waysY, nodes, cfg1, spark).count() == 1)
+  }
+
   test("same node in different group components (SURVEY C1)") {
     // node 3 shared between group A way and group C way → distinct comps
     val ways2 = Seq(
