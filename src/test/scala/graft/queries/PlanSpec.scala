@@ -46,6 +46,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
   }
 
+  test("q15/q42: no single-partition window stage anywhere (Ranks)") {
+    // Un-partitioned Window.orderBy moves ALL rows to one partition —
+    // round-1's OOM-at-scale anti-pattern. Two-phase Ranks must keep
+    // every Window partitioned.
+    for (q <- Seq("q15_rank_props", "q42_ends_ranked", "q16_min_length_pct")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val windows = "Window ".r.findAllMatchIn(p).size
+      // any Window operator present must have a partition spec; the plan
+      // string for an unpartitioned window omits "partitionBy"... assert
+      // via the physical marker Spark logs on: SinglePartition exchange
+      // feeding a Window
+      assert(!p.contains("Exchange SinglePartition\n+- Window") &&
+        !p.matches("(?s).*Exchange SinglePartition[^\\n]*\\n[^\\n]*Window.*"),
+        s"$q has a single-partition window stage:\n$p")
+    }
+  }
+
+  test("q50: ANN is bucket equi-joins, no cartesian") {
+    val p = plan("q50_ann_topk")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ANN join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in ANN join:\n$p")
+  }
+
   test("q01/q27: whole-stage codegen covers the hot path") {
     // AQE only shows codegen spans in the finalized plan — materialize first
     def finalPlan(name: String): String = {
