@@ -53,6 +53,18 @@ object LumpWaysMain {
               System.err.println("error: csv output not supported for way groups")
               sys.exit(2)
           }
+          // P6: frames output (main.rs:663-674; GeoJSONSeq only)
+          args.outputFrames.foreach { path =>
+            if (path == args.outputFilename) {
+              System.err.println(
+                s"error: Same value given for output filename & output-frames: $path")
+              sys.exit(2)
+            }
+            Writers.writeGeoJsonSeq(
+              LumpWays.framesFeatureJson(feats, args.framesGroupMinLengthM,
+                args.saveAsLinestrings),
+              path, args.overwrite)
+          }
           // P8: betweenness output with the reference's pre-pass +
           // min-value/min-fraction cutoffs (main.rs:987-1156)
           args.betweennessOutput.foreach { path =>

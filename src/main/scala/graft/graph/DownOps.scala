@@ -604,19 +604,12 @@ object DownOps {
         val ups = es.map(_._6)
         val srcs = es.map(_._3).distinct.filterNot(n => es.exists(_._4 == n))
         val sinks = es.map(_._4).distinct.filterNot(n => es.exists(_._3 == n))
-        // longest through-path: per source, Dijkstra shortest to each
-        // sink; take the global max (down/main.rs:2231-2263)
-        val adj = es.groupBy(_._3).view
-          .mapValues(_.map(e => (e._4, e._5)).sortBy(x => (x._2, x._1))).toMap
-        val through = (for {
-          s <- srcs
-          (dist, _) = Local.dijkstra(adj, s)
-          k <- sinks
-          d <- dist.get(k)
-        } yield d) match {
-          case Nil => 0.0
-          case ds  => ds.max
-        }
+        // longest through-path: max over (source, sink) of the shortest
+        // path (down/main.rs:2231-2263). One Dijkstra per endpoint on the
+        // SMALLER side (flooding reversed edges from sinks is equivalent
+        // by symmetry) — rivers typically have many sources, few mouths.
+        val through = throughPathLength(
+          es.map(e => (e._3, e._4, e._5)), srcs, sinks)
         (tag, gnid, es.length.toLong,
           Geo.roundHalfAway(cum, 1), Geo.roundHalfAway(through, 1),
           srcs.length.toLong, sinks.length.toLong,
@@ -627,6 +620,31 @@ object DownOps {
       .toDF("tag", "tag_group_nid", "n_edges", "cum_length_m", "length_m",
         "n_sources", "n_sinks", "min_upstream_m", "max_upstream_m",
         "mean_upstream_m")
+  }
+
+  /** Longest through-path = max over sources of the shortest distance to
+    * a sink. Floods from whichever side is smaller (reversed adjacency
+    * from sinks when |sinks| < |sources| — symmetric, same result).
+    */
+  def throughPathLength(
+      edges: Seq[(Long, Long, Double)],
+      srcs: Seq[Long], sinks: Seq[Long]): Double = {
+    val (starts, targets, adj) =
+      if (sinks.length < srcs.length)
+        (sinks, srcs, edges.groupBy(_._2).view
+          .mapValues(_.map(e => (e._1, e._3)).sortBy(x => (x._2, x._1))).toMap)
+      else
+        (srcs, sinks, edges.groupBy(_._1).view
+          .mapValues(_.map(e => (e._2, e._3)).sortBy(x => (x._2, x._1))).toMap)
+    val tgt = targets.toSet
+    (for {
+      s <- starts
+      (dist, _) = Local.dijkstra(adj, s)
+      (n, d) <- dist if tgt.contains(n)
+    } yield d) match {
+      case Nil => 0.0
+      case ds  => ds.max
+    }
   }
 
   /** D12 summary — per tag group: length, member/edge counts, sources,

@@ -312,16 +312,11 @@ object WaterwayFeatures {
           val lensMap = es.map(x => ((x._2, x._3), x._5)).toMap
           val ups = es.map(_._4)
           // through-path: max over sources of shortest dist to a sink
+          // (floods from the smaller endpoint side)
           val srcs = es.map(_._2).distinct.filterNot(n => es.exists(_._3 == n))
           val sinks = es.map(_._3).distinct.filterNot(n => es.exists(_._2 == n))
-          val adj = es.groupBy(_._2).view
-            .mapValues(_.map(x => (x._3, x._5)).sortBy(y => (y._2, y._1))).toMap
-          val through = (for {
-            s <- srcs
-            (dist, _) = Local.dijkstra(adj, s)
-            k <- sinks
-            d <- dist.get(k)
-          } yield d) match { case Nil => 0.0; case ds => ds.max }
+          val through = DownOps.throughPathLength(
+            es.map(x => (x._2, x._3, x._5)), srcs, sinks)
           if (minLen.exists(through < _)) Iterator.empty
           else {
             val stats = Seq(

@@ -265,7 +265,10 @@ object LumpWays {
       .toDF("feature")
   }
 
-  private def serializeFeature(r: org.apache.spark.sql.Row): String = {
+  /** The way-group props JSON (shared by the main features and the
+    * frames output, which carries `wg.json_props` — main.rs:926-931).
+    */
+  private def groupPropsJson(r: org.apache.spark.sql.Row): StringBuilder = {
     val lengthM = r.getAs[Double]("length_m")
     val grp = r.getAs[collection.Seq[String]]("grp")
     val props = new StringBuilder("{")
@@ -282,6 +285,11 @@ object LumpWays {
     props.append(",\"length_desc_rank\":").append(r.getAs[Long]("length_desc_rank"))
     props.append(",\"length_m_fraction_total\":")
       .append(GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")))
+    props
+  }
+
+  private def serializeFeature(r: org.apache.spark.sql.Row): String = {
+    val props = groupPropsJson(r)
     val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
       .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq).toSeq
     // P2 split mode: per-path dist_ends props (main.rs:788-797)
@@ -305,4 +313,43 @@ object LumpWays {
     */
   def toGeoJsonSeq(features: DataFrame): Seq[String] =
     featureJson(features).collect().map(r => GeoJson.seqFrame(r.getString(0))).toSeq
+
+  /** P6 CLI output — `--output-frames` (main.rs:871-975): per kept way
+    * group (length ≥ `--frames-group-min-length-m`), the frame lines as
+    * one MultiLineString feature carrying the GROUP's props (or one
+    * LineString feature per line under `--save-as-linestrings`).
+    * Executor-side like [[featureJson]].
+    */
+  def framesFeatureJson(
+      features: DataFrame,
+      minLengthM: Option[Double],
+      saveAsLinestrings: Boolean): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val base = minLengthM
+      .map(m => features.filter(col("length_m") >= m)).getOrElse(features)
+    base
+      .orderBy(col("length_m").desc, col("comp").asc)
+      .flatMap { r =>
+        val lines = r.getAs[collection.Seq[collection.Seq[Long]]]("lines")
+        val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
+        val pos: Map[Long, (Double, Double)] = lines.zip(coords).flatMap {
+          case (ns, cs) => ns.zip(cs).map { case (n, c) =>
+            n -> (c.getDouble(1), c.getDouble(0)) // (lat, lon)
+          }
+        }.toMap
+        val edges = lines.flatMap(_.sliding(2).collect {
+          case scala.collection.Seq(a, b) => (a, b)
+        }).toSeq
+        val frames = graft.graph.LocalPaths.frames(edges, pos)
+        val frameCoords = frames.map(_.map(n => (pos(n)._2, pos(n)._1)))
+        val props = groupPropsJson(r).append("}").toString
+        if (saveAsLinestrings)
+          frameCoords.iterator.map(c =>
+            GeoJson.feature(props, GeoJson.lineString(c)))
+        else
+          Iterator(GeoJson.feature(props, GeoJson.multiLineString(frameCoords)))
+      }
+      .toDF("feature")
+  }
 }
