@@ -19,10 +19,6 @@ object LumpWaysMain {
         System.err.println(s"error: $err")
         sys.exit(2)
       case Right(args) =>
-        val fmt = Cli.formatOf(args.outputFilename) match {
-          case Left(e)  => System.err.println(s"error: $e"); sys.exit(2); return
-          case Right(f) => f
-        }
         val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
         val spark = SparkSession.builder()
           .master(s"local[$cpus]")
@@ -34,65 +30,70 @@ object LumpWaysMain {
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        try {
-          val ways = spark.read.parquet(s"${args.inputFilename}/ways.parquet")
-          val nodes = spark.read.parquet(s"${args.inputFilename}/nodes.parquet")
-          val t0 = System.nanoTime()
-          val cfg = args.config.copy(onlyNodeids = args.onlyTheseWayGroupsNodeid)
-          val feats = LumpWays.features(ways, nodes, cfg, spark)
-          // serialize per-row on executors, stream through toLocalIterator
-          // — no full-result collect() anywhere on the sink path
-          val lines = LumpWays.featureJson(feats).localCheckpoint(true)
-          val nFeatures = lines.count()
-          fmt match {
-            case Cli.GeoJsonSeq =>
-              Writers.writeGeoJsonSeq(lines, args.outputFilename, args.overwrite)
-            case Cli.GeoJson =>
-              Writers.writeGeoJson(lines, args.outputFilename, args.overwrite)
-            case Cli.Csv =>
-              System.err.println("error: csv output not supported for way groups")
-              sys.exit(2)
-          }
-          // P6: frames output (main.rs:663-674; GeoJSONSeq only)
-          args.outputFrames.foreach { path =>
-            if (path == args.outputFilename) {
-              System.err.println(
-                s"error: Same value given for output filename & output-frames: $path")
-              sys.exit(2)
-            }
-            Writers.writeGeoJsonSeq(
-              LumpWays.framesFeatureJson(feats, args.framesGroupMinLengthM,
-                args.saveAsLinestrings),
-              path, args.overwrite)
-          }
-          // P8: betweenness output with the reference's pre-pass +
-          // min-value/min-fraction cutoffs (main.rs:987-1156)
-          args.betweennessOutput.foreach { path =>
-            val filtered = ways.filter(graft.tagfilter.TagFilterCompiler
-              .passFilters(cfg.tagFilters, cfg.tagFilterFunc,
-                org.apache.spark.sql.functions.col("tags")))
-            val edges = filtered
-              .selectExpr("posexplode(nids) AS (i, u)", "nids")
-              .where("i < size(nids) - 1")
-              .selectExpr("LEAST(u, nids[i + 1]) AS src",
-                "GREATEST(u, nids[i + 1]) AS dst")
-              .where("src <> dst").distinct()
-            val b = graft.pipeline.Extras.betweenness(
-              edges, nodes, spark, args.betweennessMaxNodes.toInt,
-              args.betweennessMinValue, args.betweennessMinFraction)
-            val feats = betweennessFeatures(b, nodes, spark)
-            (Cli.formatOf(path) match {
-              case Right(Cli.GeoJsonSeq) =>
-                Writers.writeGeoJsonSeq(feats, path, args.overwrite)
-              case _ => Writers.writeGeoJson(feats, path, args.overwrite)
-            })
-          }
-          val secs = (System.nanoTime() - t0) / 1e9
-          val nWays = ways.count()
-          println(f"[lump-ways] wrote $nFeatures features to ${args.outputFilename} " +
-            f"($nWays ways in $secs%.1f s, ${nWays / secs}%.0f ways/sec)")
-        } finally spark.stop()
+        try run(args, spark)
+        finally spark.stop()
     }
+  }
+
+  def run(args: Cli.LumpArgs, spark: SparkSession): Unit = {
+    val fmt = Cli.formatOf(args.outputFilename) match {
+      case Left(e)  => throw new IllegalArgumentException(e)
+      case Right(f) => f
+    }
+    val ways = spark.read.parquet(s"${args.inputFilename}/ways.parquet")
+    val nodes = spark.read.parquet(s"${args.inputFilename}/nodes.parquet")
+    val t0 = System.nanoTime()
+    val cfg = args.config.copy(onlyNodeids = args.onlyTheseWayGroupsNodeid)
+    val feats = LumpWays.features(ways, nodes, cfg, spark)
+    // serialize per-row on executors, stream through toLocalIterator
+    // — no full-result collect() anywhere on the sink path
+    val lines = LumpWays.featureJson(feats).localCheckpoint(true)
+    val nFeatures = lines.count()
+    fmt match {
+      case Cli.GeoJsonSeq =>
+        Writers.writeGeoJsonSeq(lines, args.outputFilename, args.overwrite)
+      case Cli.GeoJson =>
+        Writers.writeGeoJson(lines, args.outputFilename, args.overwrite)
+      case Cli.Csv =>
+        throw new IllegalArgumentException(
+          "csv output not supported for way groups")
+    }
+    // P6: frames output (main.rs:663-674; GeoJSONSeq only)
+    args.outputFrames.foreach { path =>
+      if (path == args.outputFilename)
+        throw new IllegalArgumentException(
+          s"Same value given for output filename & output-frames: $path")
+      Writers.writeGeoJsonSeq(
+        LumpWays.framesFeatureJson(feats, args.framesGroupMinLengthM,
+          args.saveAsLinestrings),
+        path, args.overwrite)
+    }
+    // P8: betweenness output with the reference's pre-pass +
+    // min-value/min-fraction cutoffs (main.rs:987-1156)
+    args.betweennessOutput.foreach { path =>
+      val filtered = ways.filter(graft.tagfilter.TagFilterCompiler
+        .passFilters(cfg.tagFilters, cfg.tagFilterFunc,
+          org.apache.spark.sql.functions.col("tags")))
+      val edges = filtered
+        .selectExpr("posexplode(nids) AS (i, u)", "nids")
+        .where("i < size(nids) - 1")
+        .selectExpr("LEAST(u, nids[i + 1]) AS src",
+          "GREATEST(u, nids[i + 1]) AS dst")
+        .where("src <> dst").distinct()
+      val b = graft.pipeline.Extras.betweenness(
+        edges, nodes, spark, args.betweennessMaxNodes.toInt,
+        args.betweennessMinValue, args.betweennessMinFraction)
+      val feats = betweennessFeatures(b, nodes, spark)
+      (Cli.formatOf(path) match {
+        case Right(Cli.GeoJsonSeq) =>
+          Writers.writeGeoJsonSeq(feats, path, args.overwrite)
+        case _ => Writers.writeGeoJson(feats, path, args.overwrite)
+      })
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nWays = ways.count()
+    println(f"[lump-ways] wrote $nFeatures features to ${args.outputFilename} " +
+      f"($nWays ways in $secs%.1f s, ${nWays / secs}%.0f ways/sec)")
   }
 
   /** One LineString feature per scored edge, props in serde-alphabetical
