@@ -38,11 +38,14 @@ object Cli {
       inert: Map[String, String] = Map.empty)
 
   private val lumpInertFlags = Set(
-    // parsed but no-op / asserted in the surveyed version (SURVEY §2.8)
+    // parsed but no-op / asserted in the surveyed version (SURVEY §2.8);
+    // --csv-stats-file/--openmetrics are parsed by the reference's own
+    // cli_args.rs:213-217 but never read in its main.rs — inert there too
     "--only-these-way-groups", "--only-these-way-groups-divmod",
     "--split-files-by-group", "--incl-dist-to-longer",
     "--max-sinuosity", "--only-longest-n-per-group",
-    "--min-dist-to-longer-m", "--split-into-single-paths-by")
+    "--min-dist-to-longer-m", "--split-into-single-paths-by",
+    "--csv-stats-file", "--openmetrics")
 
   def parseLump(argv: Seq[String]): Either[String, LumpArgs] = {
     var a = LumpArgs()

@@ -108,6 +108,8 @@ object LumpWaysDownMain {
         args.loopsOpenmetrics.nonEmpty) {
       val loopsDf = DownOps.loops(withLen.select("src", "dst"), nodes, Some(scc))
         .localCheckpoint(true)
+      val geom = DownOps.loopGeometry(withLen.select("src", "dst"), nodes, scc)
+        .localCheckpoint(true)
       val boundaries = boundaryPolygons(spark, dir)
       val loopAreas =
         if (boundaries.isEmpty)
@@ -119,13 +121,14 @@ object LumpWaysDownMain {
               org.apache.spark.sql.types.StructField("area",
                 org.apache.spark.sql.types.StringType))))
         else SpatialJoins.pipJoin(
-          loopsDf.select(col("scc").as("pid"), col("root_lat").as("plat"),
-            col("root_lon").as("plon")),
+          // geocode = first line's first coordinate (main.rs:573-576)
+          geom.select(col("scc").as("pid"), col("first_lat").as("plat"),
+            col("first_lon").as("plon")),
           boundaries, 6)
           .select(col("pid").as("scc"), col("area"))
       val feats = DownOps.loopFeatures(
         withLen.select("src", "dst"), nodes, scc, loopsDf, loopAreas,
-        inclNids = args.loopsInclNids)
+        inclNids = args.loopsInclNids, geomOpt = Some(geom))
         .localCheckpoint(true)
 
       args.loops.foreach { path =>

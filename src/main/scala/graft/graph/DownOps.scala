@@ -88,13 +88,15 @@ object DownOps {
     * @param loopAreas (scc, area) from a PIP join; may be empty
     * @return (scc, length_m_raw, areas, feature)
     */
-  def loopFeatures(
+  /** Loop geometry per SCC: peeled walks as a MultiLineString, plus the
+    * FIRST line's FIRST coordinate — the reference's loop geocode point
+    * (down/main.rs:573-576 `coords[0][0]`), used for the area PIP join.
+    * @return (scc, geom, first_lat, first_lon)
+    */
+  def loopGeometry(
       edges: DataFrame, // (src, dst)
       nodes: DataFrame,
-      scc: DataFrame,
-      loopsDf: DataFrame, // from [[loops]]
-      loopAreas: DataFrame, // (scc, area)
-      inclNids: Boolean): DataFrame = {
+      scc: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     import graft.outputs.GeoJson
@@ -106,7 +108,7 @@ object DownOps {
         col("lon").as("slon")), Seq("src"))
       .join(nodes.select(col("nid").as("dst"), col("lat").as("dlat"),
         col("lon").as("dlon")), Seq("dst"))
-    val geom = intra
+    intra
       .select(col("s1").as("scc"), col("src"), col("dst"),
         col("slat"), col("slon"), col("dlat"), col("dlon"))
       .as[(Long, Long, Long, Double, Double, Double, Double)]
@@ -117,9 +119,25 @@ object DownOps {
           es.map(x => (x._3, (x._6, x._7)))).toMap
         val walks = Local.peelLines(es.map(x => (x._2, x._3)).sorted)
         val coords = walks.map(_.map(n => (pos(n)._2, pos(n)._1)))
-        (sccId, GeoJson.multiLineString(coords))
+        val first = pos(walks.head.head)
+        (sccId, GeoJson.multiLineString(coords), first._1, first._2)
       }
-      .toDF("scc", "geom")
+      .toDF("scc", "geom", "first_lat", "first_lon")
+  }
+
+  def loopFeatures(
+      edges: DataFrame, // (src, dst)
+      nodes: DataFrame,
+      scc: DataFrame,
+      loopsDf: DataFrame, // from [[loops]]
+      loopAreas: DataFrame, // (scc, area)
+      inclNids: Boolean,
+      geomOpt: Option[DataFrame] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import graft.outputs.GeoJson
+    val geom = geomOpt.getOrElse(loopGeometry(edges, nodes, scc))
+      .select("scc", "geom")
     val areasAgg = loopAreas.groupBy("scc")
       .agg(collect_list("area").as("areas"))
     loopsDf.join(areasAgg, Seq("scc"), "left").join(geom, Seq("scc"))
