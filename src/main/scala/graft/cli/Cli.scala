@@ -134,6 +134,7 @@ object Cli {
       tagFilters: Seq[TagFilter] = Nil,
       tagFilterFunc: Option[TagFilterFunc] = None,
       minUpstreamM: Option[Double] = None,
+      minLengthM: Option[Double] = None, // gates grouped-waterways features
       loops: Option[String] = None,
       loopsInclNids: Boolean = true, // default on unless --loops-no-incl-nids
       loopsCsvStatsFile: Option[String] = None,
@@ -167,7 +168,7 @@ object Cli {
     * itself, e.g. grouped_ends_max_upstream_delta is a todo!()).
     */
   private val downInertValueFlags = Set(
-    "--output-frames", "--frames-group-min-length-m", "--min-length-m",
+    "--output-frames", "--frames-group-min-length-m",
     "--min-dist-to-longer-m", "--max-sinuosity", "--only-longest-n-per-group",
     "--only-longest-n-per-file", "--only-longest-n-splitted-paths",
     "--split-into-single-paths-by", "--grouped-ends-max-upstream-delta",
@@ -195,6 +196,7 @@ object Cli {
             TagFilterFunc.parse(next()).fold(e => return Left(e),
               f => a = a.copy(tagFilterFunc = Some(f)))
           case "--min-upstream-m" => a = a.copy(minUpstreamM = Some(next().toDouble))
+          case "--min-length-m" => a = a.copy(minLengthM = Some(next().toDouble))
           case "--loops" => a = a.copy(loops = Some(next()))
           case "--loops-incl-nids" => a = a.copy(loopsInclNids = true)
           case "--loops-no-incl-nids" => a = a.copy(loopsInclNids = false)

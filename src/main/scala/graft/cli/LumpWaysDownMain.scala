@@ -238,7 +238,7 @@ object LumpWaysDownMain {
 
       args.groupedWaterways.foreach { path =>
         val feats = WaterwayFeatures.groupedWaterwayFeatures(
-          tagGrouped, lens, flowsEdge, nodes)
+          tagGrouped, lens, flowsEdge, nodes, args.minLengthM)
         writeFeatures(feats.orderBy("gkey").select("feature"),
           path, args.overwrite)
       }

@@ -150,8 +150,9 @@ class CliDownSpec extends AnyFunSuite with SparkTestBase {
     assert(Cli.parseDown(Seq("-i", "/in", "--loops", "l.geojsons")).isRight)
     val Right(a) = Cli.parseDown(Seq("-i", "/in", "--flow-follows-tag", "name",
       "--ends", "e.geojsons", "--ends-tag", "name",
-      "--ends-csv-only-largest-n", "5k"))
+      "--ends-csv-only-largest-n", "5k", "--min-length-m", "250"))
     assert(a.endsCsvOnlyLargestN.contains(5000L))
+    assert(a.minLengthM.contains(250.0)) // gates grouped-waterways
     assert(a.longestSourceMouthUnnamedString == "unnnamed") // sic
   }
 }
