@@ -322,7 +322,8 @@ object Flow {
   def biggestEndAssignment(
       edges: DataFrame,          // (src, dst)
       endUpstream: DataFrame,    // (nid, upstream_m) for end nodes
-      maxRounds: Int = 100000): DataFrame = {
+      maxRounds: Int = 100000,
+      checkpointer: Option[(Int, DataFrame) => DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
@@ -355,10 +356,13 @@ object Flow {
           when(col("improved"), col("c_up")).otherwise(col("end_up")).as("end_up"),
           when(col("improved"), col("c_nid")).otherwise(col("end_nid")).as("end_nid"),
           col("improved"))
-        .localCheckpoint(true)
-      frontier = joined.filter(col("improved"))
+      val checkpointed = checkpointer match {
+        case Some(cp) => cp(rounds, joined)
+        case None     => joined.localCheckpoint(true)
+      }
+      frontier = checkpointed.filter(col("improved"))
         .select("nid", "end_up", "end_nid")
-      state = joined.select("nid", "end_up", "end_nid")
+      state = checkpointed.select("nid", "end_up", "end_nid")
       done = frontier.isEmpty
       rounds += 1
     }

@@ -49,4 +49,20 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(resumed.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
       plain.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
   }
+
+  test("biggest-end with durable checkpoints: identical assignment") {
+    import graft.graph.Flow
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (3L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val ends = Seq((5L, 100.0), (7L, 10.0)).toDF("nid", "upstream_m")
+    val plain = Flow.biggestEndAssignment(edges, ends)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dir = Files.createTempDirectory("beckpt").toString
+    val cp = new IterationCheckpointer(spark, dir)
+    val ckpted = Flow.biggestEndAssignment(edges, ends,
+        checkpointer = Some(cp.hook))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ckpted == plain)
+    assert(cp.latestComplete().nonEmpty) // durable rounds exist on disk
+  }
 }
