@@ -33,6 +33,7 @@ object SparkEntry {
       QueriesSpatial.queries ++
       QueriesText.queries ++
       QueriesWeb.queries ++
+      QueriesMedia.queries ++
       QueriesStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       QueriesSpatial.oracles ++
       QueriesText.oracles ++
       QueriesWeb.oracles ++
+      QueriesMedia.oracles ++
       QueriesStream.oracles
 }
