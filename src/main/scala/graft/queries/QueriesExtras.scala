@@ -13,9 +13,9 @@ import Derived._
   * expressible in DuckDB SQL (recursive CTEs can enumerate shortest
   * distances but not Brandes' σ/δ accumulation or the hull+A* geometry),
   * so the driver records a rows-only check and the exact values are
-  * pinned by LocalPathsSpec fixtures instead. Every other query (47 of
-  * 49) carries a full DuckDB oracle. The longest source→mouth (q46) gets
-  * a recursive-CTE oracle.
+  * pinned by LocalPathsSpec fixtures instead. Every other query carries
+  * a full DuckDB oracle. The longest source→mouth (q46) gets a
+  * recursive-CTE oracle.
   */
 object QueriesExtras {
 
