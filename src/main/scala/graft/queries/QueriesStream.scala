@@ -41,9 +41,110 @@ object QueriesStream {
       // materialise before the stream's temp view goes away
       val out = s.table(sinkName).localCheckpoint(true)
       out
+    }),
+
+    // custom streaming state: per-user SESSIONIZATION via
+    // flatMapGroupsWithState (Append mode) — events replayed as four
+    // time-ranged files (maxFilesPerTrigger=1 ⇒ real cross-micro-batch
+    // state transitions); a session closes after a 300 s inactivity gap;
+    // each user's final (still-open) session stays in state by design and
+    // the oracle drops it symmetrically.
+    "q53_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          expr(QueriesRelational.centsSql("value")).as("cents"))
+        .localCheckpoint(true)
+      // exact time quartiles → four time-ranged parquet files with
+      // ascending mod-times so the file source replays them in order
+      val qs = ev.selectExpr("percentile(tus, array(0.25, 0.5, 0.75)) AS q")
+        .head().getAs[collection.Seq[Double]](0).map(_.toLong)
+      val dir = java.nio.file.Files.createTempDirectory("q53_events")
+      val ranges = Seq(
+        col("tus") <= qs(0),
+        col("tus") > qs(0) && col("tus") <= qs(1),
+        col("tus") > qs(1) && col("tus") <= qs(2),
+        col("tus") > qs(2))
+      ranges.zipWithIndex.foreach { case (cond, i) =>
+        val part = java.nio.file.Files.createTempDirectory(s"q53_part$i")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val src = java.nio.file.Files.list(part).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val tgt = dir.resolve(f"events_$i%02d.parquet")
+        java.nio.file.Files.move(java.nio.file.Paths.get(src), tgt)
+        java.nio.file.Files.setLastModifiedTime(tgt,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      counter += 1
+      val sinkName = s"q53_sink_$counter"
+      val GapUs = 300000000L
+      val q = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+           state: GroupState[Seq[(Long, Long, Long)]]) => {
+            val all = (state.getOption.getOrElse(Seq.empty) ++
+              rows.map(r => (r._3, r._2, r._4))).sortBy(t => (t._1, t._2))
+            // split on inactivity gaps
+            val sessions = all.foldLeft(Vector.empty[Vector[(Long, Long, Long)]]) {
+              case (acc, e) =>
+                if (acc.nonEmpty && e._1 - acc.last.last._1 <= GapUs)
+                  acc.init :+ (acc.last :+ e)
+                else acc :+ Vector(e)
+            }
+            state.update(sessions.lastOption.map(_.toSeq).getOrElse(Seq.empty))
+            sessions.dropRight(1).iterator.map { sess =>
+              (user, sess.head._1, sess.last._1,
+                sess.length.toLong, sess.map(_._3).sum)
+            }
+          })
+        .toDF("user_id", "session_start_us", "session_end_us",
+          "n_events", "sum_cents")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sinkName).localCheckpoint(true)
     }))
 
   val oracles: Map[String, String] = Map(
+    // gaps-and-islands sessionization; each user's LAST session dropped
+    // (it never closes in the bounded stream)
+    "q53_stream_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |    ${QueriesRelational.centsSql("value")} AS cents
+         |  FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN tus - LAG(tus) OVER
+         |      (PARTITION BY user_id ORDER BY tus, event_id) > 300000000
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |sx AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+         |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m),
+         |g AS (
+         |  SELECT user_id, sid,
+         |    MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+         |    COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |  FROM sx GROUP BY user_id, sid),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY session_start_us DESC) AS rn FROM g)
+         |SELECT user_id, session_start_us, session_end_us, n_events, sum_cents
+         |FROM r WHERE rn > 1""".stripMargin,
+
     "q34_stream_window" ->
       s"""SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) AS bucket_us,
          |  event_type, COUNT(*) AS n,
