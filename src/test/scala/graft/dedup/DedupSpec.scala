@@ -80,6 +80,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // tie between 1 and 2 for query 3 broken by min id
   }
 
+  test("ANN sign-LSH: exact-duplicate vectors always land together; " +
+      "recall vs brute force is high on clustered data") {
+    // 40 vectors in 4 tight clusters of 10 (deterministic jitter)
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(8)(d => if (d == c * 2) 10.0f else 1.0f)
+      base(i % 8) += (i % 3) * 0.01f
+      (i.toLong, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.bruteForceCosineTopK(df, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ann = Dedup.annCosineTopK(df, "vec_id", "embedding", 1, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // recall@1: ANN's top-1 cosine within 1e-6 of exact top-1 cosine
+    // (ties inside a cluster are fine; cross-cluster misses are not)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum) /
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+    }
+    val byId = vecs.toMap
+    val ok = exact.keys.count { q =>
+      ann.get(q).exists(n =>
+        cos(byId(q), byId(n)) >= cos(byId(q), byId(exact(q))) - 1e-6)
+    }
+    assert(ok >= 36, s"ANN recall too low: $ok/40") // ≥90 % on clusters
+    // routing: the size gate sends small inputs to brute force
+    val routed = Dedup.cosineTopK(df, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(routed == exact)
+  }
+
   test("tokens/quality/fingerprint primitives") {
     val df = Seq(Tuple1("  the  quick   fox  ")).toDF("text")
     val n = df.select(TextOps.tokenCount(col("text"))).head().getInt(0)
