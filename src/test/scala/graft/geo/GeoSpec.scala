@@ -117,6 +117,41 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     assert(cells.contains(inside))
   }
 
+  test("annulus: disk(k) = disk(k-1) ∪ annulus(k-1, k), disjointly") {
+    forSamples(20) { rng =>
+      val res = 4 + rng.nextInt(6)
+      val c = CellIndex.cell(rng.nextDouble * 170 - 85, rng.nextDouble * 360 - 180, res)
+      val k = 1 + rng.nextInt(5)
+      val inner = CellIndex.disk(c, k - 1).toSet
+      val ring = CellIndex.annulus(c, k - 1, k).toSet
+      assert((inner union ring) == CellIndex.disk(c, k).toSet)
+    }
+  }
+
+  test("knnJoin straggler fallback: exact NN when rings cannot resolve") {
+    // res 12 cells ≈ 0.044°; nodes ~3° away from each point, so the ring
+    // search exhausts ringKMax and the broadcast scan must resolve them —
+    // results must equal the brute-force nearest neighbour
+    val points = Seq((1L, 10.0, 10.0), (2L, -20.0, 40.0), (3L, 55.0, -120.0))
+      .toDF("pid", "plat", "plon")
+    val nodes = Seq(
+      (100L, 13.0, 10.5), (101L, 12.8, 9.5),  // nearer to p1
+      (200L, -23.1, 40.2), (201L, -16.9, 39.0),
+      (300L, 58.4, -119.0), (301L, 51.0, -121.0))
+      .toDF("nid", "lat", "lon")
+    val got = SpatialJoins.knnJoin(points, nodes, res = 12, ringKMax = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pts = Seq((1L, 10.0, 10.0), (2L, -20.0, 40.0), (3L, 55.0, -120.0))
+    val nds = Seq((100L, 13.0, 10.5), (101L, 12.8, 9.5), (200L, -23.1, 40.2),
+      (201L, -16.9, 39.0), (300L, 58.4, -119.0), (301L, 51.0, -121.0))
+    val expected = pts.map { case (pid, la, lo) =>
+      pid -> nds.minBy { case (nid, nla, nlo) =>
+        (Geo.haversineM(la, lo, nla, nlo), nid)
+      }._1
+    }.toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("GeoJSON formatter byte-parity shapes (fileio.rs:116-213)") {
     assert(GeoJson.fmtCoord(2.3522, 48.8566) == "[2.352200, 48.856600]")
     assert(GeoJson.lineString(Seq((1.0, 2.0), (3.0, 4.0))) ==
