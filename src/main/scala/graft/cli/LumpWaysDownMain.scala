@@ -64,7 +64,7 @@ object LumpWaysDownMain {
       if (args.relationTagsOverwrite)
         Rescans.relationTagsOverwrite(ways0,
           spark.read.parquet(s"$dir/relations.parquet"),
-          args.relationTagsRole.headOption)
+          args.relationTagsRole)
       else ways0
     val ways = ways1.filter(TagFilterCompiler.passFilters(
       args.tagFilters, args.tagFilterFunc, col("tags")))
@@ -238,7 +238,8 @@ object LumpWaysDownMain {
 
       args.groupedWaterways.foreach { path =>
         val feats = WaterwayFeatures.groupedWaterwayFeatures(
-          tagGrouped, lens, flowsEdge, nodes, args.minLengthM)
+          tagGrouped, lens, flowsEdge, nodes, args.minLengthM,
+          precomputed = Some(bundleAll))
         writeFeatures(feats.orderBy("gkey").select("feature"),
           path, args.overwrite)
       }

@@ -31,6 +31,12 @@ object LumpWaysMain {
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         try run(args, spark)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}")
+            spark.stop()
+            sys.exit(2)
+        }
         finally spark.stop()
     }
   }
@@ -97,8 +103,13 @@ object LumpWaysMain {
   }
 
   /** One LineString feature per scored edge, props in serde-alphabetical
-    * order (main.rs:1134-1141: betweenness_value, max_betweenness_value,
-    * betweenness_fraction, betweenness_fraction_max, 6 dp fractions).
+    * order (main.rs:1118-1146): betweenness_value (integer when whole, as
+    * Rust serializes its counts), max_betweenness_value = the PER-WAY-GROUP
+    * max (the reference computes it per way group — main.rs:1115-1117),
+    * betweenness_fraction(+_max) at 6 dp; geometry = the edge's FULL
+    * compressed-away node chain expanded back to coordinates. Way-group
+    * props are not attached (the engine runs betweenness over the whole
+    * filtered set; documented deviation).
     */
   private def betweennessFeatures(
       b: org.apache.spark.sql.DataFrame,
@@ -106,28 +117,30 @@ object LumpWaysMain {
       spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val maxV = b.agg(max("value")).head() match {
-      case r if r.isNullAt(0) => 1.0
-      case r => math.max(r.getDouble(0), 1e-12)
-    }
-    b.join(nodes.select(col("nid").as("src"), col("lat").as("slat"),
-        col("lon").as("slon")), Seq("src"))
-      .join(nodes.select(col("nid").as("dst"), col("lat").as("dlat"),
-        col("lon").as("dlon")), Seq("dst"))
+    def intishJson(v: Double): String =
+      if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else GeoJson.numJson(v)
+    val withId = b.withColumn("eid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val coords = withId
+      .select(col("eid"), posexplode(col("chain")).as(Seq("pos", "nid")))
+      .join(nodes, Seq("nid"))
+      .groupBy("eid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lon"), col("lat"))))
+        .as("pts"))
+    withId.join(coords, Seq("eid"))
       .orderBy("comp", "src", "dst")
       .map { r =>
         val v = r.getAs[Double]("value")
         val props = Seq(
-          "betweenness_value" -> GeoJson.numJson(v),
-          "max_betweenness_value" -> GeoJson.numJson(maxV),
+          "betweenness_value" -> intishJson(v),
+          "max_betweenness_value" -> intishJson(r.getAs[Double]("comp_max_value")),
           "betweenness_fraction" ->
             GeoJson.numJson(graft.geo.Geo.roundHalfAway(r.getAs[Double]("value_fraction"), 6)),
           "betweenness_fraction_max" ->
             GeoJson.numJson(graft.geo.Geo.roundHalfAway(r.getAs[Double]("value_fraction_max"), 6)))
-        GeoJson.feature(GeoJson.propsJson(props),
-          GeoJson.lineString(Seq(
-            (r.getAs[Double]("slon"), r.getAs[Double]("slat")),
-            (r.getAs[Double]("dlon"), r.getAs[Double]("dlat")))))
+        val pts = r.getAs[collection.Seq[org.apache.spark.sql.Row]]("pts")
+          .map(p => (p.getDouble(1), p.getDouble(2)))
+        GeoJson.feature(GeoJson.propsJson(props), GeoJson.lineString(pts.toSeq))
       }
       .toDF("feature")
   }

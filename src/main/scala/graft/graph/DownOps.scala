@@ -216,6 +216,18 @@ object DownOps {
     topN.map(n => ranked.filter(col("upstream_m_rank") <= n)).getOrElse(ranked)
   }
 
+  /** Column-level JSON string escaping (backslash first, then quote and
+    * the common control chars) — tag values go into feature JSON raw
+    * otherwise.
+    */
+  private def jsonEscapeCol(c: Column): Column = {
+    var x = regexp_replace(c, "\\\\", "\\\\\\\\")
+    x = regexp_replace(x, "\"", "\\\\\"")
+    x = regexp_replace(x, "\n", "\\\\n")
+    x = regexp_replace(x, "\r", "\\\\r")
+    regexp_replace(x, "\t", "\\\\t")
+  }
+
   /** S9 — ends CSV with the exact reference columns (ends_csv.rs:22-31,
     * 85-99): `timestamp,iso_datetime,upstream_m,upstream_m_rank,nid,lat,
     * lng[,<ends-tag values>…]`; filters `upstream_m > 1.0`,
@@ -307,7 +319,7 @@ object DownOps {
           val key = s"tag:$k"
           key -> when(col(s"tag_$k").isNull, lit(""))
             .otherwise(concat(lit(GeoJson.jsonStr(key) + ":\""),
-              col(s"tag_$k"), lit("\"")))
+              jsonEscapeCol(col(s"tag_$k")), lit("\"")))
         }
     val propCols = frags.sortBy(_._1).map(_._2)
     base.select(
@@ -364,8 +376,9 @@ object DownOps {
   def tagGroupCC(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     // null-safe tag key: the equal-split mode runs with tag = NULL, which
-    // a plain equi-join would drop
-    val keyed = edges.withColumn("__tagc", coalesce(col("tag"), lit("")))
+    // a plain equi-join would drop; the control-char sentinel keeps a
+    // genuine empty-string tag VALUE distinct from a missing tag
+    val keyed = edges.withColumn("__tagc", coalesce(col("tag"), lit("\u0001")))
     val tags = graft.runtime.Ranks.tinyDenseId(
       keyed.select("__tagc").distinct(), Seq(col("__tagc")), "tid")
     val e = keyed.join(tags, Seq("__tagc")).drop("__tagc")

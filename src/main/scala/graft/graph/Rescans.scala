@@ -17,18 +17,20 @@ object Rescans {
     * over way values per key (README.md:108-122).
     *
     * @param relations (rid, members: array<struct<objtype,ref,role>>, tags)
-    * @param roleFilter keep only members with this role, when set
+    * @param roleFilter keep only members whose role is ANY of these, when
+    *                   non-empty (way_id_rel_tags.rs `only_roles.iter().any`)
     */
   def relationTagsOverwrite(
       ways: DataFrame,
       relations: DataFrame,
-      roleFilter: Option[String] = None): DataFrame = {
+      roleFilter: Seq[String] = Nil): DataFrame = {
     val members = relations
       .select(col("rid"), col("tags").as("rel_tags"),
         size(col("members")).as("n_members"),
         explode(col("members")).as("m"))
       .filter(col("m.objtype") === "way")
-      .filter(roleFilter.map(r => col("m.role") === r).getOrElse(lit(true)))
+      .filter(if (roleFilter.isEmpty) lit(true)
+        else col("m.role").isin(roleFilter: _*))
       .select(col("m.ref").as("wid"), col("rid"), col("n_members"), col("rel_tags"))
     val winner = members
       .withColumn("rn", row_number().over(Window.partitionBy("wid")

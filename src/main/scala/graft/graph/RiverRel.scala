@@ -98,9 +98,13 @@ object RiverRel {
     * @return (rel, group_a, group_b) — group ids are (tag, tag_group_nid)
     *         densified as min-nid keys (tag carried alongside)
     */
-  /** Null-safe group key: tag#min_nid with a sentinel for untagged. */
+  /** Null-safe group key: tag#min_nid with a control-char sentinel for
+    * untagged — distinct from an EMPTY-STRING tag value (legal in OSM;
+    * the reference keys groups by Option<String>, None ≠ Some(""));
+    * control chars cannot occur in OSM tag values.
+    */
   def gkeyCol: org.apache.spark.sql.Column =
-    concat(coalesce(col("tag"), lit("")), lit("#"), col("tag_group_nid"))
+    concat(coalesce(col("tag"), lit("\u0001")), lit("#"), col("tag_group_nid"))
 
   /** Confluence membership per (gkey, nid) with in/out flags
     * (tag_group.rs:252-280): nid is a confluence OF group g iff g flows in

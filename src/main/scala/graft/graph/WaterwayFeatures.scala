@@ -117,12 +117,16 @@ object WaterwayFeatures {
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
 
     // stream levels (D14, tag_group.rs:468-536): roots = groups with
-    // sinks, BFS by confluence in-flow, upstream-desc child order
+    // sinks, BFS by confluence in-flow, upstream-desc child order.
+    // Indexed by in-edge dst first — a flat scan per (group, confluence)
+    // would be quadratic in junction count.
+    val groupsInAt: Map[Long, Seq[String]] = edgesByG.values.flatten.toSeq
+      .groupBy(_._3).view.mapValues(_.map(_._1).distinct).toMap
     val groupFlows = for {
       parent <- metas.toSeq
       nid <- parent.confl
-      (child, _, d, _, _, _, _) <- edgesByG.values.flatten
-      if d == nid && child != parent.gkey
+      child <- groupsInAt.getOrElse(nid, Nil)
+      if child != parent.gkey
     } yield (parent.gid, byKey(child).gid)
     val levels = DownOps.streamLevels(
       groupFlows.distinct,
@@ -146,10 +150,14 @@ object WaterwayFeatures {
       lens: DataFrame,
       flows: DataFrame,
       nodes: DataFrame,
-      minLengthM: Option[Double] = None): DataFrame = {
+      minLengthM: Option[Double] = None,
+      precomputed: Option[(DataFrame, GroupBundle,
+        Array[(String, String, String)], Map[String, Array[ConfEdge]])] = None)
+      : DataFrame = {
     val spark = tagGrouped.sparkSession
     import spark.implicits._
-    val (e, bundle, rels, edgesByG) = groupBundle(tagGrouped, lens, flows, nodes)
+    val (e, bundle, rels, edgesByG) =
+      precomputed.getOrElse(groupBundle(tagGrouped, lens, flows, nodes))
     val metas = bundle.metas
     val byKey = bundle.byKey
     val levels = bundle.levels

@@ -69,7 +69,8 @@ object Writers {
     if (!Files.exists(p))
       Files.writeString(p, header.mkString("", ",", "\n"))
     else {
-      val first = Files.lines(p).findFirst().orElse("")
+      val first = scala.util.Using.resource(Files.lines(p))(
+        _.findFirst().orElse(""))
       if (first != header.mkString(","))
         System.err.println(
           s"warn: different headers in $path. Expected $header got $first. " +

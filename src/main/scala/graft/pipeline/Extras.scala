@@ -44,8 +44,9 @@ object Extras {
     * the reduced graph (edge weight = chain length), then apply the
     * `--betweenness-min-value` / `--betweenness-min-fraction` cutoffs
     * (main.rs:1123-1133). Emits per reduced edge:
-    * (comp, src, dst, value, value_fraction = v/max value,
-    *  value_fraction_max = v/(n·(n−1)/2)).
+    * (comp, src, dst, chain — the full compressed-away node path for
+    *  geometry expansion, value, value_fraction = v/per-COMPONENT max,
+    *  value_fraction_max = v/(n·(n−1)/2), comp_max_value).
     */
   def betweenness(
       edges: DataFrame, nodes: DataFrame, spark: SparkSession,
@@ -70,6 +71,10 @@ object Extras {
         val despiked = Local.removeSpikes(es.map(e => (e._2, e._3)), keep.contains)
         val compressed = Local.compress(
           despiked.map { case (a, b) => (a, b, Seq.empty[Long]) }, keep.contains)
+        val chains = compressed.map { case (a, b, inter) =>
+          val c = a +: inter :+ b
+          ((math.min(a, b), math.max(a, b)), if (a <= b) c else c.reverse)
+        }.toMap
         val adj = compressed
           .flatMap { case (a, b, inter) =>
             val chain = a +: inter :+ b
@@ -87,10 +92,12 @@ object Extras {
         b.toSeq.sortBy(_._1)
           .filter { case (_, v) => v >= minValue && v / maxV >= minFraction }
           .map { case ((a, c), v) =>
-            (comp, a, c, v, v / maxV, v / maxPossible)
+            (comp, a, c, chains.getOrElse((a, c), Seq(a, c)),
+              v, v / maxV, v / maxPossible, maxV)
           }
       }
-      .toDF("comp", "src", "dst", "value", "value_fraction", "value_fraction_max")
+      .toDF("comp", "src", "dst", "chain", "value", "value_fraction",
+        "value_fraction_max", "comp_max_value")
   }
 
   /** D17 — longest source→mouth FEATURES

@@ -30,7 +30,7 @@ class RescansSpec extends AnyFunSuite with SparkTestBase {
         expr("transform(members0, m -> struct(m._1 AS objtype, m._2 AS ref, m._3 AS role))"))
       .drop("members0")
 
-    val out = Rescans.relationTagsOverwrite(ways, relations, Some("main_stream"))
+    val out = Rescans.relationTagsOverwrite(ways, relations, Seq("main_stream"))
       .collect().map(r => (r.getLong(0), r.getMap[String, String](2).toMap)).toMap
     assert(out(1L) == Map("name" -> "HigherRel", "waterway" -> "river"))
     assert(out(2L) == Map("waterway" -> "stream")) // role filtered away
