@@ -42,6 +42,12 @@ object LumpWaysDownMain {
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         try run(args, spark)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}")
+            spark.stop()
+            sys.exit(2)
+        }
         finally spark.stop()
     }
   }

@@ -74,26 +74,28 @@ object LumpWaysMain {
           args.saveAsLinestrings),
         path, args.overwrite)
     }
-    // P8: betweenness output with the reference's pre-pass +
-    // min-value/min-fraction cutoffs (main.rs:987-1156)
+    // P8: betweenness output — one run per KEPT way group with the
+    // reference's pre-pass + min-value/min-fraction cutoffs
+    // (main.rs:987-1156; way_groups is the post-filter/post-topN list)
     args.betweennessOutput.foreach { path =>
-      val filtered = ways.filter(graft.tagfilter.TagFilterCompiler
-        .passFilters(cfg.tagFilters, cfg.tagFilterFunc,
-          org.apache.spark.sql.functions.col("tags")))
-      val edges = filtered
-        .selectExpr("posexplode(nids) AS (i, u)", "nids")
-        .where("i < size(nids) - 1")
-        .selectExpr("LEAST(u, nids[i + 1]) AS src",
-          "GREATEST(u, nids[i + 1]) AS dst")
-        .where("src <> dst").distinct()
-      val b = graft.pipeline.Extras.betweenness(
-        edges, nodes, spark, args.betweennessMaxNodes.toInt,
+      import org.apache.spark.sql.functions._
+      val wgEdges = feats
+        .select(col("comp"), explode(col("lines")).as("line"))
+        .select(col("comp"), posexplode(col("line")).as(Seq("i", "u")),
+          col("line"))
+        .filter(col("i") < size(col("line")) - 1)
+        .select(col("comp"),
+          least(col("u"), col("line")(col("i") + 1)).as("src"),
+          greatest(col("u"), col("line")(col("i") + 1)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val b = graft.pipeline.Extras.betweennessGrouped(
+        wgEdges, nodes, spark, args.betweennessMaxNodes.toInt,
         args.betweennessMinValue, args.betweennessMinFraction)
-      val feats = betweennessFeatures(b, nodes, spark)
+      val bFeats = betweennessFeatures(b, feats, nodes, spark)
       (Cli.formatOf(path) match {
         case Right(Cli.GeoJsonSeq) =>
-          Writers.writeGeoJsonSeq(feats, path, args.overwrite)
-        case _ => Writers.writeGeoJson(feats, path, args.overwrite)
+          Writers.writeGeoJsonSeq(bFeats, path, args.overwrite)
+        case _ => Writers.writeGeoJson(bFeats, path, args.overwrite)
       })
     }
     val secs = (System.nanoTime() - t0) / 1e9
@@ -103,16 +105,16 @@ object LumpWaysMain {
   }
 
   /** One LineString feature per scored edge, props in serde-alphabetical
-    * order (main.rs:1118-1146): betweenness_value (integer when whole, as
-    * Rust serializes its counts), max_betweenness_value = the PER-WAY-GROUP
-    * max (the reference computes it per way group — main.rs:1115-1117),
+    * order (main.rs:1118-1146): the owning WAY GROUP's full `json_props`
+    * (main.rs:1134 `wg.json_props.clone()`) plus betweenness_value
+    * (integer when whole, as Rust serializes its counts),
+    * max_betweenness_value = the per-way-group max (main.rs:1115-1117),
     * betweenness_fraction(+_max) at 6 dp; geometry = the edge's FULL
-    * compressed-away node chain expanded back to coordinates. Way-group
-    * props are not attached (the engine runs betweenness over the whole
-    * filtered set; documented deviation).
+    * compressed-away node chain expanded back to coordinates.
     */
   private def betweennessFeatures(
       b: org.apache.spark.sql.DataFrame,
+      wayGroups: org.apache.spark.sql.DataFrame,
       nodes: org.apache.spark.sql.DataFrame,
       spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -127,11 +129,16 @@ object LumpWaysMain {
       .groupBy("eid")
       .agg(sort_array(collect_list(struct(col("pos"), col("lon"), col("lat"))))
         .as("pts"))
-    withId.join(coords, Seq("eid"))
+    val wgProps = wayGroups.select("comp", "grp", "root_nodeid", "length_m",
+      "num_nodes", "length_desc_rank", "length_desc_rank_perc",
+      "length_asc_rank", "length_asc_rank_perc",
+      "length_m_fraction_total", "length_m_fraction_longest")
+      .dropDuplicates("comp")
+    withId.join(coords, Seq("eid")).join(wgProps, Seq("comp"))
       .orderBy("comp", "src", "dst")
       .map { r =>
         val v = r.getAs[Double]("value")
-        val props = Seq(
+        val props = graft.pipeline.LumpWays.groupPropsKvs(r) ++ Seq(
           "betweenness_value" -> intishJson(v),
           "max_betweenness_value" -> intishJson(r.getAs[Double]("comp_max_value")),
           "betweenness_fraction" ->

@@ -36,25 +36,32 @@ object DownOps {
   }
 
   /** D2 — loops output: one row per non-singleton SCC with
-    * `root_nid` (min nid), `num_nodes`, `length_m` (Σ intra-SCC edge
-    * lengths, 1 dp), sorted member `nodes` string
-    * (down/main.rs:544-663). Areas come from a PIP join done by the
-    * caller on (root_lat, root_lon).
+    * `root_nid` (min expanded nid), `num_nodes` = the count of EXPANDED
+    * intra-SCC 2-point segments (the reference's `cycle.len()` after
+    * `expand_directed`, down/main.rs:517-529,582 — NOT the member-node
+    * count; they diverge on chorded/figure-eight SCCs), `length_m`
+    * (Σ intra-SCC segment lengths, 1 dp), sorted distinct expanded-node
+    * `nodes` string (down/main.rs:544-663). Areas come from a PIP join
+    * done by the caller on the loop geocode point.
     */
   def loops(
       edges: DataFrame, nodes: DataFrame,
       sccOpt: Option[DataFrame] = None): DataFrame = {
     val scc = sccOpt.getOrElse(
       Scc.run(edges.select("src", "dst")).localCheckpoint(true))
-    val intra = edges
+    val intra0 = edges
       .join(scc.withColumnRenamed("nid", "src").withColumnRenamed("scc", "s1"), Seq("src"))
       .join(scc.withColumnRenamed("nid", "dst").withColumnRenamed("scc", "s2"), Seq("dst"))
       .filter(col("s1") === col("s2"))
-    val withLen = if (intra.columns.contains("inter")) {
-      edgeLengths(intra.select("src", "dst", "inter"), nodes)
-        .join(intra.select("src", "dst", "s1"), Seq("src", "dst"))
+    val intra = (if (intra0.columns.contains("inter")) intra0
+      else intra0.withColumn("inter", array().cast("array<long>")))
+      .withColumn("chain",
+        concat(array(col("src")), col("inter"), array(col("dst"))))
+    val withLen = if (intra0.columns.contains("inter")) {
+      edgeLengths(intra0.select("src", "dst", "inter"), nodes)
+        .join(intra0.select("src", "dst", "s1"), Seq("src", "dst"))
     } else {
-      intra
+      intra0
         .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
           col("lon").as("lon1")), Seq("src"))
         .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
@@ -63,11 +70,17 @@ object DownOps {
           Geo.haversineM(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
         .select("src", "dst", "len", "s1")
     }
-    val members = scc.groupBy("scc").agg(
-      min("nid").as("root_nid"),
-      count(lit(1)).as("num_nodes"),
-      concat_ws(",", transform(sort_array(collect_list(col("nid"))),
-        n => concat(lit("n"), n.cast("string")))).as("nodes"))
+    val segCounts = intra
+      .groupBy(col("s1").as("scc"))
+      .agg(sum(size(col("chain")) - 1).as("num_nodes"))
+    val members = intra
+      .select(col("s1").as("scc"), explode(col("chain")).as("nid"))
+      .distinct()
+      .groupBy("scc").agg(
+        min("nid").as("root_nid"),
+        concat_ws(",", transform(sort_array(collect_list(col("nid"))),
+          n => concat(lit("n"), n.cast("string")))).as("nodes"))
+      .join(segCounts, Seq("scc"))
     withLen
       .groupBy(col("s1").as("scc"))
       .agg(Geo.roundHalfAway(sum("len"), 1).as("length_m"),
@@ -216,16 +229,25 @@ object DownOps {
     topN.map(n => ranked.filter(col("upstream_m_rank") <= n)).getOrElse(ranked)
   }
 
-  /** Column-level JSON string escaping (backslash first, then quote and
-    * the common control chars) — tag values go into feature JSON raw
-    * otherwise.
+  /** Column-level JSON string escaping, byte-identical to
+    * [[graft.outputs.GeoJson.jsonStr]] (and serde_json): backslash first,
+    * then quote, the short escapes, and `\u00xx` for every remaining
+    * control char < 0x20 — tag values go into feature JSON raw otherwise.
     */
   private def jsonEscapeCol(c: Column): Column = {
-    var x = regexp_replace(c, "\\\\", "\\\\\\\\")
-    x = regexp_replace(x, "\"", "\\\\\"")
-    x = regexp_replace(x, "\n", "\\\\n")
-    x = regexp_replace(x, "\r", "\\\\r")
-    regexp_replace(x, "\t", "\\\\t")
+    val base = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    (0 until 0x20).foldLeft(base) { (acc, i) =>
+      val rep = i.toChar match {
+        case '\b' => "\\\\b"
+        case '\t' => "\\\\t"
+        case '\n' => "\\\\n"
+        case '\f' => "\\\\f"
+        case '\r' => "\\\\r"
+        case _    => f"\\\\u$i%04x"
+      }
+      regexp_replace(acc,
+        java.util.regex.Pattern.quote(i.toChar.toString), rep)
+    }
   }
 
   /** S9 — ends CSV with the exact reference columns (ends_csv.rs:22-31,
@@ -528,7 +550,13 @@ object DownOps {
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (end, rows) =>
+        // one edge per (src, dst): in --flow-follows-tag mode the
+        // contracted graph dedups per (src, dst, TAG), so two tagged
+        // edges can share a node pair — the reference's graph is
+        // one-edge-per-pair; total flow = Σ per-tag flows
         val es = rows.map(r => (r._2, r._3, r._4)).toSeq
+          .groupBy(e => (e._1, e._2)).view
+          .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
         groupedEndLines(es, end).zipWithIndex.map { case (line, i) =>
           (end, i, line)
         }
@@ -576,9 +604,14 @@ object DownOps {
       .groupByKey(r => r.getLong(0))
       .flatMapGroups { (end, it) =>
         val es = it.toSeq
+        // one edge per (src, dst) — see [[groupedEnds]]: sum per-tag
+        // flows, keep min len (parallel tagged rows of one pair)
         val edges = es.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
-        val lens = es.map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(4))).toMap
-        val flows = es.map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+          .groupBy(e => (e._1, e._2)).view
+          .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+        val lens = es.map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(4)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        val flows = edges.map(e => ((e._1, e._2), e._3)).toMap
         val pos = (es.map(r => (r.getLong(1), (r.getDouble(5), r.getDouble(6)))) ++
           es.map(r => (r.getLong(2), (r.getDouble(7), r.getDouble(8))))).toMap
         val endUp = es.head.getDouble(9)

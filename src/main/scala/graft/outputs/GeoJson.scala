@@ -73,14 +73,19 @@ object GeoJson {
       .map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
 
-  /** Minimal JSON string escaping for property values. */
+  /** JSON string escaping matching serde_json's writer exactly: short
+    * escapes for `"` `\` and \b \t \n \f \r, `\u00xx` for the remaining
+    * control chars.
+    */
   def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
+      case '\b' => "\\b"
       case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\f' => "\\f"
+      case '\r' => "\\r"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""

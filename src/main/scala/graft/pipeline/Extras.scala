@@ -52,10 +52,31 @@ object Extras {
       edges: DataFrame, nodes: DataFrame, spark: SparkSession,
       maxSamples: Int = 2000,
       minValue: Double = 0.0,
+      minFraction: Double = 0.0): DataFrame =
+    betweennessGrouped(
+      ConnectedComponents.run(edges.select("src", "dst")).labels
+        .withColumnRenamed("nid", "src").join(edges, Seq("src"))
+        .select("comp", "src", "dst"),
+      nodes, spark, maxSamples, minValue, minFraction)
+
+  /** [[betweenness]] with a caller-supplied grouping: `edges` =
+    * (comp, src, dst) where `comp` is the WAY-GROUP key — the reference
+    * runs one betweenness per way group (main.rs:1056-1096), so the
+    * fraction denominators and `max_betweenness_value` are per way
+    * group, not per whole-graph component.
+    */
+  def betweennessGrouped(
+      edges: DataFrame, nodes: DataFrame, spark: SparkSession,
+      maxSamples: Int = 2000,
+      minValue: Double = 0.0,
       minFraction: Double = 0.0): DataFrame = {
     import spark.implicits._
     import graft.geo.Geo
-    labelled(edges, nodes)
+    edges
+      .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
+        col("lon").as("lon1")), Seq("src"))
+      .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
+        col("lon").as("lon2")), Seq("dst"))
       .select("comp", "src", "dst", "lat1", "lon1", "lat2", "lon2")
       .as[(Long, Long, Long, Double, Double, Double, Double)]
       .groupByKey(_._1)

@@ -265,47 +265,57 @@ object LumpWays {
       .toDF("feature")
   }
 
-  /** The way-group props JSON (shared by the main features and the
-    * frames output, which carries `wg.json_props` — main.rs:926-931).
+  /** The way-group `json_props` key/value pairs — the FULL reference set
+    * (main.rs:634-655 base props + update_length_m_fraction_total
+    * :1156-1172 + update_length_ranks :1174-1210), shared by the main
+    * features, the frames output and the betweenness output (each carries
+    * `wg.json_props`). Rendered through [[GeoJson.propsJson]] for
+    * serde_json's BTreeMap-alphabetical key order.
     */
-  private def groupPropsJson(r: org.apache.spark.sql.Row): StringBuilder = {
+  def groupPropsKvs(r: org.apache.spark.sql.Row): Seq[(String, String)] = {
     val lengthM = r.getAs[Double]("length_m")
     val grp = r.getAs[collection.Seq[String]]("grp")
-    val props = new StringBuilder("{")
-    props.append("\"root_nodeid\":").append(r.getAs[Long]("root_nodeid"))
-    props.append(",\"root_nodeid_120\":").append(r.getAs[Long]("root_nodeid") % 120)
-    props.append(",\"length_m\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM, 1)))
-    props.append(",\"length_m_int\":").append(math.round(lengthM))
-    props.append(",\"length_km\":").append(GeoJson.numJson(Geo.roundHalfAway(lengthM / 1000.0, 2)))
-    props.append(",\"length_km_int\":").append(math.round(lengthM / 1000.0))
-    grp.zipWithIndex.foreach { case (g, i) =>
-      props.append(s""","tag_group_$i":${if (g == null) "null" else GeoJson.jsonStr(g)}""")
-    }
-    props.append(",\"num_nodes\":").append(r.getAs[Long]("num_nodes"))
-    props.append(",\"length_desc_rank\":").append(r.getAs[Long]("length_desc_rank"))
-    props.append(",\"length_m_fraction_total\":")
-      .append(GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")))
-    props
+    def jstr(g: String) = if (g == null) "null" else GeoJson.jsonStr(g)
+    Seq(
+      "root_nodeid" -> r.getAs[Long]("root_nodeid").toString,
+      "root_nodeid_120" -> (r.getAs[Long]("root_nodeid") % 120).toString,
+      "length_m" -> GeoJson.numJson(Geo.roundHalfAway(lengthM, 1)),
+      "length_m_int" -> math.round(lengthM).toString,
+      "length_km" -> GeoJson.numJson(Geo.roundHalfAway(lengthM / 1000.0, 2)),
+      "length_km_int" -> math.round(lengthM / 1000.0).toString,
+      "tag_groups" -> grp.map(jstr).mkString("[", ",", "]"),
+      "num_nodes" -> r.getAs[Long]("num_nodes").toString,
+      "length_m_fraction_total" ->
+        GeoJson.numJson(r.getAs[Double]("length_m_fraction_total")),
+      "length_m_fraction_longest" ->
+        GeoJson.numJson(r.getAs[Double]("length_m_fraction_longest")),
+      "length_desc_rank" -> r.getAs[Long]("length_desc_rank").toString,
+      "length_desc_rank_perc" ->
+        GeoJson.numJson(r.getAs[Double]("length_desc_rank_perc")),
+      "length_asc_rank" -> r.getAs[Long]("length_asc_rank").toString,
+      "length_asc_rank_perc" ->
+        GeoJson.numJson(r.getAs[Double]("length_asc_rank_perc"))) ++
+      grp.zipWithIndex.map { case (g, i) => s"tag_group_$i" -> jstr(g) }
   }
 
   private def serializeFeature(r: org.apache.spark.sql.Row): String = {
-    val props = groupPropsJson(r)
     val coords = r.getAs[collection.Seq[collection.Seq[org.apache.spark.sql.Row]]]("coords")
       .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq).toSeq
     // P2 split mode: per-path dist_ends props (main.rs:788-797)
-    if (r.getAs[Int]("path_idx") >= 0 && coords.nonEmpty && coords.head.nonEmpty) {
-      val c = coords.head
-      val distEnds = Geo.haversineM(c.head._2, c.head._1, c.last._2, c.last._1)
-      props.append(",\"dist_ends_m\":").append(GeoJson.numJson(distEnds))
-      props.append(",\"dist_ends_m_int\":").append(math.round(distEnds))
-      props.append(",\"dist_ends_km\":").append(GeoJson.numJson(distEnds / 1000.0))
-      props.append(",\"dist_ends_km_int\":").append(math.round(distEnds / 1000.0))
-    }
-    props.append("}")
+    val distKvs =
+      if (r.getAs[Int]("path_idx") >= 0 && coords.nonEmpty && coords.head.nonEmpty) {
+        val c = coords.head
+        val distEnds = Geo.haversineM(c.head._2, c.head._1, c.last._2, c.last._1)
+        Seq(
+          "dist_ends_m" -> GeoJson.numJson(distEnds),
+          "dist_ends_m_int" -> math.round(distEnds).toString,
+          "dist_ends_km" -> GeoJson.numJson(distEnds / 1000.0),
+          "dist_ends_km_int" -> math.round(distEnds / 1000.0).toString)
+      } else Nil
     val geom =
       if (coords.length == 1) GeoJson.lineString(coords.head)
       else GeoJson.multiLineString(coords)
-    GeoJson.feature(props.toString, geom)
+    GeoJson.feature(GeoJson.propsJson(groupPropsKvs(r) ++ distKvs), geom)
   }
 
   /** Collected GeoJSONSeq strings (test/fixture convenience; the CLI
@@ -343,7 +353,7 @@ object LumpWays {
         }).toSeq
         val frames = graft.graph.LocalPaths.frames(edges, pos)
         val frameCoords = frames.map(_.map(n => (pos(n)._2, pos(n)._1)))
-        val props = groupPropsJson(r).append("}").toString
+        val props = GeoJson.propsJson(groupPropsKvs(r))
         if (saveAsLinestrings)
           frameCoords.iterator.map(c =>
             GeoJson.feature(props, GeoJson.lineString(c)))

@@ -40,6 +40,18 @@ class DownOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getAs[Double]("length_m") - Geo.roundHalfAway(4 * degM, 1)) < 0.11)
   }
 
+  test("D2 loops: num_nodes counts SEGMENTS — figure-eight SCC diverges") {
+    // figure-eight through node 2: cycles 1↔2 and 2↔3 form ONE SCC with
+    // 3 member nodes but 4 segments; the reference's num_nodes is
+    // cycle.len() = the expanded segment count (down/main.rs:582)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val l = DownOps.loops(e, nodes).collect()
+    assert(l.length == 1)
+    assert(l.head.getAs[Long]("num_nodes") == 4L)
+    assert(l.head.getAs[String]("nodes") == "n1,n2,n3")
+    assert(l.head.getAs[Long]("root_nid") == 1L)
+  }
+
   test("S8/S10 loop stats + OpenMetrics text") {
     val e = Seq((1L, 2L), (2L, 1L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
     val loops = DownOps.loops(e, nodes)

@@ -82,6 +82,22 @@ class LumpWaysSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).contains("\"length_m\":333.6"))
   }
 
+  test("feature props: FULL reference json_props set, serde-alphabetical") {
+    val cfg = Config(
+      tagFilters = Seq(TagFilter.unsafeParse("waterway=river")),
+      groupKeys = Seq(Seq("name")))
+    val out = LumpWays.toGeoJsonSeq(LumpWays.features(ways, nodes, cfg, spark))
+    // group B (rank 0): every key of main.rs:634-655 + rank/fraction
+    // updates, in serde_json BTreeMap (alphabetical) order
+    val expectedProps = """{"length_asc_rank":2,"length_asc_rank_perc":1.0,""" +
+      """"length_desc_rank":0,"length_desc_rank_perc":0.0,""" +
+      """"length_km":1.11,"length_km_int":1,"length_m":1112.0,""" +
+      """"length_m_fraction_longest":1.0,"length_m_fraction_total":0.7692,""" +
+      """"length_m_int":1112,"num_nodes":2,"root_nodeid":10,""" +
+      """"root_nodeid_120":10,"tag_group_0":"B","tag_groups":["B"]}"""
+    assert(out(0).contains(s""""properties":$expectedProps"""), out(0))
+  }
+
   test("min-length filter modes") {
     assert(MinLengthFilter.parse("10") == Right(MinLengthFilter.Length(10.0)))
     assert(MinLengthFilter.parse("25m") == Right(MinLengthFilter.Length(25.0)))
