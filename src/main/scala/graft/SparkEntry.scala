@@ -37,9 +37,11 @@ object SparkEntry {
       QueriesStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. The only omitted keys are q44 (frames) and
-    * q45 (Brandes betweenness) — genuinely non-SQL (see QueriesExtras
-    * doc); those get the driver's rows-only check and ScalaTest pins.
+    * the same parquet tables — EVERY query key has one. q44 (frames) and
+    * q45 (Brandes betweenness) are not verbatim SQL-replayable, so they
+    * carry invariant oracles (SQL-recomputed hull counts; tree-component
+    * betweenness closed form — see QueriesExtras doc); the remaining
+    * exact values are pinned by ScalaTest fixtures.
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++

@@ -8,28 +8,91 @@ import Derived._
 /** Frames / betweenness / longest-source-mouth query entries.
   *
   * q44 (frames = convex-hull + A*-route union) and q45 (Brandes
-  * betweenness: per-source shortest-path COUNTING + dependency
-  * accumulation) are the two deliberately oracle-less queries: neither is
-  * expressible in DuckDB SQL (recursive CTEs can enumerate shortest
-  * distances but not Brandes' σ/δ accumulation or the hull+A* geometry),
-  * so the driver records a rows-only check and the exact values are
-  * pinned by LocalPathsSpec fixtures instead. Every other query carries
-  * a full DuckDB oracle. The longest source→mouth (q46) gets a
-  * recursive-CTE oracle.
+  * betweenness) cannot be replayed verbatim in SQL (recursive CTEs can
+  * enumerate shortest distances but not Brandes' σ/δ accumulation or the
+  * A*-path geometry), so each carries an INVARIANT oracle instead
+  * (pattern proven by q48's conservation oracle):
+  *
+  *  - q44 projects per component the strict-hull vertex-position count
+  *    (independently recomputed in SQL via the point-in-convex-closure
+  *    test) plus a frame-invariant flag — frame edges ⊆ component edges
+  *    and every hull nid covered by the frame lines — that the oracle
+  *    pins to 1.
+  *  - q45 projects every betweenness edge; on TREE components (the vast
+  *    majority; #edges = #nodes − 1, no duplicate positions) the exact
+  *    closed form value = 2·a·(n−a) is recomputed in SQL from subtree
+  *    sizes; non-tree/degenerate components carry NULL on both sides and
+  *    stay pinned by LocalPathsSpec fixtures.
+  *
+  * The longest source→mouth (q46) gets a recursive-CTE oracle.
   */
 object QueriesExtras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P6 frames per component (rows-only)
-    "q44_frames" -> ((s, d) =>
-      Extras.frames(edgesDF(s, d), nodesDF(s, d), s)
-        .select(col("comp"), col("line_idx"), size(col("line")).as("n_pts"))),
+    // P6 frames per component: hull count + invariant flag (see above)
+    "q44_frames" -> ((s, d) => {
+      import s.implicits._
+      import graft.graph.{Local, LocalPaths}
+      val labels = QueriesGraph.ccLabels(s, d)
+      edgesDF(s, d)
+        .join(labels.withColumnRenamed("nid", "src"), Seq("src"))
+        .join(nodesDF(s, d).select(col("nid").as("src"), col("lat").as("lat1"),
+          col("lon").as("lon1")), Seq("src"))
+        .join(nodesDF(s, d).select(col("nid").as("dst"), col("lat").as("lat2"),
+          col("lon").as("lon2")), Seq("dst"))
+        .select("comp", "src", "dst", "lat1", "lon1", "lat2", "lon2")
+        .as[(Long, Long, Long, Double, Double, Double, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (comp, rows) =>
+          val es = rows.toSeq
+          val pos: LocalPaths.Pos =
+            (es.map(e => e._2 -> (e._4, e._5)) ++ es.map(e => e._3 -> (e._6, e._7))).toMap
+          val verts = (es.map(_._2) ++ es.map(_._3)).distinct
+          // n_hull counts hull vertices on the EXACT integer grid the
+          // positions are derived from (lat = i/1e4 − 85): double cross
+          // products of near-collinear triples round differently across
+          // engines (DuckDB fuses a·b − c·d), integers cannot
+          val ipos: Long => (Double, Double) = n =>
+            (((n * 2654435761L) % 1700000L).toDouble,
+              ((n * 2246822519L) % 3600000L).toDouble)
+          val hullPts = Local.convexHull(verts.map(ipos).distinct)
+          val byPoint = verts.groupBy(pos)
+          val hullDblPts = Local.convexHull(verts.map(pos).distinct)
+          val hullNids = hullDblPts.flatMap(p => byPoint.getOrElse(p, Nil).sorted.headOption)
+          val lines = LocalPaths.frames(es.map(e => (e._2, e._3)), pos)
+          val frameNodes = lines.flatten.toSet
+          val compEdges = es.map(e =>
+            (math.min(e._2, e._3), math.max(e._2, e._3))).toSet
+          val frameEdges = lines.flatMap(_.sliding(2).collect {
+            case scala.collection.Seq(a, b) => (math.min(a, b), math.max(a, b))
+          })
+          val ok = frameEdges.forall(compEdges.contains) &&
+            hullNids.forall(frameNodes.contains) &&
+            (es.isEmpty || lines.nonEmpty)
+          (comp, hullPts.length.toLong, if (ok) 1L else 0L)
+        }
+        .toDF("comp", "n_hull", "frame_ok")
+    }),
 
-    // P8 betweenness per component (rows-only; sampled=full here)
-    "q45_betweenness" -> ((s, d) =>
+    // P8 betweenness per edge; closed-form-oracled on tree components
+    "q45_betweenness" -> ((s, d) => {
+      val labels = QueriesGraph.ccLabels(s, d)
+      val e = edgesDF(s, d)
+        .join(labels.withColumnRenamed("nid", "src"), Seq("src"))
+      val nodesPos = labels.join(nodesDF(s, d), Seq("nid"))
+      val stat = e.groupBy("comp").agg(count(lit(1)).as("n_edges"))
+        .join(nodesPos.groupBy("comp").agg(
+          count(lit(1)).as("n_nodes"),
+          countDistinct(col("lat"), col("lon")).as("n_pos")), Seq("comp"))
+        .withColumn("is_tree",
+          col("n_edges") === col("n_nodes") - 1 && col("n_pos") === col("n_nodes"))
       Extras.betweenness(edgesDF(s, d), nodesDF(s, d), s)
+        .join(stat.select("comp", "is_tree"), Seq("comp"))
         .select(col("comp"), col("src"), col("dst"),
-          expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)").as("value_e3"))),
+          when(col("is_tree"),
+            expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)"))
+            .otherwise(lit(null).cast("long")).as("value_e3"))
+    }),
 
     // D17 longest source→mouth per basin
     "q46_longest_source_mouth" -> ((s, d) =>
@@ -37,7 +100,114 @@ object QueriesExtras {
         .select(col("mouth"), col("source"),
           expr("CAST(FLOOR(dist_m * 10 + 0.5) AS BIGINT)").as("dist_dm"))))
 
+  /** cross(a, b, p) over (lat, lon) treated as (x, y) — sign is all that
+    * matters, and the expression is the same IEEE tree in both engines.
+    */
+  private def crossSql(ax: String, ay: String, bx: String, by: String,
+      px: String, py: String): String =
+    s"(($bx - $ax) * ($py - $ay) - ($by - $ay) * ($px - $ax))"
+
+  private val ccCteLocal =
+    s"""sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |r AS (
+       |  SELECT src AS nid, src AS label FROM sym
+       |  UNION
+       |  SELECT s.dst AS nid, r.label FROM r JOIN sym s ON s.src = r.nid
+       |  WHERE r.label < s.dst
+       |),
+       |cc AS MATERIALIZED (SELECT nid, MIN(label) AS comp FROM r GROUP BY nid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Strict-hull vertex count: position p is a hull vertex iff p is NOT
+    // in the convex closure of the component's other positions —
+    // Carathéodory: inside/on a non-degenerate triangle, or on a segment.
+    "q44_frames" -> {
+      val d1 = crossSql("a.lat", "a.lon", "b.lat", "b.lon", "p.lat", "p.lon")
+      val d2 = crossSql("b.lat", "b.lon", "c.lat", "c.lon", "p.lat", "p.lon")
+      val d3 = crossSql("c.lat", "c.lon", "a.lat", "a.lon", "p.lat", "p.lon")
+      val tri = crossSql("a.lat", "a.lon", "b.lat", "b.lon", "c.lat", "c.lon")
+      val segCross = crossSql("a.lat", "a.lon", "b.lat", "b.lon", "p.lat", "p.lon")
+      s"""WITH RECURSIVE $oracleWaysCte, $ccCteLocal,
+         |pos AS MATERIALIZED (
+         |  SELECT DISTINCT c.comp,
+         |    (c.nid * 2654435761) % 1700000 AS lat,
+         |    (c.nid * 2246822519) % 3600000 AS lon
+         |  FROM cc c),
+         |notvert AS MATERIALIZED (
+         |  SELECT DISTINCT comp, lat, lon FROM (
+         |  SELECT p.comp, p.lat, p.lon
+         |  FROM pos p
+         |  JOIN pos a ON a.comp = p.comp AND (a.lat <> p.lat OR a.lon <> p.lon)
+         |  JOIN pos b ON b.comp = p.comp AND (b.lat <> p.lat OR b.lon <> p.lon)
+         |  JOIN pos c ON c.comp = p.comp AND (c.lat <> p.lat OR c.lon <> p.lon)
+         |  WHERE $tri <> 0
+         |    AND NOT ((($d1) < 0 OR ($d2) < 0 OR ($d3) < 0)
+         |         AND (($d1) > 0 OR ($d2) > 0 OR ($d3) > 0))
+         |  UNION ALL
+         |  SELECT p.comp, p.lat, p.lon
+         |  FROM pos p
+         |  JOIN pos a ON a.comp = p.comp AND (a.lat <> p.lat OR a.lon <> p.lon)
+         |  JOIN pos b ON b.comp = p.comp AND (b.lat <> p.lat OR b.lon <> p.lon)
+         |  WHERE (a.lat <> b.lat OR a.lon <> b.lon)
+         |    AND $segCross = 0
+         |    AND p.lat BETWEEN LEAST(a.lat, b.lat) AND GREATEST(a.lat, b.lat)
+         |    AND p.lon BETWEEN LEAST(a.lon, b.lon) AND GREATEST(a.lon, b.lon))),
+         |np AS (SELECT comp, COUNT(*) AS np FROM pos GROUP BY comp),
+         |nv AS (SELECT comp, COUNT(*) AS k FROM notvert GROUP BY comp)
+         |SELECT np.comp, CAST(np.np - COALESCE(nv.k, 0) AS BIGINT) AS n_hull,
+         |  CAST(1 AS BIGINT) AS frame_ok
+         |FROM np LEFT JOIN nv ON nv.comp = np.comp""".stripMargin
+    },
+
+    // Tree-component betweenness closed form: rooted walk from the comp
+    // label (= min nid), subtree sizes via ancestor counting, per edge
+    // value = 2·sz(child)·(n − sz(child)); non-tree comps → NULL.
+    "q45_betweenness" ->
+      s"""WITH RECURSIVE $oracleWaysCte, $ccCteLocal,
+         |ce AS MATERIALIZED (
+         |  SELECT c.comp, e.src, e.dst FROM edges e JOIN cc c ON c.nid = e.src),
+         |npos AS (
+         |  SELECT c.comp, COUNT(*) AS n_nodes,
+         |    COUNT(DISTINCT (n.lat, n.lon)) AS n_pos
+         |  FROM cc c JOIN nodes n ON n.nid = c.nid GROUP BY c.comp),
+         |stat AS MATERIALIZED (
+         |  SELECT np.comp, np.n_nodes,
+         |    (ec.n_edges = np.n_nodes - 1 AND np.n_pos = np.n_nodes) AS is_tree
+         |  FROM npos np
+         |  JOIN (SELECT comp, COUNT(*) AS n_edges FROM ce GROUP BY comp) ec
+         |    USING (comp)),
+         |symt AS MATERIALIZED (
+         |  SELECT e.comp, e.src, e.dst FROM ce e
+         |    JOIN stat t ON t.comp = e.comp AND t.is_tree
+         |  UNION ALL
+         |  SELECT e.comp, e.dst, e.src FROM ce e
+         |    JOIN stat t ON t.comp = e.comp AND t.is_tree),
+         |walk AS (
+         |  SELECT t.comp, t.comp AS nid, CAST(NULL AS BIGINT) AS parent
+         |  FROM stat t WHERE t.is_tree
+         |  UNION ALL
+         |  SELECT w.comp, s.dst, w.nid FROM walk w
+         |    JOIN symt s ON s.comp = w.comp AND s.src = w.nid
+         |  WHERE w.parent IS NULL OR s.dst <> w.parent),
+         |anc AS (
+         |  SELECT comp, nid, nid AS a FROM walk
+         |  UNION ALL
+         |  SELECT an.comp, an.nid, w.parent FROM anc an
+         |    JOIN walk w ON w.comp = an.comp AND w.nid = an.a
+         |  WHERE w.parent IS NOT NULL),
+         |sub AS (SELECT comp, a AS nid, COUNT(*) AS sz FROM anc GROUP BY comp, a)
+         |SELECT e.comp, e.src, e.dst,
+         |  CAST(2 * s1.sz * (st.n_nodes - s1.sz) * 1000 AS BIGINT) AS value_e3
+         |FROM ce e
+         |JOIN walk w ON w.comp = e.comp AND
+         |  ((w.nid = e.src AND w.parent = e.dst) OR
+         |   (w.nid = e.dst AND w.parent = e.src))
+         |JOIN sub s1 ON s1.comp = e.comp AND s1.nid = w.nid
+         |JOIN stat st ON st.comp = e.comp
+         |UNION ALL
+         |SELECT e.comp, e.src, e.dst, CAST(NULL AS BIGINT) AS value_e3
+         |FROM ce e JOIN stat st ON st.comp = e.comp WHERE NOT st.is_tree""".stripMargin,
+
     "q46_longest_source_mouth" ->
       s"""WITH RECURSIVE $oracleWaysCte,
          |de AS (SELECT src, dst, $edgeLenSql AS len FROM edges),

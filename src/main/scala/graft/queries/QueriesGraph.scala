@@ -71,8 +71,13 @@ object QueriesGraph {
     // D1 SCC (weak-CC shuffle + per-component Tarjan)
     "q19_scc" -> ((s, d) => sccCyclic(s, d)),
 
-    // flagship end-to-end lump pipeline (rows-only: components, lengths,
-    // ranks are individually oracled by q13-q16; geometry by LumpWaysSpec)
+    // flagship end-to-end lump pipeline, FULLY oracled: the DuckDB side
+    // replays census → contraction → per-group canonical dedup → CC →
+    // lengths → ranks, and reproduces the post-compress num_nodes with a
+    // closed form (pillar count + parallel-chain / loop / pure-cycle
+    // survivors — see the q35 oracle below). Keys on (grp_s,
+    // root_nodeid); the internal composite comp id is not part of the
+    // contract.
     "q35_lump_pipeline" -> ((s, d) => {
       val cfg = graft.pipeline.LumpWays.Config(
         tagFilters = Seq(graft.tagfilter.TagFilter.unsafeParse("status")),
@@ -81,8 +86,8 @@ object QueriesGraph {
       // chokes on array columns (round-1 q35 err); doubles are integerised.
       graft.pipeline.LumpWays.features(waysDF(s, d), nodesDF(s, d), cfg, s)
         .select(
-          col("comp"), col("root_nodeid"), col("num_nodes"),
           concat_ws(";", col("grp")).as("grp_s"),
+          col("root_nodeid"), col("num_nodes"),
           expr(dmSql("length_m")).as("len_dm"),
           col("length_desc_rank"), col("length_asc_rank"),
           expr("CAST(FLOOR(length_m_fraction_total * 10000 + 0.5) AS BIGINT)").as("frac_total_bp"),
@@ -227,5 +232,132 @@ object QueriesGraph {
          |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
          |  WHERE r1.a <> r1.b)
          |SELECT nid, CAST(LEAST(nid, MIN(other)) AS BIGINT) AS scc
-         |FROM mutual GROUP BY nid""".stripMargin)
+         |FROM mutual GROUP BY nid""".stripMargin,
+
+    // Full lump-pipeline replay. num_nodes (vertex count after the
+    // local degree-2 compression, Local.compress) uses the closed form:
+    //   pillars (contracted-graph degree ≠ 2)
+    // + per parallel-chain family (p,q): C − 1 + [direct edge exists]
+    // + 2 per pillar loop, 3 per pure-cycle component
+    // — validated row-exact against the Spark pipeline at sf0.01.
+    // MATERIALIZED stops DuckDB re-inlining the dedup pipeline at every
+    // reference (unhinted, the query runs out of file handles).
+    "q35_lump_pipeline" ->
+      s"""WITH RECURSIVE $oracleWaysCte,
+         |wt AS MATERIALIZED (SELECT wid, o_orderstatus AS g,
+         |  ${nidSql("a0")} AS na, ${nidSql("b0")} AS nb, ${nidSql("c0")} AS nc
+         |  FROM ways),
+         |census AS MATERIALIZED (
+         |  SELECT nid, LEAST(SUM(w), 255) AS degree FROM (
+         |    SELECT na AS nid, 1 AS w FROM wt
+         |    UNION ALL SELECT nb, 2 FROM wt
+         |    UNION ALL SELECT nc, 3 FROM wt) GROUP BY nid),
+         |raw AS (
+         |  SELECT g, wid, na AS u, nb AS v, CAST(NULL AS BIGINT) AS mid FROM wt
+         |    WHERE nb IN (SELECT nid FROM census WHERE degree <> 2)
+         |  UNION ALL
+         |  SELECT g, wid, nb, nc, NULL FROM wt
+         |    WHERE nb IN (SELECT nid FROM census WHERE degree <> 2)
+         |  UNION ALL
+         |  SELECT g, wid, na, nc, nb FROM wt
+         |    WHERE nb NOT IN (SELECT nid FROM census WHERE degree <> 2)),
+         |rk AS (SELECT g, wid, LEAST(u, v) AS src, GREATEST(u, v) AS dst, mid,
+         |  ROW_NUMBER() OVER (PARTITION BY g, LEAST(u, v), GREATEST(u, v)
+         |    ORDER BY wid, (mid IS NOT NULL), mid) AS rn
+         |  FROM raw WHERE u <> v),
+         |cg AS MATERIALIZED (
+         |  SELECT DISTINCT g, src, dst FROM (
+         |    SELECT g, src, dst FROM rk WHERE rn = 1
+         |    UNION ALL
+         |    SELECT g, LEAST(src, mid), GREATEST(src, mid) FROM rk
+         |      WHERE rn > 1 AND mid IS NOT NULL
+         |    UNION ALL
+         |    SELECT g, LEAST(mid, dst), GREATEST(mid, dst) FROM rk
+         |      WHERE rn > 1 AND mid IS NOT NULL)),
+         |sym2 AS (SELECT g, src, dst FROM cg
+         |  UNION SELECT g, dst AS src, src AS dst FROM cg),
+         |r2 AS (
+         |  SELECT g, src AS nid, src AS label FROM sym2
+         |  UNION
+         |  SELECT s.g, s.dst, r2.label FROM r2
+         |    JOIN sym2 s ON s.g = r2.g AND s.src = r2.nid
+         |  WHERE r2.label < s.dst),
+         |cc2 AS MATERIALIZED (SELECT g, nid, MIN(label) AS root FROM r2 GROUP BY g, nid),
+         |clen2 AS (
+         |  SELECT e.g, c.root,
+         |    SUM(${haversineSql(latSql("e.src"), lonSql("e.src"),
+                latSql("e.dst"), lonSql("e.dst"))}) AS len
+         |  FROM cg e JOIN cc2 c ON c.g = e.g AND c.nid = e.src
+         |  GROUP BY e.g, c.root),
+         |deg2 AS MATERIALIZED (SELECT g, nid, COUNT(*) AS d FROM (
+         |  SELECT g, src AS nid FROM cg UNION ALL SELECT g, dst FROM cg)
+         |  GROUP BY g, nid),
+         |pil AS (SELECT d.g, c.root, COUNT(*) AS p
+         |  FROM deg2 d JOIN cc2 c ON c.g = d.g AND c.nid = d.nid
+         |  WHERE d.d <> 2 GROUP BY d.g, c.root),
+         |intnodes AS MATERIALIZED (SELECT g, nid FROM deg2 WHERE d = 2),
+         |intedges AS (SELECT e.g, e.src, e.dst FROM cg e
+         |  JOIN intnodes i1 ON i1.g = e.g AND i1.nid = e.src
+         |  JOIN intnodes i2 ON i2.g = e.g AND i2.nid = e.dst),
+         |isym AS (SELECT g, src, dst FROM intedges
+         |  UNION SELECT g, dst AS src, src AS dst FROM intedges),
+         |ir AS (
+         |  SELECT g, nid, nid AS label FROM intnodes
+         |  UNION
+         |  SELECT s.g, s.dst, ir.label FROM ir
+         |    JOIN isym s ON s.g = ir.g AND s.src = ir.nid
+         |  WHERE ir.label < s.dst),
+         |icc AS MATERIALIZED (SELECT g, nid, MIN(label) AS ic FROM ir GROUP BY g, nid),
+         |att AS (
+         |  SELECT i.g, i.ic, e.dst AS pillar FROM cg e
+         |    JOIN icc i ON i.g = e.g AND i.nid = e.src
+         |    JOIN deg2 dp ON dp.g = e.g AND dp.nid = e.dst AND dp.d <> 2
+         |  UNION ALL
+         |  SELECT i.g, i.ic, e.src FROM cg e
+         |    JOIN icc i ON i.g = e.g AND i.nid = e.dst
+         |    JOIN deg2 dp ON dp.g = e.g AND dp.nid = e.src AND dp.d <> 2),
+         |ica AS MATERIALIZED (
+         |  SELECT i.g, i.ic, COUNT(a.pillar) AS natt,
+         |    MIN(a.pillar) AS p1, MAX(a.pillar) AS p2
+         |  FROM (SELECT DISTINCT g, ic FROM icc) i
+         |  LEFT JOIN att a ON a.g = i.g AND a.ic = i.ic
+         |  GROUP BY i.g, i.ic),
+         |chains AS (
+         |  SELECT g, p1, p2, COUNT(*) AS c FROM ica
+         |  WHERE natt = 2 AND p1 <> p2 GROUP BY g, p1, p2),
+         |extras AS (
+         |  SELECT ch.g, c.root,
+         |    ch.c - 1 + (CASE WHEN EXISTS (SELECT 1 FROM cg
+         |      WHERE cg.g = ch.g AND cg.src = ch.p1 AND cg.dst = ch.p2)
+         |      THEN 1 ELSE 0 END) AS surv
+         |  FROM chains ch JOIN cc2 c ON c.g = ch.g AND c.nid = ch.p1
+         |  UNION ALL
+         |  SELECT i.g, c.root, 2 FROM ica i
+         |    JOIN cc2 c ON c.g = i.g AND c.nid = i.p1
+         |  WHERE i.natt = 2 AND i.p1 = i.p2
+         |  UNION ALL
+         |  SELECT i.g, c.root, 3 FROM ica i
+         |    JOIN cc2 c ON c.g = i.g AND c.nid = i.ic
+         |  WHERE i.natt = 0),
+         |extra AS (SELECT g, root, SUM(surv) AS x FROM extras GROUP BY g, root),
+         |nn AS (
+         |  SELECT l.g, l.root, l.len,
+         |    COALESCE(p.p, 0) + COALESCE(x.x, 0) AS num_nodes
+         |  FROM clen2 l
+         |  LEFT JOIN pil p ON p.g = l.g AND p.root = l.root
+         |  LEFT JOIN extra x ON x.g = l.g AND x.root = l.root),
+         |tot AS (SELECT SUM(len) AS t, MAX(len) AS mx, COUNT(*) AS n FROM nn)
+         |SELECT g AS grp_s, root AS root_nodeid,
+         |  CAST(num_nodes AS BIGINT) AS num_nodes,
+         |  ${dmSql("len")} AS len_dm,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY len DESC, g ASC, root ASC) - 1
+         |    AS BIGINT) AS length_desc_rank,
+         |  CAST((SELECT n FROM tot)
+         |    - (ROW_NUMBER() OVER (ORDER BY len DESC, g ASC, root ASC) - 1)
+         |    AS BIGINT) AS length_asc_rank,
+         |  CAST(FLOOR(len / (SELECT t FROM tot) * 10000 + 0.5) AS BIGINT)
+         |    AS frac_total_bp,
+         |  CAST(FLOOR(len / (SELECT mx FROM tot) * 10000 + 0.5) AS BIGINT)
+         |    AS frac_longest_bp
+         |FROM nn""".stripMargin)
 }
