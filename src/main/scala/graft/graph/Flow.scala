@@ -207,9 +207,32 @@ object Flow {
     var acc = emptyDf(StructType(Seq(
       StructField("nid", LongType), StructField("tag", StringType),
       StructField("contrib", DoubleType))))
-    var resolved = emptyDf(StructType(Seq(
+
+    // resolved/flows are APPEND-ONLY: per-round deltas are buffered (each
+    // is backed by that round's checkpointed `emitted` frame — or, with a
+    // durable checkpointer, its own parquet round dir) and only unioned
+    // at the end. Round-2 re-unioned + re-checkpointed the CUMULATIVE
+    // frames every round — O(depth × state) checkpoint I/O, the scale
+    // killer on deep DAGs (long rivers: thousands of rounds). Deltas are
+    // compacted every `compactEvery` rounds so the final union plan stays
+    // bounded.
+    val compactEvery = 64
+    final class DeltaLog(schema: StructType) {
+      private var base: DataFrame = emptyDf(schema)
+      private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def append(df: DataFrame): Unit = {
+        pending += df
+        if (pending.length >= compactEvery) compact()
+      }
+      private def compact(): Unit = {
+        base = pending.foldLeft(base)(_ union _).localCheckpoint(true)
+        pending.clear()
+      }
+      def all: DataFrame = pending.foldLeft(base)(_ union _)
+    }
+    val resolvedLog = new DeltaLog(StructType(Seq(
       StructField("nid", LongType), StructField("up", DoubleType))))
-    var flows = emptyDf(StructType(Seq(
+    val flowsLog = new DeltaLog(StructType(Seq(
       StructField("src", LongType), StructField("dst", LongType),
       StructField("tag", StringType), StructField("len", DoubleType),
       StructField("flow_m", DoubleType))))
@@ -264,12 +287,13 @@ object Flow {
         col("dst").as("nid"), col("tag"),
         (col("flow_m") + col("len")).as("contrib"))
 
-      resolved = resolved.union(newResolved)
-      resolved = checkpointer match {
-        case Some(cp) => cp(rounds, resolved)
-        case None     => resolved.localCheckpoint(true)
-      }
-      flows = flows.union(newFlows).localCheckpoint(true)
+      // append the FRONTIER-SIZED delta only; a durable checkpointer
+      // persists each round's delta parquet (resume = read all rounds)
+      resolvedLog.append(checkpointer match {
+        case Some(cp) => cp(rounds, newResolved)
+        case None     => newResolved // backed by the checkpointed `emitted`
+      })
+      flowsLog.append(newFlows)
       // consume the just-resolved nodes' contributions; no global re-agg
       // (readyState aggregates per-use), so acc work is delta-sized
       acc = acc.join(ready, Seq("nid"), "left_anti")
@@ -289,7 +313,9 @@ object Flow {
       nReady = ready.count()
       rounds += 1
     }
-    UpstreamResult(resolved.withColumnRenamed("up", "upstream_m"), flows, rounds)
+    UpstreamResult(
+      resolvedLog.all.withColumnRenamed("up", "upstream_m"),
+      flowsLog.all, rounds)
   }
 
   /** D3 — cycle contraction: every SCC collapses onto its min-nid root
@@ -325,47 +351,89 @@ object Flow {
       maxRounds: Int = 100000,
       checkpointer: Option[(Int, DataFrame) => DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
-    // state: best (end_up, end_nid) per node; start at the ends.
-    // Delta-merge per round (round-1 re-aggregated the FULL state every
-    // round — O(rounds × |nodes|) shuffles): candidates are aggregated on
-    // the pushed delta only, then one outer join against state picks
-    // winners; the frontier is exactly the improved rows.
-    var state = endUpstream.select(
-      col("nid"), col("upstream_m").as("end_up"), col("nid").as("end_nid"))
-      .localCheckpoint(true)
+    import spark.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+
+    // Pregel-style RDD loop with ONE shared HashPartitioner: the static
+    // reverse-edge set and the evolving best-(end_up, end_nid) state are
+    // co-partitioned, so both per-round joins are NARROW — the only
+    // shuffle is the frontier push + its per-node reduce, i.e. per-round
+    // shuffle rows ≈ |frontier out-edges|. The round-2 DataFrame plan
+    // re-exchanged the full state every round (AQE discards the
+    // partitioning across localCheckpoint, so Catalyst cannot express
+    // "keep this co-partitioned across an iteration"); this is the
+    // documented legitimate RDD case — iterative co-partitioned state.
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val part = new HashPartitioner(nParts)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-rdd-ckpt").toString)
+    val eByDst = edges
+      .select(col("dst").cast("long"), col("src").cast("long"))
+      .as[(Long, Long)].rdd
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // best = higher end_up, ties → smaller end nid (SURVEY D9 note)
+    def better(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      if (a._1 > b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+    def strictlyBetter(cand: (Double, Long), old: (Double, Long)): Boolean =
+      cand._1 > old._1 || (cand._1 == old._1 && cand._2 < old._2)
+
+    var state = endUpstream
+      .select(col("nid").cast("long"), col("upstream_m").cast("double"))
+      .as[(Long, Double)].rdd
+      .map { case (nid, up) => (nid, (up, nid)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = state
+    var prevMerged: Option[org.apache.spark.rdd.RDD[_]] = None
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val pushed = e
-        .join(frontier.withColumnRenamed("nid", "dst"), Seq("dst"))
-        .select(col("src").as("nid"), col("end_up"), col("end_nid"))
-        .groupBy("nid")
-        .agg(max(struct(col("end_up"), (-col("end_nid")).as("neg"),
-          col("end_nid"))).as("c"))
-        .select(col("nid"), col("c.end_up").as("c_up"),
-          col("c.end_nid").as("c_nid"))
-      val joined = state.join(pushed, Seq("nid"), "full_outer")
-        .withColumn("improved",
-          col("c_up").isNotNull && (col("end_up").isNull ||
-            col("c_up") > col("end_up") ||
-            (col("c_up") === col("end_up") && col("c_nid") < col("end_nid"))))
-        .select(col("nid"),
-          when(col("improved"), col("c_up")).otherwise(col("end_up")).as("end_up"),
-          when(col("improved"), col("c_nid")).otherwise(col("end_nid")).as("end_nid"),
-          col("improved"))
-      val checkpointed = checkpointer match {
-        case Some(cp) => cp(rounds, joined)
-        case None     => joined.localCheckpoint(true)
-      }
-      frontier = checkpointed.filter(col("improved"))
-        .select("nid", "end_up", "end_nid")
-      state = checkpointed.select("nid", "end_up", "end_nid")
-      done = frontier.isEmpty
+      val pushed = eByDst.join(frontier) // narrow: both `part`-partitioned
+        .map { case (_, (src, cand)) => (src, cand) }
+        .reduceByKey(part, better _)     // shuffle rows = |pushed delta|
+      val merged = state.fullOuterJoin(pushed) // narrow (shared partitioner)
+        .mapValues {
+          case (Some(old), Some(cand)) =>
+            if (strictlyBetter(cand, old)) (cand, true) else (old, false)
+          case (Some(old), None)  => (old, false)
+          case (None, Some(cand)) => (cand, true)
+          case (None, None)       => ((0.0, Long.MaxValue), false)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // periodic RELIABLE checkpoint: truncates lineage AND lets older
+      // persisted rounds be released (a local checkpoint would pin its
+      // blocks forever — unpersisting one breaks every descendant)
+      if (rounds % 30 == 29) merged.checkpoint()
+      frontier = merged.filter(_._2._2).mapValues(_._1)
+      done = frontier.isEmpty()
+      prevMerged.foreach(_.unpersist(false))
+      prevMerged = Some(merged)
+      state = merged.mapValues(_._1)
       rounds += 1
+      // durable per-round checkpoint (resumability contract)
+      checkpointer.foreach { cp =>
+        val reloaded = cp(rounds - 1,
+          state.map { case (nid, (up, end)) => (nid, up, end) }
+            .toDF("nid", "end_up", "end_nid"))
+        state = reloaded
+          .select(col("nid").cast("long"), col("end_up").cast("double"),
+            col("end_nid").cast("long"))
+          .as[(Long, Double, Long)].rdd
+          .map { case (nid, up, end) => (nid, (up, end)) }
+          .partitionBy(part)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
-    state.select(col("nid"), col("end_nid"), col("end_up").as("end_upstream_m"))
+    val out = state
+      .map { case (nid, (up, end)) => (nid, end, up) }
+      .toDF("nid", "end_nid", "end_upstream_m")
+      .localCheckpoint(true)
+    eByDst.unpersist(false)
+    prevMerged.foreach(_.unpersist(false))
+    out
   }
 }

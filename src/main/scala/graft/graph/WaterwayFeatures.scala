@@ -27,8 +27,7 @@ object WaterwayFeatures {
       gid: Long,            // deterministic dense internal_groupid
       minNid: Long,
       upstreamM: Double,    // Σ flow over the group's end segments
-      confl: Set[Long],
-      sinks: Set[Long])
+      hasSinks: Boolean)
 
   /** Group-count-sized metadata bundle shared by the grouped-waterways
     * features, the upstreams file, and longest-source-mouth follow rules.
@@ -42,9 +41,6 @@ object WaterwayFeatures {
   private def num(v: Double, dp: Int): String =
     GeoJson.numJson(Geo.roundHalfAway(v, dp))
 
-  type ConfEdge = (String, Long, Long, Double, Double,
-    (Double, Double), (Double, Double))
-
   /** Normalised edge frame: (gkey, tag, src, dst, len, flow). */
   def edgesWithMeta(
       tagGrouped: DataFrame, lens: DataFrame, flows: DataFrame): DataFrame =
@@ -57,15 +53,24 @@ object WaterwayFeatures {
         coalesce(col("flow_m"), lit(0.0)).cast("double").as("flow"))
       .localCheckpoint(true)
 
-  /** Collect the group-count-sized metadata: per-group info, stream
-    * levels, relationship classification, junction-incident edges.
+  /** Build the group metadata. DRIVER memory is O(#groups): only the
+    * per-group scalar rows (metas), the group-adjacency pairs feeding the
+    * stream-level BFS (inherently sequential-global, as in the reference)
+    * and the side-channel gkey set are collected. The junction-incident
+    * edge set, the D13 relationship table and every per-confluence JSON
+    * object are computed DISTRIBUTED and returned as the `relProps`
+    * frame — one row per group holding its six relationship JSON arrays
+    * (round-2 collected all junction-incident edges with positions to the
+    * driver: O(junction-incident edges), 10⁷–10⁸ rows at 100× scale).
+    *
+    * @return (e, bundle, relProps(gkey, tributaries, branching,
+    *         terminal, parents, side_channels, sea))
     */
   def groupBundle(
       tagGrouped: DataFrame, lens: DataFrame, flows: DataFrame,
-      nodes: DataFrame)
-      : (DataFrame, GroupBundle, Array[(String, String, String)],
-        Map[String, Array[ConfEdge]]) = {
+      nodes: DataFrame): (DataFrame, GroupBundle, DataFrame) = {
     val spark = tagGrouped.sparkSession
+    import spark.implicits._
     val e = edgesWithMeta(tagGrouped, lens, flows)
 
     // end segments (tag_group.rs:112-134): edges with no same-TAG-value
@@ -74,68 +79,195 @@ object WaterwayFeatures {
       col("b.src") === col("a.dst") && col("b.tag") <=> col("a.tag"),
       "left_anti")
     val upstreamPerG = endSegs.groupBy("gkey").agg(sum("flow").as("up"))
-    val sinksPerG = e.select(col("gkey"), col("dst").as("nid")).distinct()
+    // per-group sink NODES (global out-degree 0) — kept as a frame
+    val sinksF = e.select(col("gkey"), col("dst").as("nid")).distinct()
       .join(e.select(col("src").as("nid")).distinct(), Seq("nid"), "left_anti")
-      .groupBy("gkey").agg(collect_set("nid").as("sinks"))
-    val conflPerG = RiverRel.confluencesOf(e)
-      .groupBy("gkey").agg(collect_set("nid").as("confl"))
+      .localCheckpoint(true)
+    val sinkCount = sinksF.groupBy("gkey").agg(count(lit(1)).as("n_sinks"))
+    val confl = RiverRel.confluencesOf(e)
+      .select("gkey", "nid").localCheckpoint(true)
     val metaRows = e.groupBy("gkey")
       .agg(first("tag").as("tag"), least(min("src"), min("dst")).as("min_nid"))
       .join(upstreamPerG, Seq("gkey"), "left")
-      .join(sinksPerG, Seq("gkey"), "left")
-      .join(conflPerG, Seq("gkey"), "left")
+      .join(sinkCount, Seq("gkey"), "left")
       .collect()
     val metas0 = metaRows.map { r =>
       GMeta(r.getAs[String]("gkey"), Option(r.getAs[String]("tag")),
         0L, r.getAs[Long]("min_nid"),
         Option(r.get(r.fieldIndex("up"))).map(_.asInstanceOf[Double]).getOrElse(0.0),
-        Option(r.getAs[collection.Seq[Long]]("confl")).map(_.toSet).getOrElse(Set.empty),
-        Option(r.getAs[collection.Seq[Long]]("sinks")).map(_.toSet).getOrElse(Set.empty))
+        Option(r.get(r.fieldIndex("n_sinks"))).exists(_.asInstanceOf[Long] > 0L))
     }.sortBy(m => (m.tag.isDefined, m.tag.getOrElse(""), m.minNid))
     val metas = metas0.zipWithIndex.map { case (m, i) => m.copy(gid = i.toLong) }
     val byKey = metas.map(m => m.gkey -> m).toMap
 
-    // junction-incident + sink-incident edges (with positions) — the raw
-    // material for the per-confluence JSON objects; junction-count-sized
-    val wantedNids = (metas.flatMap(_.confl) ++ metas.flatMap(_.sinks)).toSet
-    val bWanted = spark.sparkContext.broadcast(wantedNids)
+    // junction/sink-incident edges with positions — DISTRIBUTED frame
+    val wanted = confl.select("nid").union(sinksF.select("nid")).distinct()
     val n1 = nodes.select(col("nid").as("src"), col("lat").as("slat"), col("lon").as("slon"))
     val n2 = nodes.select(col("nid").as("dst"), col("lat").as("dlat"), col("lon").as("dlon"))
-    val conflEdges = e
-      .filter(udf((s: Long, d: Long) =>
-        bWanted.value.contains(s) || bWanted.value.contains(d)).apply(col("src"), col("dst")))
+    val ce = e.join(wanted.withColumnRenamed("nid", "src"), Seq("src"), "left_semi")
+      .select(e.columns.map(col): _*)
+      .union(e.join(wanted.withColumnRenamed("nid", "dst"), Seq("dst"), "left_semi")
+        .select(e.columns.map(col): _*))
+      .dropDuplicates("gkey", "src", "dst")
       .join(n1, Seq("src")).join(n2, Seq("dst"))
       .select("gkey", "src", "dst", "flow", "len", "slat", "slon", "dlat", "dlon")
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(4), (r.getDouble(5), r.getDouble(6)),
-        (r.getDouble(7), r.getDouble(8))))
-    val edgesByG: Map[String, Array[ConfEdge]] = conflEdges.groupBy(_._1)
+      .localCheckpoint(true)
+    // exploded by endpoint, for equi-joins against shared-node frames
+    val cex = ce
+      .withColumn("nid", explode(array(col("src"), col("dst"))))
+      .localCheckpoint(true)
 
-    // relationships (D13) — drives the tributary/distributary arrays
-    val rels = RiverRel.classifyPairs(tagGrouped, lens).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // relationships (D13) — DISTRIBUTED
+    val relsF = RiverRel.classifyPairs(tagGrouped, lens)
+      .localCheckpoint(true)
+    val sideChannelGroups = relsF
+      .filter(col("rel") === RiverRel.ASideChannelB)
+      .select("group_a").distinct().collect().map(_.getString(0)).toSet
 
-    // stream levels (D14, tag_group.rs:468-536): roots = groups with
-    // sinks, BFS by confluence in-flow, upstream-desc child order.
-    // Indexed by in-edge dst first — a flat scan per (group, confluence)
-    // would be quadratic in junction count.
-    val groupsInAt: Map[Long, Seq[String]] = edgesByG.values.flatten.toSeq
-      .groupBy(_._3).view.mapValues(_.map(_._1).distinct).toMap
-    val groupFlows = for {
-      parent <- metas.toSeq
-      nid <- parent.confl
-      child <- groupsInAt.getOrElse(nid, Nil)
-      if child != parent.gkey
-    } yield (parent.gid, byKey(child).gid)
+    // stream levels (D14, tag_group.rs:468-536): group adjacency =
+    // (parent with confluence at nid) × (child flowing IN at nid),
+    // computed distributed; only the gkey pairs reach the driver (the
+    // BFS itself is sequential-global, as in the reference).
+    val inAt = cex.filter(col("nid") === col("dst"))
+      .select(col("gkey").as("child"), col("nid")).distinct()
+    val parentChild = confl.select(col("gkey").as("parent"), col("nid"))
+      .join(inAt, Seq("nid"))
+      .filter(col("parent") =!= col("child"))
+      .select("parent", "child").distinct().collect()
+      .map(r => (byKey(r.getString(0)).gid, byKey(r.getString(1)).gid))
     val levels = DownOps.streamLevels(
-      groupFlows.distinct,
+      parentChild.toSeq.distinct,
       metas.map(m => m.gid -> m.upstreamM).toMap,
-      metas.filter(_.sinks.nonEmpty).map(_.gid).toSeq)
-    val sideChannelGroups = rels.collect {
-      case (rel, a, _) if rel == RiverRel.ASideChannelB => a
-    }.toSet
-    (e, GroupBundle(metas, byKey, levels, sideChannelGroups), rels, edgesByG)
+      metas.filter(_.hasSinks).map(_.gid).toSeq)
+
+    // ---- per-group relationship JSON arrays, DISTRIBUTED --------------
+    // peer meta lookup is O(#groups) — broadcast
+    val bPeer = spark.sparkContext.broadcast(
+      metas.map(m => m.gkey ->
+        (m.minNid, m.gid, m.tag, levels.get(m.gid).map(_._2))).toMap)
+
+    // shared confluence nodes per ordered group pair (both directions)
+    val cpair = confl.as("x").join(confl.as("y"),
+        col("x.nid") === col("y.nid") && col("x.gkey") =!= col("y.gkey"))
+      .select(col("x.gkey").as("owner"), col("y.gkey").as("peer"),
+        col("x.nid").as("nid"))
+
+    // relationship rows → (kind, owner, peer, edgesOf)
+    def needOf(rel: String, kind: String) = relsF.filter(col("rel") === rel)
+      .select(lit(kind).as("kind"), col("group_b").as("owner"),
+        col("group_a").as("peer"), col("group_a").as("edgesOf"))
+    val needDf = needOf(RiverRel.ATributaryB, "trib")
+      .union(needOf(RiverRel.ABranchingDistributaryB, "branch"))
+      .union(needOf(RiverRel.ATerminalDistributaryB, "term"))
+      .union(relsF.filter(col("rel").isin(
+          RiverRel.ATributaryB, RiverRel.ABranchingDistributaryB,
+          RiverRel.ATerminalDistributaryB))
+        .select(lit("parent").as("kind"), col("group_a").as("owner"),
+          col("group_b").as("peer"), col("group_a").as("edgesOf")))
+
+    // per (kind, owner, peer): the peer-entry JSON object + its total
+    val hits = needDf
+      .join(cpair, Seq("owner", "peer"))
+      .join(cex.withColumnRenamed("gkey", "edgesOf"), Seq("edgesOf", "nid"))
+      .dropDuplicates("kind", "owner", "peer", "src", "dst")
+      .select(col("kind"), col("owner"), col("peer"), col("src"), col("dst"),
+        col("flow"), col("len"), col("slat"), col("slon"),
+        col("dlat"), col("dlon"))
+    val entries = hits
+      .as[(String, String, String, Long, Long, Double, Double,
+        Double, Double, Double, Double)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key, it) =>
+        val (kind, owner, peer) = key
+        val atDst = kind == "trib"
+        val inclLen = kind == "trib"
+        val confs = it.toSeq.sortBy(r => (r._4, r._5)).map { r =>
+          val (nid, plat, plon) =
+            if (atDst) (r._5, r._10, r._11) else (r._4, r._8, r._9)
+          val up = r._6 + (if (inclLen) r._7 else 0.0)
+          (GeoJson.propsJson(Seq(
+            "lat" -> num(plat, 7), "lon" -> num(plon, 7),
+            "nid" -> nid.toString, "upstream_m" -> num(up, 1))), up)
+        }
+        val total = confs.map(_._2).sum
+        val (minNid, gid, tag, code) = bPeer.value(peer)
+        val kvs = Seq(
+          "confluences" -> confs.map(_._1).mkString("[", ",", "]"),
+          "min_nid" -> minNid.toString,
+          "stream_level_code" ->
+            code.map(_.mkString("[", ",", "]")).getOrElse("[]"),
+          "tag_group_value" ->
+            tag.map(GeoJson.jsonStr).getOrElse("null")) ++
+          (kind match {
+            case "trib" => Seq("inflow_m" -> num(total, 1))
+            case "branch" | "term" =>
+              Seq("outflow_m" -> num(total, 1), "dist_tg_idx" -> gid.toString)
+            case _ => Nil
+          })
+        (owner, kind, GeoJson.propsJson(kvs), total, gid)
+      }
+
+    // distributaries_sea: the owner's own in-edges of its sink nodes
+    val seaEntries = cex
+      .join(sinksF, Seq("gkey", "nid"), "left_semi")
+      .dropDuplicates("gkey", "src", "dst")
+      .select("gkey", "src", "dst", "flow", "len", "dlat", "dlon")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (gkey, it) =>
+        val objs = it.toSeq.sortBy(r => (r._2, r._3)).map { r =>
+          val up = r._4 + r._5
+          (GeoJson.propsJson(Seq(
+            "lat" -> num(r._6, 7), "lon" -> num(r._7, 7),
+            "nid" -> r._3.toString, "upstream_m" -> num(up, 1))), up, r._2, r._3)
+        }
+        val arr = objs.sortBy(o => (-o._2, o._3, o._4)).map(_._1)
+          .mkString("[", ",", "]")
+        (gkey, arr)
+      }.toDF("gkey", "sea")
+
+    // side_channels: peer gid arrays per owner
+    val sideArr = relsF.filter(col("rel") === RiverRel.ASideChannelB)
+      .select(col("group_b").as("gkey"), col("group_a").as("peer"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (gkey, it) =>
+        val gids = it.map(x => bPeer.value(x._2)._2).toSeq.distinct.sorted
+        (gkey, gids.mkString("[", ",", "]"))
+      }.toDF("gkey", "side_channels")
+
+    // per-owner arrays: trib/branch/term sorted flow-desc (stable over
+    // gid order = (-total, gid)), parents in gid order
+    val relArrays = entries
+      .groupByKey(_._1)
+      .mapGroups { (gkey, it) =>
+        val es = it.toSeq
+        def arr(kind: String, byFlow: Boolean) = {
+          val ks = es.filter(_._2 == kind)
+          val sorted =
+            if (byFlow) ks.sortBy(x => (-x._4, x._5)) else ks.sortBy(_._5)
+          sorted.map(_._3).mkString("[", ",", "]")
+        }
+        (gkey, arr("trib", byFlow = true), arr("branch", byFlow = true),
+          arr("term", byFlow = true), arr("parent", byFlow = false))
+      }.toDF("gkey", "tributaries", "branching", "terminal", "parents")
+
+    val relProps = spark.createDataFrame(
+        spark.sparkContext.parallelize(metas.toSeq.map(m => Tuple1(m.gkey))))
+      .toDF("gkey")
+      .join(relArrays, Seq("gkey"), "left")
+      .join(sideArr, Seq("gkey"), "left")
+      .join(seaEntries, Seq("gkey"), "left")
+      .select(col("gkey"),
+        coalesce(col("tributaries"), lit("[]")).as("tributaries"),
+        coalesce(col("branching"), lit("[]")).as("branching"),
+        coalesce(col("terminal"), lit("[]")).as("terminal"),
+        coalesce(col("parents"), lit("[]")).as("parents"),
+        coalesce(col("side_channels"), lit("[]")).as("side_channels"),
+        coalesce(col("sea"), lit("[]")).as("sea"))
+      .localCheckpoint(true)
+
+    (e, GroupBundle(metas, byKey, levels, sideChannelGroups), relProps)
   }
 
   /** @param tagGrouped (src, dst, tag nullable, tag_group_nid)
@@ -151,105 +283,39 @@ object WaterwayFeatures {
       flows: DataFrame,
       nodes: DataFrame,
       minLengthM: Option[Double] = None,
-      precomputed: Option[(DataFrame, GroupBundle,
-        Array[(String, String, String)], Map[String, Array[ConfEdge]])] = None)
+      precomputed: Option[(DataFrame, GroupBundle, DataFrame)] = None)
       : DataFrame = {
     val spark = tagGrouped.sparkSession
     import spark.implicits._
-    val (e, bundle, rels, edgesByG) =
+    val (e, bundle, relProps) =
       precomputed.getOrElse(groupBundle(tagGrouped, lens, flows, nodes))
     val metas = bundle.metas
-    val byKey = bundle.byKey
     val levels = bundle.levels
     val n1 = nodes.select(col("nid").as("src"), col("lat").as("slat"), col("lon").as("slon"))
     val n2 = nodes.select(col("nid").as("dst"), col("lat").as("dlat"), col("lon").as("dlon"))
 
-    def rel(relName: String): Seq[(String, String)] =
-      rels.toSeq.collect { case (`relName`, a, b) => (a, b) }
-    def sortedPeers(pairs: Seq[String]): Seq[GMeta] =
-      pairs.distinct.flatMap(byKey.get).sortBy(_.gid)
-    val tributariesOf = rel(RiverRel.ATributaryB).groupBy(_._2)
-      .view.mapValues(ps => sortedPeers(ps.map(_._1))).toMap
-    val branchingOf = rel(RiverRel.ABranchingDistributaryB).groupBy(_._2)
-      .view.mapValues(ps => sortedPeers(ps.map(_._1))).toMap
-    val terminalOf = rel(RiverRel.ATerminalDistributaryB).groupBy(_._2)
-      .view.mapValues(ps => sortedPeers(ps.map(_._1))).toMap
-    val sideChannelsOf = rel(RiverRel.ASideChannelB).groupBy(_._2)
-      .view.mapValues(ps => sortedPeers(ps.map(_._1))).toMap
-    val parentRiversOf =
-      (rel(RiverRel.ATributaryB) ++ rel(RiverRel.ABranchingDistributaryB) ++
-        rel(RiverRel.ATerminalDistributaryB)).groupBy(_._1)
-        .view.mapValues(ps => sortedPeers(ps.map(_._2))).toMap
-
-    // per-confluence JSON (down/main.rs:1937-1945 seg_to_distrib_json):
-    // {lat, lon, nid, upstream_m} at the chosen endpoint of each
-    // peer-group edge incident to a shared confluence node
-    def confJson(
-        peer: String, shared: Set[Long], atDst: Boolean, inclLen: Boolean)
-        : Seq[(String, Double)] =
-      edgesByG.getOrElse(peer, Array.empty[(String, Long, Long, Double, Double,
-          (Double, Double), (Double, Double))]).toSeq
-        .filter(x => shared.contains(x._2) || shared.contains(x._3))
-        .sortBy(x => (x._2, x._3))
-        .map { case (_, s, d, flow, len, spos, dpos) =>
-          val (nid, pos) = if (atDst) (d, dpos) else (s, spos)
-          val up = flow + (if (inclLen) len else 0.0)
-          (GeoJson.propsJson(Seq(
-            "lat" -> num(pos._1, 7), "lon" -> num(pos._2, 7),
-            "nid" -> nid.toString, "upstream_m" -> num(up, 1))), up)
-        }
-
-    def peerEntry(
-        m: GMeta, peer: GMeta, atDst: Boolean, inclLen: Boolean,
-        flowKey: Option[String], idxKey: Option[String],
-        peerEdgesOf: String): (String, Double) = {
-      val shared = m.confl intersect peer.confl
-      val confs = confJson(peerEdgesOf, shared, atDst, inclLen)
-      val total = confs.map(_._2).sum
-      val kvs = Seq(
-        "confluences" -> confs.map(_._1).mkString("[", ",", "]"),
-        "min_nid" -> peer.minNid.toString,
-        "stream_level_code" ->
-          levels.get(peer.gid).map(_._2.mkString("[", ",", "]")).getOrElse("[]"),
-        "tag_group_value" ->
-          peer.tag.map(GeoJson.jsonStr).getOrElse("null")) ++
-        flowKey.map(k => k -> num(total, 1)).toSeq ++
-        idxKey.map(k => k -> peer.gid.toString).toSeq
-      (GeoJson.propsJson(kvs), total)
-    }
-
-    def entriesSortedByFlow(xs: Seq[(String, Double)]): String =
-      xs.sortBy(-_._2).map(_._1).mkString("[", ",", "]")
+    // relationship arrays were computed DISTRIBUTED in groupBundle; only
+    // the finished group-level JSON strings reach the driver (O(#groups))
+    val relByKey: Map[String, (String, String, String, String, String, String)] =
+      relProps.collect().map { r =>
+        r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3),
+          r.getString(4), r.getString(5), r.getString(6))
+      }.toMap
+    val empty = ("[]", "[]", "[]", "[]", "[]", "[]")
 
     val propsByKey: Map[String, Map[String, String]] = metas.map { m =>
-      val tribs = tributariesOf.getOrElse(m.gkey, Nil)
-        .map(t => peerEntry(m, t, atDst = true, inclLen = true,
-          Some("inflow_m"), None, t.gkey))
-      val branching = branchingOf.getOrElse(m.gkey, Nil)
-        .map(d => peerEntry(m, d, atDst = false, inclLen = false,
-          Some("outflow_m"), Some("dist_tg_idx"), d.gkey))
-      val terminal = terminalOf.getOrElse(m.gkey, Nil)
-        .map(d => peerEntry(m, d, atDst = false, inclLen = false,
-          Some("outflow_m"), Some("dist_tg_idx"), d.gkey))
-      // parent_rivers: confluence objects are THIS group's edges at the
-      // shared nodes (main.rs:2195-2224), insertion order (no flow sort)
-      val parents = parentRiversOf.getOrElse(m.gkey, Nil)
-        .map(p => peerEntry(m, p, atDst = false, inclLen = false,
-          None, None, m.gkey)._1)
-      // distributaries_sea: this group's in-edges of its sink nodes
-      val sea = confJson(m.gkey, m.sinks, atDst = true, inclLen = true)
-        .sortBy(-_._2).map(_._1)
+      val (tribs, branching, terminal, parents, side, sea) =
+        relByKey.getOrElse(m.gkey, empty)
       val base = Seq(
         "internal_groupid" -> m.gid.toString,
         "min_nid" -> m.minNid.toString,
         "tag_group_value" -> m.tag.map(GeoJson.jsonStr).getOrElse("null"),
-        "tributaries" -> entriesSortedByFlow(tribs),
-        "branching_distributaries" -> entriesSortedByFlow(branching),
-        "terminal_distributaries" -> entriesSortedByFlow(terminal),
-        "parent_rivers" -> parents.mkString("[", ",", "]"),
-        "side_channels" -> sideChannelsOf.getOrElse(m.gkey, Nil)
-          .map(_.gid).mkString("[", ",", "]"),
-        "distributaries_sea" -> sea.mkString("[", ",", "]")) ++
+        "tributaries" -> tribs,
+        "branching_distributaries" -> branching,
+        "terminal_distributaries" -> terminal,
+        "parent_rivers" -> parents,
+        "side_channels" -> side,
+        "distributaries_sea" -> sea) ++
         levels.get(m.gid).toSeq.flatMap { case (lvl, code) => Seq(
           "stream_level" -> lvl.toString,
           "stream_level_code" -> code.mkString("[", ",", "]"),

@@ -212,6 +212,32 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == 2L)
   }
 
+  test("deep-chain upstream: append-only delta log survives compaction") {
+    // 70-node chain → 69 frontier rounds, crossing the 64-round delta
+    // compaction boundary; exact values prove no delta is lost or duped
+    val n = 70
+    val e = (1 until n).map(i => (i.toLong, (i + 1).toLong, 1.0))
+      .toDF("src", "dst", "len")
+      .withColumn("tag", org.apache.spark.sql.functions.lit(null).cast("string"))
+    val r = Flow.upstreamFlow(e)
+    assert(r.rounds == n) // one ready node per round on a pure chain
+    val up = r.nodeUpstream.collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(up(n.toLong) == (n - 1).toDouble)
+    assert(up(1L) == 0.0)
+    assert(up(35L) == 34.0)
+    assert(r.edgeFlow.count() == (n - 1).toLong)
+  }
+
+  test("deep-chain biggest-end: long propagation over co-partitioned state") {
+    val n = 40
+    val e = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val ends = Seq((n.toLong, 42.0)).toDF("nid", "upstream_m")
+    val got = Flow.biggestEndAssignment(e, ends)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n)
+    assert((1 to n).forall(i => got(i.toLong) == n.toLong))
+  }
+
   test("hybrid upstream == frontier upstream on a seeded random tagged DAG") {
     val rng = new scala.util.Random(11)
     val es = (0 until 400).map { _ =>
