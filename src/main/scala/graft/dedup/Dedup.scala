@@ -188,7 +188,10 @@ object Dedup {
   def cosineTopK(
       embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
       bcastMaxRows: Long = 2000000L): DataFrame =
-    if (embeddings.count() <= bcastMaxRows)
+    // gate probe: limit(gate+1).count() short-circuits the scan once
+    // gate+1 rows are seen — a full count() materialised the whole input
+    // a second time just to pick the route
+    if (embeddings.select(idCol).limit((bcastMaxRows + 1).toInt).count() <= bcastMaxRows)
       bruteForceCosineTopK(embeddings, idCol, vecCol, k)
     else
       annCosineTopK(embeddings, idCol, vecCol, k)

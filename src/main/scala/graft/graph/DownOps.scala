@@ -12,27 +12,33 @@ import graft.geo.Geo
 object DownOps {
 
   /** D6 — per contracted edge: Σ haversine over the expanded chain
-    * (src ++ inter ++ dst), computed with one explode + window-pair join
-    * (down/main.rs:795-803).
+    * (src ++ inter ++ dst), down/main.rs:795-803. One explode + position
+    * join + regroup, then a codegen'd `aggregate()` higher-order function
+    * sums consecutive haversines inside the row — no per-edge window
+    * (the round-2 plan paid an extra exchange + sort for a lag() window
+    * keyed by eid before re-aggregating).
     * @param edges (src, dst, inter: array<long>) + any other columns
     * @param nodes (nid, lat, lon)
     */
   def edgeLengths(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    val chain = edges
+    def pt(pts: Column, i: Column) = element_at(pts, i.cast("int"))
+    edges
       .withColumn("eid", monotonically_increasing_id())
       .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
       .select(col("eid"), col("src"), col("dst"),
         posexplode(col("chain")).as(Seq("pos", "nid")))
       .join(nodes, Seq("nid"))
-    val w = Window.partitionBy("eid").orderBy("pos")
-    chain
-      .withColumn("plat", lag("lat", 1).over(w))
-      .withColumn("plon", lag("lon", 1).over(w))
-      .filter(col("plat").isNotNull)
-      .withColumn("seg", Geo.haversineM(col("plat"), col("plon"), col("lat"), col("lon")))
       .groupBy("eid", "src", "dst")
-      .agg(sum("seg").as("len"))
-      .drop("eid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lat"), col("lon"))))
+        .as("pts"))
+      .withColumn("len",
+        aggregate(sequence(lit(2), size(col("pts"))), lit(0.0),
+          (acc, i) => acc + Geo.haversineM(
+            pt(col("pts"), i - 1).getField("lat"),
+            pt(col("pts"), i - 1).getField("lon"),
+            pt(col("pts"), i).getField("lat"),
+            pt(col("pts"), i).getField("lon"))))
+      .select("src", "dst", "len")
   }
 
   /** D2 — loops output: one row per non-singleton SCC with
