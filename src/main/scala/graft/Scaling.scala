@@ -18,7 +18,7 @@ object Scaling {
 
   final case class RunResult(
       cpus: Int, wallSec: Double, waysPerSec: Double, ccRounds: Int,
-      nComponents: Long, checksum: Long)
+      nComponents: Long, checksum: Long, totalLenM: Double)
 
   def runOnce(cpus: Int, nWays: Long): RunResult = {
     val spark = SparkSession.builder()
@@ -47,6 +47,12 @@ object Scaling {
         .union(edges.select(col("dst").as("nid"))).distinct()
       val nodes = Synthetic.nodesForNids(needed).localCheckpoint(true)
       val cc = ConnectedComponents.run(edges.select("src", "dst"))
+      // Invariants: component STRUCTURE (labels + per-component edge
+      // counts) is exact at any parallelism and goes into the hash;
+      // floating length sums are NOT reassociation-stable — at 16M ways
+      // (~6M components) a decimetre-rounded per-component sum first
+      // straddled a .5 boundary between summation orders — so total
+      // length is compared with a relative tolerance instead of hashed.
       val lens = edges
         .join(cc.labels.withColumnRenamed("nid", "src"), Seq("src"))
         .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
@@ -54,17 +60,18 @@ object Scaling {
         .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
           col("lon").as("lon2")), Seq("dst"))
         .groupBy("comp")
-        .agg(expr("CAST(FLOOR(SUM(" +
-          "2.0 * 6371008.8 * ASIN(SQRT(POW(SIN(RADIANS(lat2 - lat1) / 2.0), 2.0) + " +
-          "COS(RADIANS(lat1)) * COS(RADIANS(lat2)) * " +
-          "POW(SIN(RADIANS(lon2 - lon1) / 2.0), 2.0)))) * 10 + 0.5) AS BIGINT)")
-          .as("len_dm"))
+        .agg(count(lit(1)).as("n_edges"),
+          expr("SUM(" +
+            "2.0 * 6371008.8 * ASIN(SQRT(POW(SIN(RADIANS(lat2 - lat1) / 2.0), 2.0) + " +
+            "COS(RADIANS(lat1)) * COS(RADIANS(lat2)) * " +
+            "POW(SIN(RADIANS(lon2 - lon1) / 2.0), 2.0))))").as("len"))
       val summary = lens.agg(
         count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(comp, len_dm))"), lit(0L)).as("x")).head()
+        coalesce(expr("bit_xor(xxhash64(comp, n_edges))"), lit(0L)).as("x"),
+        sum("len").as("total")).head()
       val wall = (System.nanoTime() - t0) / 1e9
       RunResult(cpus, wall, nWays / wall, cc.rounds,
-        summary.getLong(0), summary.getLong(1))
+        summary.getLong(0), summary.getLong(1), summary.getDouble(2))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -96,12 +103,18 @@ object Scaling {
     require(lo.ccRounds == hi.ccRounds,
       s"CC rounds differ across parallelism: ${lo.ccRounds} vs ${hi.ccRounds}")
     require(lo.nComponents == hi.nComponents && lo.checksum == hi.checksum,
-      "output differs across parallelism levels")
+      s"component structure differs across parallelism levels: " +
+        s"n=${lo.nComponents}/${hi.nComponents} x=${lo.checksum}/${hi.checksum}")
+    val lenRel = math.abs(lo.totalLenM - hi.totalLenM) /
+      math.max(math.abs(lo.totalLenM), 1.0)
+    require(lenRel < 1e-9,
+      s"total length diverges beyond fp reassociation: $lenRel")
     println(
       s"""{"metric":"scaling","n_ways":$nWays,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,""" +
         s""""t_lo_sec":${lo.wallSec},"t_hi_sec":${hi.wallSec},""" +
         s""""ways_per_sec_lo":${lo.waysPerSec.toLong},"ways_per_sec_hi":${hi.waysPerSec.toLong},""" +
         s""""cc_rounds":${lo.ccRounds},"n_components":${lo.nComponents},""" +
-        s""""checksum":${lo.checksum},"efficiency":$eff}""")
+        s""""checksum":${lo.checksum},"total_len_rel_diff":$lenRel,""" +
+        s""""efficiency":$eff}""")
   }
 }

@@ -49,7 +49,9 @@ object LumpWaysMain {
     val ways = spark.read.parquet(s"${args.inputFilename}/ways.parquet")
     val nodes = spark.read.parquet(s"${args.inputFilename}/nodes.parquet")
     val t0 = System.nanoTime()
-    val cfg = args.config.copy(onlyNodeids = args.onlyTheseWayGroupsNodeid)
+    val cfg = args.config.copy(
+      onlyNodeids = args.onlyTheseWayGroupsNodeid,
+      inclWayIds = args.inclWayIds)
     val feats = LumpWays.features(ways, nodes, cfg, spark)
     // serialize per-row on executors, stream through toLocalIterator
     // — no full-result collect() anywhere on the sink path
@@ -129,10 +131,12 @@ object LumpWaysMain {
       .groupBy("eid")
       .agg(sort_array(collect_list(struct(col("pos"), col("lon"), col("lat"))))
         .as("pts"))
-    val wgProps = wayGroups.select("comp", "grp", "root_nodeid", "length_m",
+    val wgPropCols = Seq("comp", "grp", "root_nodeid", "length_m",
       "num_nodes", "length_desc_rank", "length_desc_rank_perc",
       "length_asc_rank", "length_asc_rank_perc",
-      "length_m_fraction_total", "length_m_fraction_longest")
+      "length_m_fraction_total", "length_m_fraction_longest") ++
+      (if (wayGroups.columns.contains("all_wayids")) Seq("all_wayids") else Nil)
+    val wgProps = wayGroups.select(wgPropCols.map(col): _*)
       .dropDuplicates("comp")
     withId.join(coords, Seq("eid")).join(wgProps, Seq("comp"))
       .orderBy("comp", "src", "dst")

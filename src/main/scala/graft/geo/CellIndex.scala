@@ -132,9 +132,13 @@ object CellIndex {
 
   /** Column form of [[cell]] — pure built-in expressions, codegen'd. */
   def cellCol(lat: Column, lon: Column, res: Int): Column =
+    packCol(xCol(lon, res), yCol(lat, res), res)
+
+  /** Column form of [[pack]] from precomputed x/y columns. */
+  def packCol(x: Column, y: Column, res: Int): Column =
     lit(res.toLong << 58)
-      .bitwiseOR(spreadCol(xCol(lon, res)))
-      .bitwiseOR(shiftleft(spreadCol(yCol(lat, res)), 1))
+      .bitwiseOR(spreadCol(x))
+      .bitwiseOR(shiftleft(spreadCol(y), 1))
 
   // ---- Oracle SQL generator -------------------------------------------
   // Emits the *same* bit algebra as ANSI-ish SQL so DuckDB can reproduce
@@ -151,11 +155,21 @@ object CellIndex {
     x
   }
 
-  /** SQL text computing cell(lat, lon, res) identically to [[cell]]. */
-  def cellSql(latExpr: String, lonExpr: String, res: Int): String = {
+  /** SQL text for [[xOf]] / [[yOf]] / [[pack]] — the same integer
+    * algebra, so DuckDB reproduces tile coordinates bit-exactly.
+    */
+  def xSql(lonExpr: String, res: Int): String = {
     val n = 1L << res
-    val xs = s"GREATEST(0, LEAST(${n - 1}, CAST(FLOOR((($lonExpr) + 180.0) / 360.0 * $n) AS BIGINT)))"
-    val ys = s"GREATEST(0, LEAST(${n - 1}, CAST(FLOOR((($latExpr) + 90.0) / 180.0 * $n) AS BIGINT)))"
-    s"((${res.toLong << 58}) | ${spreadSql(xs)} | (${spreadSql(ys)} << 1))"
+    s"GREATEST(0, LEAST(${n - 1}, CAST(FLOOR((($lonExpr) + 180.0) / 360.0 * $n) AS BIGINT)))"
   }
+  def ySql(latExpr: String, res: Int): String = {
+    val n = 1L << res
+    s"GREATEST(0, LEAST(${n - 1}, CAST(FLOOR((($latExpr) + 90.0) / 180.0 * $n) AS BIGINT)))"
+  }
+  def packSql(xExpr: String, yExpr: String, res: Int): String =
+    s"((${res.toLong << 58}) | ${spreadSql(xExpr)} | (${spreadSql(yExpr)} << 1))"
+
+  /** SQL text computing cell(lat, lon, res) identically to [[cell]]. */
+  def cellSql(latExpr: String, lonExpr: String, res: Int): String =
+    packSql(xSql(lonExpr, res), ySql(latExpr, res), res)
 }

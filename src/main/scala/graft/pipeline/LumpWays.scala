@@ -63,7 +63,8 @@ object LumpWays {
       topN: Option[Int] = None,
       onlyNodeids: Seq[Long] = Nil, // C6 --only-these-way-groups-nodeid
       splitIntoSinglePaths: Boolean = false, // P2 (as-crow-flies only)
-      onlyLongestNSplittedPaths: Option[Int] = None)
+      onlyLongestNSplittedPaths: Option[Int] = None,
+      inclWayIds: Boolean = false) // --incl-wayids (main.rs:650-653)
 
   /** Composite (group id, node id) packed into one Long for the CC key —
     * group graphs are independent (SURVEY C1: a node can sit in different
@@ -218,7 +219,8 @@ object LumpWays {
         val cMap = compressed.map { case (a, b, iv) => ((a, b), iv) }.toMap
         // num_nodes = vertex count AFTER degree-2 compression
         // (main.rs:611-632 runs before json_props at :652)
-        val numNodes = compressed.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+        val vertices = compressed.flatMap(e => Seq(e._1, e._2)).distinct
+        val numNodes = vertices.size.toLong
         // P2: as-crow-flies single paths (main.rs:761-770, discovery
         // order, `.take(N)`); default: random peel (P1)
         val walks =
@@ -241,13 +243,28 @@ object LumpWays {
           // one row per path — each serializes to its own feature with
           // dist_ends props (main.rs:788-797)
           expanded.indices.iterator.map { i =>
-            (comp, Seq(expanded(i)), Seq(coords(i)), numNodes, i)
+            (comp, Seq(expanded(i)), Seq(coords(i)), numNodes, i, vertices)
           }
-        else Iterator((comp, expanded, coords, numNodes, -1))
+        else Iterator((comp, expanded, coords, numNodes, -1, vertices))
       }
-      .toDF("comp", "lines", "coords", "num_nodes", "path_idx")
+      .toDF("comp", "lines", "coords", "num_nodes", "path_idx", "vertices")
 
-    withRanks.join(geoms, Seq("comp"))
+    val joined = withRanks.join(geoms, Seq("comp"))
+    if (!cfg.inclWayIds) joined.drop("vertices")
+    else {
+      // all_wayids (main.rs:46-62, 650-653): "w{id}" for every FILTERED
+      // way touching a POST-compress vertex of the group graph, sorted by
+      // id, deduped. The node→wayids index is global across groups, like
+      // the reference's NodeIdWayIds.
+      val nidWays = withGroup.select(col("wid"), explode(col("nids")).as("nid"))
+        .distinct()
+      val wayIds = geoms
+        .select(col("comp"), explode(col("vertices")).as("nid")).distinct()
+        .join(nidWays, Seq("nid"))
+        .groupBy("comp")
+        .agg(sort_array(collect_set(col("wid"))).as("all_wayids"))
+      joined.drop("vertices").join(wayIds, Seq("comp"), "left")
+    }
   }
 
   /** Per-row feature serialization — runs ON EXECUTORS (the round-1 CLI
@@ -295,7 +312,12 @@ object LumpWays {
       "length_asc_rank" -> r.getAs[Long]("length_asc_rank").toString,
       "length_asc_rank_perc" ->
         GeoJson.numJson(r.getAs[Double]("length_asc_rank_perc"))) ++
-      grp.zipWithIndex.map { case (g, i) => s"tag_group_$i" -> jstr(g) }
+      grp.zipWithIndex.map { case (g, i) => s"tag_group_$i" -> jstr(g) } ++
+      (if (r.schema.fieldNames.contains("all_wayids"))
+        Seq("all_wayids" ->
+          Option(r.getAs[collection.Seq[Long]]("all_wayids")).getOrElse(Nil)
+            .map(w => GeoJson.jsonStr(s"w$w")).mkString("[", ",", "]"))
+      else Nil)
   }
 
   private def serializeFeature(r: org.apache.spark.sql.Row): String = {

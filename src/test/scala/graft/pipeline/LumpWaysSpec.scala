@@ -98,6 +98,17 @@ class LumpWaysSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).contains(s""""properties":$expectedProps"""), out(0))
   }
 
+  test("--incl-wayids: all_wayids from post-compress vertices (main.rs:650)") {
+    val cfg = Config(
+      tagFilters = Seq(TagFilter.unsafeParse("waterway=river")),
+      groupKeys = Seq(Seq("name")), inclWayIds = true)
+    val out = LumpWays.toGeoJsonSeq(LumpWays.features(ways, nodes, cfg, spark))
+    // group B = way 3 only; group A post-compress vertices {1, 4} touch
+    // ways 1 and 2 — "w{id}", id-sorted, deduped
+    assert(out(0).contains(""""all_wayids":["w3"]"""), out(0))
+    assert(out(1).contains(""""all_wayids":["w1","w2"]"""), out(1))
+  }
+
   test("min-length filter modes") {
     assert(MinLengthFilter.parse("10") == Right(MinLengthFilter.Length(10.0)))
     assert(MinLengthFilter.parse("25m") == Right(MinLengthFilter.Length(25.0)))
