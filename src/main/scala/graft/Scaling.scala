@@ -20,11 +20,16 @@ object Scaling {
       cpus: Int, wallSec: Double, waysPerSec: Double, ccRounds: Int,
       nComponents: Long, checksum: Long, totalLenM: Double)
 
-  def runOnce(cpus: Int, nWays: Long): RunResult = {
+  def runOnce(cpus: Int, nWays: Long, buckets: Long): RunResult = {
+    // SPARK_GRAFT_SHUFFLE_MULT partitions-per-core (default 1 =
+    // historical runs). Large inputs want >1: with exactly one partition
+    // per core, a 16M-way run gives 16 concurrent ~1M-way sort/agg
+    // tasks that spill; 4 finer waves fit in memory on BOTH configs.
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * mult).toString)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
@@ -37,8 +42,8 @@ object Scaling {
       val t0 = System.nanoTime()
       val ways =
         if (sys.env.get("SPARK_GRAFT_NO_WAYS_CKPT").isDefined)
-          Synthetic.ways(spark, nWays)
-        else Synthetic.ways(spark, nWays).localCheckpoint(true)
+          Synthetic.ways(spark, nWays, buckets = buckets)
+        else Synthetic.ways(spark, nWays, buckets = buckets).localCheckpoint(true)
       val edges = GraphBuild.canonicalUndirected(
         GraphBuild.contractedEdges(ways, spark))
         .toDF().localCheckpoint(true)
@@ -81,6 +86,10 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val nWays = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAYS", "200000").toLong
+    // constant-density weak scaling: default keeps the historical 4096
+    // (bit-reproducible 4M/8M rounds); pass ≈ n/1000 for bigger sizes
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUCKETS",
+      Synthetic.Buckets.toString).toLong
     // N and 4N parallelism levels (north rule). Default 8→32; 4→16 is
     // also valid N/4N and sits below the sandbox host's memory-bandwidth
     // saturation point (see BENCH.md host-ceiling probe).
@@ -91,8 +100,8 @@ object Scaling {
     // burst can't poison one side of the comparison.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val runs = (1 to reps).flatMap { r =>
-      val a = runOnce(cpusLo, nWays)
-      val b = runOnce(cpusHi, nWays)
+      val a = runOnce(cpusLo, nWays, buckets)
+      val b = runOnce(cpusHi, nWays, buckets)
       System.err.println(
         f"[scaling] rep $r: t$cpusLo=${a.wallSec}%.1f t$cpusHi=${b.wallSec}%.1f")
       Seq(a, b)
@@ -110,7 +119,7 @@ object Scaling {
     require(lenRel < 1e-9,
       s"total length diverges beyond fp reassociation: $lenRel")
     println(
-      s"""{"metric":"scaling","n_ways":$nWays,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,""" +
+      s"""{"metric":"scaling","n_ways":$nWays,"buckets":$buckets,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,""" +
         s""""t_lo_sec":${lo.wallSec},"t_hi_sec":${hi.wallSec},""" +
         s""""ways_per_sec_lo":${lo.waysPerSec.toLong},"ways_per_sec_hi":${hi.waysPerSec.toLong},""" +
         s""""cc_rounds":${lo.ccRounds},"n_components":${lo.nComponents},""" +

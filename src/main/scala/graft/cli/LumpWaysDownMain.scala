@@ -44,7 +44,10 @@ object LumpWaysDownMain {
         try run(args, spark)
         catch {
           case e: IllegalArgumentException =>
+            // clean one-liner for CLI mistakes, full trace preserved so
+            // an internal IAE from deep in the pipeline stays debuggable
             System.err.println(s"error: ${e.getMessage}")
+            e.printStackTrace(System.err)
             spark.stop()
             sys.exit(2)
         }
@@ -62,6 +65,16 @@ object LumpWaysDownMain {
     }
 
   def run(args: Cli.DownArgs, spark: SparkSession): Unit = {
+    // fail on bad output formats BEFORE any compute starts
+    (args.loops.toSeq ++ args.ends.toSeq ++ args.upstreams.toSeq ++
+      args.groupedEnds.toSeq ++ args.groupedWaterways.toSeq ++
+      args.longestSourceMouth.toSeq).foreach { p =>
+      Cli.formatOf(p) match {
+        case Right(Cli.Csv) | Left(_) =>
+          throw new IllegalArgumentException(s"Unsupported output format: $p")
+        case _ => ()
+      }
+    }
     val t0 = System.nanoTime()
     val dir = args.inputFilename
     val nodes = spark.read.parquet(s"$dir/nodes.parquet").localCheckpoint(true)

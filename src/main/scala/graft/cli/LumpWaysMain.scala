@@ -34,6 +34,7 @@ object LumpWaysMain {
         catch {
           case e: IllegalArgumentException =>
             System.err.println(s"error: ${e.getMessage}")
+            e.printStackTrace(System.err)
             spark.stop()
             sys.exit(2)
         }
@@ -46,13 +47,25 @@ object LumpWaysMain {
       case Left(e)  => throw new IllegalArgumentException(e)
       case Right(f) => f
     }
+    // fail on bad output formats BEFORE any compute starts
+    (args.outputFrames.toSeq ++ args.betweennessOutput.toSeq).foreach { p =>
+      Cli.formatOf(p) match {
+        case Left(e) => throw new IllegalArgumentException(e)
+        case _       => ()
+      }
+    }
     val ways = spark.read.parquet(s"${args.inputFilename}/ways.parquet")
     val nodes = spark.read.parquet(s"${args.inputFilename}/nodes.parquet")
     val t0 = System.nanoTime()
     val cfg = args.config.copy(
       onlyNodeids = args.onlyTheseWayGroupsNodeid,
       inclWayIds = args.inclWayIds)
-    val feats = LumpWays.features(ways, nodes, cfg, spark)
+    // betweenness re-consumes the features frame twice more (edges +
+    // props) — checkpoint once instead of re-running the geometry peel
+    val feats0 = LumpWays.features(ways, nodes, cfg, spark)
+    val feats =
+      if (args.betweennessOutput.nonEmpty) feats0.localCheckpoint(true)
+      else feats0
     // serialize per-row on executors, stream through toLocalIterator
     // — no full-result collect() anywhere on the sink path
     val lines = LumpWays.featureJson(feats).localCheckpoint(true)

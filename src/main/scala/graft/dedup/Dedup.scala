@@ -191,7 +191,9 @@ object Dedup {
     // gate probe: limit(gate+1).count() short-circuits the scan once
     // gate+1 rows are seen — a full count() materialised the whole input
     // a second time just to pick the route
-    if (embeddings.select(idCol).limit((bcastMaxRows + 1).toInt).count() <= bcastMaxRows)
+    if (embeddings.select(idCol)
+        .limit(math.min(bcastMaxRows + 1, Int.MaxValue.toLong).toInt)
+        .count() <= bcastMaxRows)
       bruteForceCosineTopK(embeddings, idCol, vecCol, k)
     else
       annCosineTopK(embeddings, idCol, vecCol, k)

@@ -24,14 +24,25 @@ object Synthetic {
 
   /** ways(wid, nids, tags, ts) — `n` ways, ~n·(interiorPerWay+2) node
     * references, ~5 % pillar fraction at interiorPerWay≈18.
+    *
+    * @param buckets endpoint-space width. The default (4096) keeps the
+    *        round-2 fixtures bit-reproducible; for weak-scaling series
+    *        pass ≈ n/1000 so ways-per-bucket (graph density) stays
+    *        constant — with a FIXED bucket count a 4× input percolates
+    *        each bucket into one mega-component, which is a different
+    *        (adversarial-skew) workload, not "the same job, 4× the data".
     */
-  def ways(spark: SparkSession, n: Long, interiorPerWay: Int = 18): DataFrame = {
+  def ways(spark: SparkSession, n: Long, interiorPerWay: Int = 18,
+      buckets: Long = Buckets): DataFrame = {
+    require(buckets * 100000L + Slots < InteriorBase,
+      s"bucket space overlaps interior-node ids: buckets=$buckets " +
+        s"(max ${(InteriorBase - Slots) / 100000L})")
     spark.range(n)
       .selectExpr(
         "id + 1 AS wid",
-        s"id % $Buckets AS bucket",
-        s"(CAST(id / $Buckets AS BIGINT) * 17) % $Slots AS a0",
-        s"((CAST(id / $Buckets AS BIGINT) * 17) % $Slots + 1 + (id * 31) % 97) % $Slots AS b0",
+        s"id % $buckets AS bucket",
+        s"(CAST(id / $buckets AS BIGINT) * 17) % $Slots AS a0",
+        s"((CAST(id / $buckets AS BIGINT) * 17) % $Slots + 1 + (id * 31) % 97) % $Slots AS b0",
         "id")
       .selectExpr(
         "wid",

@@ -288,7 +288,10 @@ object Flow {
         (col("flow_m") + col("len")).as("contrib"))
 
       // append the FRONTIER-SIZED delta only; a durable checkpointer
-      // persists each round's delta parquet (resume = read all rounds)
+      // persists each round's delta parquet — resume therefore reads the
+      // UNION of all complete rounds (IterationCheckpointer.allComplete),
+      // NOT latestComplete (which is the full-state contract used by CC
+      // and biggest-end)
       resolvedLog.append(checkpointer match {
         case Some(cp) => cp(rounds, newResolved)
         case None     => newResolved // backed by the checkpointed `emitted`
@@ -366,9 +369,14 @@ object Flow {
     // documented legitimate RDD case — iterative co-partitioned state.
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val part = new HashPartitioner(nParts)
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
+    // reliable checkpoints need a SHARED path on a real cluster; only
+    // default to a temp dir in local mode (a driver-local path would be
+    // invisible to remote executors). Clusters without a configured
+    // checkpoint dir fall back to pinned localCheckpoints.
+    if (spark.sparkContext.getCheckpointDir.isEmpty && spark.sparkContext.isLocal)
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-rdd-ckpt").toString)
+    val reliableCkpt = spark.sparkContext.getCheckpointDir.nonEmpty
     val eByDst = edges
       .select(col("dst").cast("long"), col("src").cast("long"))
       .as[(Long, Long)].rdd
@@ -389,6 +397,7 @@ object Flow {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = state
     var prevMerged: Option[org.apache.spark.rdd.RDD[_]] = None
+    var prevDurable: Option[org.apache.spark.rdd.RDD[_]] = None
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -404,14 +413,24 @@ object Flow {
           case (None, None)       => ((0.0, Long.MaxValue), false)
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // periodic RELIABLE checkpoint: truncates lineage AND lets older
-      // persisted rounds be released (a local checkpoint would pin its
-      // blocks forever — unpersisting one breaks every descendant)
-      if (rounds % 30 == 29) merged.checkpoint()
+      // periodic checkpoint: truncates lineage AND lets older persisted
+      // rounds be released. Reliable (shared-dir) checkpoints when
+      // available; pinned local checkpoints otherwise (their blocks must
+      // never be unpersisted — descendants read them directly).
+      val pinned = rounds % 30 == 29 && !reliableCkpt
+      if (rounds % 30 == 29) {
+        if (reliableCkpt) merged.checkpoint() else merged.localCheckpoint()
+      }
       frontier = merged.filter(_._2._2).mapValues(_._1)
-      done = frontier.isEmpty()
+      // count (not isEmpty/take(1)) so EVERY partition of `merged` is
+      // computed into the cache before the previous round is released —
+      // a prefix-only action would force later rounds to recompute
+      // uncached partitions through the whole lineage chain
+      done = frontier.count() == 0L
       prevMerged.foreach(_.unpersist(false))
-      prevMerged = Some(merged)
+      // a pinned (local-checkpointed) generation must stay cached — its
+      // blocks ARE the checkpoint; drop it from the unpersist rotation
+      prevMerged = if (pinned) None else Some(merged)
       state = merged.mapValues(_._1)
       rounds += 1
       // durable per-round checkpoint (resumability contract)
@@ -419,13 +438,16 @@ object Flow {
         val reloaded = cp(rounds - 1,
           state.map { case (nid, (up, end)) => (nid, up, end) }
             .toDF("nid", "end_up", "end_nid"))
-        state = reloaded
+        val next = reloaded
           .select(col("nid").cast("long"), col("end_up").cast("double"),
             col("end_nid").cast("long"))
           .as[(Long, Double, Long)].rdd
           .map { case (nid, up, end) => (nid, (up, end)) }
           .partitionBy(part)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        prevDurable.foreach(_.unpersist(false))
+        prevDurable = Some(next)
+        state = next
       }
     }
     val out = state

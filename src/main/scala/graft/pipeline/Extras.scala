@@ -84,14 +84,24 @@ object Extras {
         val es = rows.toSeq
         val pos: LocalPaths.Pos =
           (es.map(e => e._2 -> (e._4, e._5)) ++ es.map(e => e._3 -> (e._6, e._7))).toMap
-        val verts = (es.map(_._2) ++ es.map(_._3)).distinct.sorted
+        // 1. the pipeline's UNPINNED degree-2 compression first
+        //    (main.rs:611-632 compresses every way group before
+        //    do_betweenness ever sees it) — the sample universe, pair
+        //    counts and fraction denominators are all over COMPRESSED
+        //    vertexes, and each feature is one compressed edge
+        val base = Local.compress(
+          es.map(e => (e._2, e._3, Seq.empty[Long])), _ => false)
+        val cVerts = base.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        // 2. sample ≤ maxSamples from the compressed vertex universe
         val samples = LocalPaths.farthestPointSample(
-          verts, pos, math.min(maxSamples, verts.length))
+          cVerts, pos, math.min(maxSamples, cVerts.length))
         val keep = samples.toSet
-        // pre-pass: spikes off, degree-2 chains compressed — samples pinned
-        val despiked = Local.removeSpikes(es.map(e => (e._2, e._3)), keep.contains)
+        // 3. betweenness pre-pass: spikes off, further compression —
+        //    samples pinned (main.rs:1056-1096)
+        val interOf = base.map { case (a, b, iv) => ((a, b), iv) }.toMap
+        val despiked = Local.removeSpikes(base.map(e => (e._1, e._2)), keep.contains)
         val compressed = Local.compress(
-          despiked.map { case (a, b) => (a, b, Seq.empty[Long]) }, keep.contains)
+          despiked.map { case (a, b) => (a, b, interOf((a, b))) }, keep.contains)
         val chains = compressed.map { case (a, b, inter) =>
           val c = a +: inter :+ b
           ((math.min(a, b), math.max(a, b)), if (a <= b) c else c.reverse)

@@ -18,11 +18,13 @@ import Derived._
   *    test) plus a frame-invariant flag — frame edges ⊆ component edges
   *    and every hull nid covered by the frame lines — that the oracle
   *    pins to 1.
-  *  - q45 projects every betweenness edge; on TREE components (the vast
-  *    majority; #edges = #nodes − 1, no duplicate positions) the exact
-  *    closed form value = 2·a·(n−a) is recomputed in SQL from subtree
-  *    sizes; non-tree/degenerate components carry NULL on both sides and
-  *    stay pinned by LocalPathsSpec fixtures.
+  *  - q45 projects the betweenness edges of TREE components (the vast
+  *    majority; #edges = #nodes − 1, no duplicate positions): one row
+  *    per COMPRESSED edge, whose exact closed form value = 2·a·(n−a)
+  *    over compressed (pillar) vertex counts is recomputed in SQL from
+  *    interior-chain contraction + subtree sizes; non-tree components
+  *    stay pinned by LocalPathsSpec fixtures (their compressed edge
+  *    sets depend on merge order).
   *
   * The longest source→mouth (q46) gets a recursive-CTE oracle.
   */
@@ -74,7 +76,11 @@ object QueriesExtras {
         .toDF("comp", "n_hull", "frame_ok")
     }),
 
-    // P8 betweenness per edge; closed-form-oracled on tree components
+    // P8 betweenness, tree components (closed-form oracle; the engine
+    // emits one row per COMPRESSED edge — reference pre-pass shape —
+    // and on a tree the compressed edges are the pillar-to-pillar
+    // chains, with value = 2·a·(n−a) over compressed vertex counts).
+    // Non-tree components' values stay spec-pinned (LocalPathsSpec).
     "q45_betweenness" -> ((s, d) => {
       val labels = QueriesGraph.ccLabels(s, d)
       val e = edgesDF(s, d)
@@ -87,11 +93,9 @@ object QueriesExtras {
         .withColumn("is_tree",
           col("n_edges") === col("n_nodes") - 1 && col("n_pos") === col("n_nodes"))
       Extras.betweenness(edgesDF(s, d), nodesDF(s, d), s)
-        .join(stat.select("comp", "is_tree"), Seq("comp"))
+        .join(stat.filter(col("is_tree")).select("comp"), Seq("comp"), "left_semi")
         .select(col("comp"), col("src"), col("dst"),
-          when(col("is_tree"),
-            expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)"))
-            .otherwise(lit(null).cast("long")).as("value_e3"))
+          expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)").as("value_e3"))
     }),
 
     // D17 longest source→mouth per basin
@@ -159,9 +163,12 @@ object QueriesExtras {
          |FROM np LEFT JOIN nv ON nv.comp = np.comp""".stripMargin
     },
 
-    // Tree-component betweenness closed form: rooted walk from the comp
-    // label (= min nid), subtree sizes via ancestor counting, per edge
-    // value = 2·sz(child)·(n − sz(child)); non-tree comps → NULL.
+    // Tree-component betweenness closed form over the COMPRESSED tree
+    // (matching the engine's reference-shaped pre-pass): compressed
+    // vertexes = degree≠2 nodes; compressed edges = interior chains
+    // between pillar pairs + direct pillar-pillar edges; rooted walk
+    // from the min pillar, subtree sizes via ancestor counting, value =
+    // 2·sz(child)·(n_pillars − sz(child)).
     "q45_betweenness" ->
       s"""WITH RECURSIVE $oracleWaysCte, $ccCteLocal,
          |ce AS MATERIALIZED (
@@ -170,24 +177,58 @@ object QueriesExtras {
          |  SELECT c.comp, COUNT(*) AS n_nodes,
          |    COUNT(DISTINCT (n.lat, n.lon)) AS n_pos
          |  FROM cc c JOIN nodes n ON n.nid = c.nid GROUP BY c.comp),
-         |stat AS MATERIALIZED (
-         |  SELECT np.comp, np.n_nodes,
-         |    (ec.n_edges = np.n_nodes - 1 AND np.n_pos = np.n_nodes) AS is_tree
-         |  FROM npos np
+         |tc AS MATERIALIZED (
+         |  SELECT np.comp FROM npos np
          |  JOIN (SELECT comp, COUNT(*) AS n_edges FROM ce GROUP BY comp) ec
-         |    USING (comp)),
-         |symt AS MATERIALIZED (
-         |  SELECT e.comp, e.src, e.dst FROM ce e
-         |    JOIN stat t ON t.comp = e.comp AND t.is_tree
+         |    USING (comp)
+         |  WHERE ec.n_edges = np.n_nodes - 1 AND np.n_pos = np.n_nodes),
+         |te AS MATERIALIZED (
+         |  SELECT e.comp, e.src, e.dst FROM ce e JOIN tc ON tc.comp = e.comp),
+         |deg AS MATERIALIZED (
+         |  SELECT comp, nid, COUNT(*) AS d FROM (
+         |    SELECT comp, src AS nid FROM te
+         |    UNION ALL SELECT comp, dst FROM te) GROUP BY comp, nid),
+         |pil AS MATERIALIZED (SELECT comp, nid FROM deg WHERE d <> 2),
+         |intn AS MATERIALIZED (SELECT comp, nid FROM deg WHERE d = 2),
+         |inte AS (SELECT e.comp, e.src, e.dst FROM te e
+         |  JOIN intn i1 ON i1.comp = e.comp AND i1.nid = e.src
+         |  JOIN intn i2 ON i2.comp = e.comp AND i2.nid = e.dst),
+         |isym AS (SELECT comp, src, dst FROM inte
+         |  UNION SELECT comp, dst AS src, src AS dst FROM inte),
+         |ir AS (
+         |  SELECT comp, nid, nid AS label FROM intn
+         |  UNION
+         |  SELECT s.comp, s.dst, ir.label FROM ir
+         |    JOIN isym s ON s.comp = ir.comp AND s.src = ir.nid
+         |  WHERE ir.label < s.dst),
+         |icc AS MATERIALIZED (
+         |  SELECT comp, nid, MIN(label) AS ic FROM ir GROUP BY comp, nid),
+         |att AS (
+         |  SELECT i.comp, i.ic, e.dst AS pillar FROM te e
+         |    JOIN icc i ON i.comp = e.comp AND i.nid = e.src
+         |    JOIN pil p ON p.comp = e.comp AND p.nid = e.dst
          |  UNION ALL
-         |  SELECT e.comp, e.dst, e.src FROM ce e
-         |    JOIN stat t ON t.comp = e.comp AND t.is_tree),
+         |  SELECT i.comp, i.ic, e.src FROM te e
+         |    JOIN icc i ON i.comp = e.comp AND i.nid = e.dst
+         |    JOIN pil p ON p.comp = e.comp AND p.nid = e.src),
+         |cedges AS MATERIALIZED (
+         |  SELECT comp, LEAST(p1, p2) AS src, GREATEST(p1, p2) AS dst FROM (
+         |    SELECT comp, ic, MIN(pillar) AS p1, MAX(pillar) AS p2
+         |    FROM att GROUP BY comp, ic)
+         |  UNION ALL
+         |  SELECT e.comp, e.src, e.dst FROM te e
+         |    JOIN pil pa ON pa.comp = e.comp AND pa.nid = e.src
+         |    JOIN pil pb ON pb.comp = e.comp AND pb.nid = e.dst),
+         |pcount AS (SELECT comp, COUNT(*) AS n FROM pil GROUP BY comp),
+         |roots AS (SELECT comp, MIN(nid) AS root FROM pil GROUP BY comp),
+         |csym AS MATERIALIZED (
+         |  SELECT comp, src, dst FROM cedges
+         |  UNION ALL SELECT comp, dst AS src, src AS dst FROM cedges),
          |walk AS (
-         |  SELECT t.comp, t.comp AS nid, CAST(NULL AS BIGINT) AS parent
-         |  FROM stat t WHERE t.is_tree
+         |  SELECT comp, root AS nid, CAST(NULL AS BIGINT) AS parent FROM roots
          |  UNION ALL
          |  SELECT w.comp, s.dst, w.nid FROM walk w
-         |    JOIN symt s ON s.comp = w.comp AND s.src = w.nid
+         |    JOIN csym s ON s.comp = w.comp AND s.src = w.nid
          |  WHERE w.parent IS NULL OR s.dst <> w.parent),
          |anc AS (
          |  SELECT comp, nid, nid AS a FROM walk
@@ -197,16 +238,13 @@ object QueriesExtras {
          |  WHERE w.parent IS NOT NULL),
          |sub AS (SELECT comp, a AS nid, COUNT(*) AS sz FROM anc GROUP BY comp, a)
          |SELECT e.comp, e.src, e.dst,
-         |  CAST(2 * s1.sz * (st.n_nodes - s1.sz) * 1000 AS BIGINT) AS value_e3
-         |FROM ce e
+         |  CAST(2 * s1.sz * (pc.n - s1.sz) * 1000 AS BIGINT) AS value_e3
+         |FROM cedges e
          |JOIN walk w ON w.comp = e.comp AND
          |  ((w.nid = e.src AND w.parent = e.dst) OR
          |   (w.nid = e.dst AND w.parent = e.src))
          |JOIN sub s1 ON s1.comp = e.comp AND s1.nid = w.nid
-         |JOIN stat st ON st.comp = e.comp
-         |UNION ALL
-         |SELECT e.comp, e.src, e.dst, CAST(NULL AS BIGINT) AS value_e3
-         |FROM ce e JOIN stat st ON st.comp = e.comp WHERE NOT st.is_tree""".stripMargin,
+         |JOIN pcount pc ON pc.comp = e.comp""".stripMargin,
 
     "q46_longest_source_mouth" ->
       s"""WITH RECURSIVE $oracleWaysCte,

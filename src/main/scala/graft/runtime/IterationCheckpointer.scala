@@ -41,6 +41,29 @@ final class IterationCheckpointer(spark: SparkSession, dir: String) {
     reloaded
   }
 
+  /** Union of EVERY complete round — the resume read for operators whose
+    * rounds are append-only DELTAS (e.g. `Flow.upstreamFlow`'s resolved
+    * log writes one frontier-sized delta per round), as opposed to
+    * [[latestComplete]] for operators that persist the full state each
+    * round (connected components, biggest-end). Returns the newest
+    * complete round index plus one frame scanning all complete rounds.
+    */
+  def allComplete(): Option[(Int, DataFrame)] = {
+    val base = Paths.get(dir)
+    if (!Files.isDirectory(base)) return None
+    val rounds = Files
+      .list(base)
+      .toArray
+      .map(_.toString)
+      .filter(_.matches(".*round=\\d{5}$"))
+      .map(p => p.substring(p.length - 5).toInt)
+      .filter(r => Files.exists(metricsPath(r)))
+      .sorted
+    if (rounds.isEmpty) None
+    else Some((rounds.last,
+      spark.read.parquet(rounds.map(roundDir).toIndexedSeq: _*)))
+  }
+
   /** Newest round with a complete checkpoint, if any. */
   def latestComplete(): Option[(Int, DataFrame)] = {
     val base = Paths.get(dir)

@@ -65,4 +65,26 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(ckpted == plain)
     assert(cp.latestComplete().nonEmpty) // durable rounds exist on disk
   }
+
+  test("upstream durable rounds are DELTAS; resume = allComplete union") {
+    import graft.graph.Flow
+    val edges = Seq(
+      (1L, 2L, 10.0), (2L, 3L, 5.0), (4L, 3L, 7.0), (3L, 5L, 2.0))
+      .toDF("src", "dst", "len")
+    val plain = Flow.upstreamEqualSplit(edges)
+    val dir = Files.createTempDirectory("upckpt").toString
+    val cp = new IterationCheckpointer(spark, dir)
+    val ckpted = Flow.upstreamEqualSplit(edges, checkpointer = Some(cp.hook))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toMap
+    assert(m(ckpted.nodeUpstream) == m(plain.nodeUpstream))
+    // each durable round holds one frontier delta — the newest round
+    // alone is NOT the full state; the union of all rounds is
+    val Some((lastRound, all)) = cp.allComplete()
+    assert(lastRound == ckpted.rounds - 1)
+    assert(m(all.withColumnRenamed("up", "upstream_m"))
+      == m(plain.nodeUpstream))
+    val Some((_, newestOnly)) = cp.latestComplete()
+    assert(newestOnly.count() < all.count())
+  }
 }
