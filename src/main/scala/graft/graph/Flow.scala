@@ -367,7 +367,14 @@ object Flow {
     // partitioning across localCheckpoint, so Catalyst cannot express
     // "keep this co-partitioned across an iteration"); this is the
     // documented legitimate RDD case — iterative co-partitioned state.
-    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // size the partitioner to the DATA (AQE cannot coalesce inside an
+    // RDD loop): ~100k edges per partition, capped at the session's
+    // shuffle parallelism — small graphs take 1-2 partitions per round
+    // instead of paying `shuffle.partitions` empty tasks × rounds
+    val eCount = edges.count()
+    val nParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+      eCount / 100000L + 1L)).toInt
     val part = new HashPartitioner(nParts)
     // reliable checkpoints need a SHARED path on a real cluster; only
     // default to a temp dir in local mode (a driver-local path would be
