@@ -23,7 +23,11 @@ object DownOps {
   def edgeLengths(edges: DataFrame, nodes: DataFrame): DataFrame = {
     def pt(pts: Column, i: Column) = element_at(pts, i.cast("int"))
     edges
-      .withColumn("eid", monotonically_increasing_id())
+      // content key, NOT monotonically_increasing_id: stable if the frame
+      // is re-evaluated across actions without a checkpoint. Duplicate
+      // (src, dst, inter) rows collapse — upstream edge sets are already
+      // deduplicated per (src, dst, tag)
+      .withColumn("eid", xxhash64(col("inter")))
       .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
       .select(col("eid"), col("src"), col("dst"),
         posexplode(col("chain")).as(Seq("pos", "nid")))
@@ -31,13 +35,17 @@ object DownOps {
       .groupBy("eid", "src", "dst")
       .agg(sort_array(collect_list(struct(col("pos"), col("lat"), col("lon"))))
         .as("pts"))
+      // guard: a chain with <2 surviving points has no pair to sum —
+      // sequence(2, 1) would be DESCENDING and element_at(pts, 0) throws
       .withColumn("len",
-        aggregate(sequence(lit(2), size(col("pts"))), lit(0.0),
-          (acc, i) => acc + Geo.haversineM(
-            pt(col("pts"), i - 1).getField("lat"),
-            pt(col("pts"), i - 1).getField("lon"),
-            pt(col("pts"), i).getField("lat"),
-            pt(col("pts"), i).getField("lon"))))
+        when(size(col("pts")) >= 2,
+          aggregate(sequence(lit(2), size(col("pts"))), lit(0.0),
+            (acc, i) => acc + Geo.haversineM(
+              pt(col("pts"), i - 1).getField("lat"),
+              pt(col("pts"), i - 1).getField("lon"),
+              pt(col("pts"), i).getField("lat"),
+              pt(col("pts"), i).getField("lon"))))
+          .otherwise(lit(0.0)))
       .select("src", "dst", "len")
   }
 

@@ -403,8 +403,16 @@ object Flow {
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = state
-    var prevMerged: Option[org.apache.spark.rdd.RDD[_]] = None
+    // the initial state enters the normal release rotation: once round
+    // 0's `merged` is fully materialized (count below) nothing reads it
+    var prevMerged: Option[org.apache.spark.rdd.RDD[_]] = Some(state)
     var prevDurable: Option[org.apache.spark.rdd.RDD[_]] = None
+    // pinned local-checkpoint generations: their blocks ARE the
+    // checkpoint, so they must stay cached while the loop runs — but
+    // they can (and must) be released once the final result no longer
+    // depends on them (after `out` is eagerly materialized)
+    val pinnedGens = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -436,7 +444,9 @@ object Flow {
       done = frontier.count() == 0L
       prevMerged.foreach(_.unpersist(false))
       // a pinned (local-checkpointed) generation must stay cached — its
-      // blocks ARE the checkpoint; drop it from the unpersist rotation
+      // blocks ARE the checkpoint; keep it out of the per-round unpersist
+      // rotation and release it only after the final materialization
+      if (pinned) pinnedGens += merged
       prevMerged = if (pinned) None else Some(merged)
       state = merged.mapValues(_._1)
       rounds += 1
@@ -461,8 +471,13 @@ object Flow {
       .map { case (nid, (up, end)) => (nid, end, up) }
       .toDF("nid", "end_nid", "end_upstream_m")
       .localCheckpoint(true)
+    // `out` is eagerly materialized above — every retained generation
+    // (rotation tail, durable reload, pinned local checkpoints, the
+    // static edge set) can now release its executor storage
     eByDst.unpersist(false)
     prevMerged.foreach(_.unpersist(false))
+    prevDurable.foreach(_.unpersist(false))
+    pinnedGens.foreach(_.unpersist(false))
     out
   }
 }

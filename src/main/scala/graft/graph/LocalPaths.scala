@@ -181,13 +181,25 @@ object LocalPaths {
   /** Brandes over an explicit weighted adjacency and sample set — the
     * pre-pass (spike removal + compression, main.rs:1056-1096) hands in a
     * reduced graph whose edge weights are chain lengths.
+    *
+    * Pair counting matches the reference exactly once per unordered
+    * sample pair: source `samples(i)` only accumulates dependencies for
+    * targets `samples(i+1..)` (undirected_graph.rs:584
+    * `target_nodes = &nodes[(i + 1)..]`). Every edge of `adj` is seeded
+    * with 0.0 — the reference initialises `bc_res` over ALL compressed
+    * edges (undirected_graph.rs:579-581), so zero-centrality edges are
+    * emitted (0 passes the default min-value filter).
     */
   def betweennessWeighted(
       adj: Map[Long, Seq[(Long, Double)]],
       samples: Seq[Long]): Map[(Long, Long), Double] = {
     val score = mutable.HashMap.empty[(Long, Long), Double].withDefaultValue(0.0)
+    for ((v, ns) <- adj; (w, _) <- ns)
+      score((math.min(v, w), math.max(v, w))) = 0.0
 
-    for (s <- samples) {
+    for (i <- samples.indices.dropRight(1)) {
+      val s = samples(i)
+      val targets = samples.drop(i + 1).toSet
       // Dijkstra with path counts
       val dist = mutable.HashMap[Long, Double](s -> 0.0)
       val sigma = mutable.HashMap[Long, Double](s -> 1.0).withDefaultValue(0.0)
@@ -217,11 +229,13 @@ object LocalPaths {
           }
         }
       }
-      // Brandes back-propagation
+      // Brandes back-propagation, restricted to this source's target set
+      // (each unordered sample pair contributes exactly once overall)
       val delta = mutable.HashMap.empty[Long, Double].withDefaultValue(0.0)
       for (w <- order.reverse if w != s) {
+        val isTarget = if (targets(w)) 1.0 else 0.0
         for (v <- preds.getOrElse(w, Nil)) {
-          val c = sigma(v) / sigma(w) * (1.0 + delta(w))
+          val c = sigma(v) / sigma(w) * (isTarget + delta(w))
           val key = (math.min(v, w), math.max(v, w))
           score(key) += c
           delta(v) += c

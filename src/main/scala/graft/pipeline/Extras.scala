@@ -43,7 +43,10 @@ object Extras {
     * and compress degree-2 chains PRESERVING the samples, run Brandes on
     * the reduced graph (edge weight = chain length), then apply the
     * `--betweenness-min-value` / `--betweenness-min-fraction` cutoffs
-    * (main.rs:1123-1133). Emits per reduced edge:
+    * (main.rs:1123-1133). Each unordered sample pair is counted ONCE
+    * (undirected_graph.rs:584) and every reduced edge is seeded with 0
+    * (undirected_graph.rs:579-581 — zero-centrality edges are emitted;
+    * 0 passes the default cutoffs). Emits per reduced edge:
     * (comp, src, dst, chain — the full compressed-away node path for
     *  geometry expansion, value, value_fraction = v/per-COMPONENT max,
     *  value_fraction_max = v/(n·(n−1)/2), comp_max_value).

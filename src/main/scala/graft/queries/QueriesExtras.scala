@@ -20,8 +20,9 @@ import Derived._
   *    pins to 1.
   *  - q45 projects the betweenness edges of TREE components (the vast
   *    majority; #edges = #nodes − 1, no duplicate positions): one row
-  *    per COMPRESSED edge, whose exact closed form value = 2·a·(n−a)
-  *    over compressed (pillar) vertex counts is recomputed in SQL from
+  *    per COMPRESSED edge, whose exact closed form value = a·(n−a)
+  *    (each unordered pair once, undirected_graph.rs:584) over
+  *    compressed (pillar) vertex counts is recomputed in SQL from
   *    interior-chain contraction + subtree sizes; non-tree components
   *    stay pinned by LocalPathsSpec fixtures (their compressed edge
   *    sets depend on merge order).
@@ -168,7 +169,7 @@ object QueriesExtras {
     // vertexes = degree≠2 nodes; compressed edges = interior chains
     // between pillar pairs + direct pillar-pillar edges; rooted walk
     // from the min pillar, subtree sizes via ancestor counting, value =
-    // 2·sz(child)·(n_pillars − sz(child)).
+    // sz(child)·(n_pillars − sz(child)) — each unordered pair once.
     "q45_betweenness" ->
       s"""WITH RECURSIVE $oracleWaysCte, $ccCteLocal,
          |ce AS MATERIALIZED (
@@ -238,7 +239,7 @@ object QueriesExtras {
          |  WHERE w.parent IS NOT NULL),
          |sub AS (SELECT comp, a AS nid, COUNT(*) AS sz FROM anc GROUP BY comp, a)
          |SELECT e.comp, e.src, e.dst,
-         |  CAST(2 * s1.sz * (pc.n - s1.sz) * 1000 AS BIGINT) AS value_e3
+         |  CAST(s1.sz * (pc.n - s1.sz) * 1000 AS BIGINT) AS value_e3
          |FROM cedges e
          |JOIN walk w ON w.comp = e.comp AND
          |  ((w.nid = e.src AND w.parent = e.dst) OR

@@ -60,8 +60,18 @@ final class IterationCheckpointer(spark: SparkSession, dir: String) {
       .filter(r => Files.exists(metricsPath(r)))
       .sorted
     if (rounds.isEmpty) None
-    else Some((rounds.last,
-      spark.read.parquet(rounds.map(roundDir).toIndexedSeq: _*)))
+    else {
+      // delta resume is only sound over a CONTIGUOUS 0..last prefix — a
+      // deleted/incomplete middle round would silently drop its delta
+      // from the reconstructed state, so fail loudly instead
+      val expected = 0 to rounds.last
+      require(rounds.sameElements(expected),
+        s"delta checkpoint at $dir is not contiguous: have rounds " +
+          s"${rounds.mkString("[", ",", "]")}, need 0..${rounds.last} — " +
+          "a missing round's delta cannot be reconstructed; restart the run")
+      Some((rounds.last,
+        spark.read.parquet(rounds.map(roundDir).toIndexedSeq: _*)))
+    }
   }
 
   /** Newest round with a complete checkpoint, if any. */
