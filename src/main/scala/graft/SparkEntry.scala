@@ -38,10 +38,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — EVERY query key has one. q44 (frames) and
-    * q45 (Brandes betweenness) are not verbatim SQL-replayable, so they
-    * carry invariant oracles (SQL-recomputed hull counts; tree-component
-    * betweenness closed form — see QueriesExtras doc); the remaining
-    * exact values are pinned by ScalaTest fixtures.
+    * q45 (Brandes betweenness) carry invariant oracles (SQL-recomputed
+    * hull-vertex nids with per-nid frame coverage; tree-component
+    * betweenness closed form + full simple-path replay for clean cyclic
+    * components — see QueriesExtras doc); only merge-order-dependent
+    * contractions stay pinned by ScalaTest fixtures.
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++

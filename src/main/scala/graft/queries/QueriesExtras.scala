@@ -13,11 +13,16 @@ import Derived._
   * A*-path geometry), so each carries an INVARIANT oracle instead
   * (pattern proven by q48's conservation oracle):
   *
-  *  - q44 projects per component the strict-hull vertex-position count
-  *    (independently recomputed in SQL via the point-in-convex-closure
-  *    test) plus a frame-invariant flag — frame edges ⊆ component edges
-  *    and every hull nid covered by the frame lines — that the oracle
-  *    pins to 1.
+  *  - q44 projects ONE ROW PER HULL VERTEX: the component's strict-hull
+  *    positions are independently recomputed in SQL (point-in-convex-
+  *    closure test on the exact integer grid the positions derive from)
+  *    and mapped back to their min-nid representative — the engine must
+  *    produce exactly that (comp, hull_nid) set, and for each such nid a
+  *    `covered` flag (this hull nid lies on a frame line AND all frame
+  *    edges ⊆ component edges) that the oracle pins to 1. A double-
+  *    arithmetic hull divergence or a frame missing a hull vertex now
+  *    fails as a row/hash mismatch on a specific nid instead of being
+  *    self-certified behind an aggregate count.
   *  - q45 projects the betweenness edges of TREE components (the vast
   *    majority; #edges = #nodes − 1, no duplicate positions): one row
   *    per COMPRESSED edge, whose exact closed form value = a·(n−a)
@@ -32,7 +37,7 @@ import Derived._
 object QueriesExtras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P6 frames per component: hull count + invariant flag (see above)
+    // P6 frames per component: one row per hull VERTEX (see above)
     "q44_frames" -> ((s, d) => {
       import s.implicits._
       import graft.graph.{Local, LocalPaths}
@@ -46,22 +51,23 @@ object QueriesExtras {
         .select("comp", "src", "dst", "lat1", "lon1", "lat2", "lon2")
         .as[(Long, Long, Long, Double, Double, Double, Double)]
         .groupByKey(_._1)
-        .mapGroups { (comp, rows) =>
+        .flatMapGroups { (comp, rows) =>
           val es = rows.toSeq
           val pos: LocalPaths.Pos =
             (es.map(e => e._2 -> (e._4, e._5)) ++ es.map(e => e._3 -> (e._6, e._7))).toMap
           val verts = (es.map(_._2) ++ es.map(_._3)).distinct
-          // n_hull counts hull vertices on the EXACT integer grid the
-          // positions are derived from (lat = i/1e4 − 85): double cross
-          // products of near-collinear triples round differently across
-          // engines (DuckDB fuses a·b − c·d), integers cannot
+          // hull vertexes on the EXACT integer grid the positions are
+          // derived from (lat = i/1e4 − 85): double cross products of
+          // near-collinear triples round differently across engines
+          // (DuckDB fuses a·b − c·d), integers cannot. Distinct integer
+          // points ⟺ distinct double positions (grid spacing 1e-4 ≫ ulp),
+          // so the min-nid representative per point matches the one
+          // frames() picks on double positions.
           val ipos: Long => (Double, Double) = n =>
             (((n * 2654435761L) % 1700000L).toDouble,
               ((n * 2246822519L) % 3600000L).toDouble)
+          val byIPoint = verts.groupBy(ipos)
           val hullPts = Local.convexHull(verts.map(ipos).distinct)
-          val byPoint = verts.groupBy(pos)
-          val hullDblPts = Local.convexHull(verts.map(pos).distinct)
-          val hullNids = hullDblPts.flatMap(p => byPoint.getOrElse(p, Nil).sorted.headOption)
           val lines = LocalPaths.frames(es.map(e => (e._2, e._3)), pos)
           val frameNodes = lines.flatten.toSet
           val compEdges = es.map(e =>
@@ -69,32 +75,44 @@ object QueriesExtras {
           val frameEdges = lines.flatMap(_.sliding(2).collect {
             case scala.collection.Seq(a, b) => (math.min(a, b), math.max(a, b))
           })
-          val ok = frameEdges.forall(compEdges.contains) &&
-            hullNids.forall(frameNodes.contains) &&
+          val edgesOk = frameEdges.forall(compEdges.contains) &&
             (es.isEmpty || lines.nonEmpty)
-          (comp, hullPts.length.toLong, if (ok) 1L else 0L)
+          hullPts.iterator.map { p =>
+            val nid = byIPoint(p).min
+            (comp, nid,
+              if (edgesOk && frameNodes.contains(nid)) 1L else 0L)
+          }
         }
-        .toDF("comp", "n_hull", "frame_ok")
+        .toDF("comp", "hull_nid", "covered")
     }),
 
-    // P8 betweenness, tree components (closed-form oracle; the engine
-    // emits one row per COMPRESSED edge — reference pre-pass shape —
-    // and on a tree the compressed edges are the pillar-to-pillar
-    // chains, with value = 2·a·(n−a) over compressed vertex counts).
-    // Non-tree components' values stay spec-pinned (LocalPathsSpec).
+    // P8 betweenness over EVERY component class the oracle can replay:
+    // tree components get the closed form a·(n−a); non-tree components
+    // get a full SQL shortest-path replay (σ-weighted pair dependencies
+    // over the contracted graph with chain-length weights). Excluded —
+    // and left to LocalPathsSpec fixtures — are only components whose
+    // contraction is merge-order-dependent: those where `Local.compress`
+    // had to SKIP a degree-2 merge (duplicate-edge / self-loop guard,
+    // e.g. pure cycles or parallel arcs between one pillar pair). Those
+    // are recognisable from the ENGINE output alone: the skip leaves a
+    // degree-2 vertex in the compressed graph, which a clean contraction
+    // never has.
     "q45_betweenness" -> ((s, d) => {
       val labels = QueriesGraph.ccLabels(s, d)
-      val e = edgesDF(s, d)
-        .join(labels.withColumnRenamed("nid", "src"), Seq("src"))
       val nodesPos = labels.join(nodesDF(s, d), Seq("nid"))
-      val stat = e.groupBy("comp").agg(count(lit(1)).as("n_edges"))
-        .join(nodesPos.groupBy("comp").agg(
+      val posOk = nodesPos.groupBy("comp").agg(
           count(lit(1)).as("n_nodes"),
-          countDistinct(col("lat"), col("lon")).as("n_pos")), Seq("comp"))
-        .withColumn("is_tree",
-          col("n_edges") === col("n_nodes") - 1 && col("n_pos") === col("n_nodes"))
-      Extras.betweenness(edgesDF(s, d), nodesDF(s, d), s)
-        .join(stat.filter(col("is_tree")).select("comp"), Seq("comp"), "left_semi")
+          countDistinct(col("lat"), col("lon")).as("n_pos"))
+        .filter(col("n_pos") === col("n_nodes")).select("comp")
+      val bres = Extras.betweenness(edgesDF(s, d), nodesDF(s, d), s)
+        .localCheckpoint(true)
+      val orderDependent = bres
+        .select(col("comp"), explode(array(col("src"), col("dst"))).as("nid"))
+        .groupBy("comp", "nid").agg(count(lit(1)).as("cd"))
+        .filter(col("cd") === 2).select("comp").distinct()
+      bres
+        .join(posOk, Seq("comp"), "left_semi")
+        .join(orderDependent, Seq("comp"), "left_anti")
         .select(col("comp"), col("src"), col("dst"),
           expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)").as("value_e3"))
     }),
@@ -123,9 +141,12 @@ object QueriesExtras {
        |cc AS MATERIALIZED (SELECT nid, MIN(label) AS comp FROM r GROUP BY nid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // Strict-hull vertex count: position p is a hull vertex iff p is NOT
-    // in the convex closure of the component's other positions —
+    // Strict-hull vertexes: position p is a hull vertex iff p is NOT in
+    // the convex closure of the component's other positions —
     // Carathéodory: inside/on a non-degenerate triangle, or on a segment.
+    // Each surviving hull position maps back to its min-nid
+    // representative; the engine must emit exactly these (comp, nid)
+    // rows, each with covered = 1.
     "q44_frames" -> {
       val d1 = crossSql("a.lat", "a.lon", "b.lat", "b.lon", "p.lat", "p.lon")
       val d2 = crossSql("b.lat", "b.lon", "c.lat", "c.lon", "p.lat", "p.lon")
@@ -157,19 +178,39 @@ object QueriesExtras {
          |    AND $segCross = 0
          |    AND p.lat BETWEEN LEAST(a.lat, b.lat) AND GREATEST(a.lat, b.lat)
          |    AND p.lon BETWEEN LEAST(a.lon, b.lon) AND GREATEST(a.lon, b.lon))),
-         |np AS (SELECT comp, COUNT(*) AS np FROM pos GROUP BY comp),
-         |nv AS (SELECT comp, COUNT(*) AS k FROM notvert GROUP BY comp)
-         |SELECT np.comp, CAST(np.np - COALESCE(nv.k, 0) AS BIGINT) AS n_hull,
-         |  CAST(1 AS BIGINT) AS frame_ok
-         |FROM np LEFT JOIN nv ON nv.comp = np.comp""".stripMargin
+         |hull AS (
+         |  SELECT p.comp, p.lat, p.lon FROM pos p
+         |  LEFT JOIN notvert nv
+         |    ON nv.comp = p.comp AND nv.lat = p.lat AND nv.lon = p.lon
+         |  WHERE nv.comp IS NULL),
+         |nidmap AS (
+         |  SELECT c.comp,
+         |    (c.nid * 2654435761) % 1700000 AS lat,
+         |    (c.nid * 2246822519) % 3600000 AS lon,
+         |    MIN(c.nid) AS hull_nid
+         |  FROM cc c GROUP BY 1, 2, 3)
+         |SELECT h.comp, m.hull_nid, CAST(1 AS BIGINT) AS covered
+         |FROM hull h JOIN nidmap m
+         |  ON m.comp = h.comp AND m.lat = h.lat AND m.lon = h.lon""".stripMargin
     },
 
-    // Tree-component betweenness closed form over the COMPRESSED tree
-    // (matching the engine's reference-shaped pre-pass): compressed
-    // vertexes = degree≠2 nodes; compressed edges = interior chains
-    // between pillar pairs + direct pillar-pillar edges; rooted walk
-    // from the min pillar, subtree sizes via ancestor counting, value =
-    // sz(child)·(n_pillars − sz(child)) — each unordered pair once.
+    // Betweenness over BOTH component classes the engine projects:
+    //  - tree components: closed form over the compressed tree
+    //    (compressed vertexes = degree≠2 nodes; compressed edges =
+    //    interior chains between pillar pairs + direct pillar-pillar
+    //    edges; rooted walk from the min pillar, subtree sizes via
+    //    ancestor counting, value = sz(child)·(n_pillars − sz(child)) —
+    //    each unordered pair once);
+    //  - non-tree components with a clean contraction: FULL replay —
+    //    contract interior chains (weight = Σ haversine over member
+    //    edges, exactly the engine's chain-length weights), enumerate
+    //    every simple path between compressed-vertex pairs, keep paths
+    //    within the engine's 1e-9 tie window of the per-pair minimum,
+    //    and accumulate σ-weighted pair dependencies per edge; edges on
+    //    no shortest path get 0 (the engine's bc_res zero-seeding).
+    //    Components whose contraction is merge-order-dependent (parallel
+    //    arcs / pure cycles → duplicate or self-loop contracted edges)
+    //    are excluded on both sides.
     "q45_betweenness" ->
       s"""WITH RECURSIVE $oracleWaysCte, $ccCteLocal,
          |ce AS MATERIALIZED (
@@ -237,7 +278,98 @@ object QueriesExtras {
          |  SELECT an.comp, an.nid, w.parent FROM anc an
          |    JOIN walk w ON w.comp = an.comp AND w.nid = an.a
          |  WHERE w.parent IS NOT NULL),
-         |sub AS (SELECT comp, a AS nid, COUNT(*) AS sz FROM anc GROUP BY comp, a)
+         |sub AS (SELECT comp, a AS nid, COUNT(*) AS sz FROM anc GROUP BY comp, a),
+         |ntc AS MATERIALIZED (
+         |  SELECT np.comp FROM npos np
+         |  JOIN (SELECT comp, COUNT(*) AS n_edges FROM ce GROUP BY comp) ec
+         |    USING (comp)
+         |  WHERE ec.n_edges <> np.n_nodes - 1 AND np.n_pos = np.n_nodes),
+         |ne AS MATERIALIZED (
+         |  SELECT e.comp, e.src, e.dst FROM ce e JOIN ntc ON ntc.comp = e.comp),
+         |ntdeg AS MATERIALIZED (
+         |  SELECT comp, nid, COUNT(*) AS dg FROM (
+         |    SELECT comp, src AS nid FROM ne
+         |    UNION ALL SELECT comp, dst FROM ne) GROUP BY comp, nid),
+         |ntpil AS (SELECT comp, nid FROM ntdeg WHERE dg <> 2),
+         |ntint AS (SELECT comp, nid FROM ntdeg WHERE dg = 2),
+         |ntinte AS (SELECT e.comp, e.src, e.dst FROM ne e
+         |  JOIN ntint i1 ON i1.comp = e.comp AND i1.nid = e.src
+         |  JOIN ntint i2 ON i2.comp = e.comp AND i2.nid = e.dst),
+         |ntisym AS (SELECT comp, src, dst FROM ntinte
+         |  UNION SELECT comp, dst AS src, src AS dst FROM ntinte),
+         |ntir AS (
+         |  SELECT comp, nid, nid AS label FROM ntint
+         |  UNION
+         |  SELECT s.comp, s.dst, ntir.label FROM ntir
+         |    JOIN ntisym s ON s.comp = ntir.comp AND s.src = ntir.nid
+         |  WHERE ntir.label < s.dst),
+         |nticc AS MATERIALIZED (
+         |  SELECT comp, nid, MIN(label) AS ic FROM ntir GROUP BY comp, nid),
+         |ntmem AS (
+         |  SELECT DISTINCT i.comp, i.ic, e.src, e.dst FROM ne e
+         |    JOIN nticc i ON i.comp = e.comp AND (i.nid = e.src OR i.nid = e.dst)),
+         |nticw AS MATERIALIZED (
+         |  SELECT m.comp, m.ic,
+         |    SUM(${haversineSql("a.lat", "a.lon", "b.lat", "b.lon")}) AS w
+         |  FROM ntmem m JOIN nodes a ON a.nid = m.src
+         |    JOIN nodes b ON b.nid = m.dst
+         |  GROUP BY m.comp, m.ic),
+         |ntatt AS (
+         |  SELECT i.comp, i.ic, e.dst AS pillar FROM ne e
+         |    JOIN nticc i ON i.comp = e.comp AND i.nid = e.src
+         |    JOIN ntpil p ON p.comp = e.comp AND p.nid = e.dst
+         |  UNION ALL
+         |  SELECT i.comp, i.ic, e.src FROM ne e
+         |    JOIN nticc i ON i.comp = e.comp AND i.nid = e.dst
+         |    JOIN ntpil p ON p.comp = e.comp AND p.nid = e.src),
+         |ntcedges AS MATERIALIZED (
+         |  SELECT g.comp, LEAST(g.p1, g.p2) AS src, GREATEST(g.p1, g.p2) AS dst,
+         |    w.w FROM (
+         |    SELECT comp, ic, MIN(pillar) AS p1, MAX(pillar) AS p2
+         |    FROM ntatt GROUP BY comp, ic) g
+         |  JOIN nticw w ON w.comp = g.comp AND w.ic = g.ic
+         |  UNION ALL
+         |  SELECT e.comp, e.src, e.dst,
+         |    ${haversineSql("a.lat", "a.lon", "b.lat", "b.lon")} FROM ne e
+         |    JOIN ntpil pa ON pa.comp = e.comp AND pa.nid = e.src
+         |    JOIN ntpil pb ON pb.comp = e.comp AND pb.nid = e.dst
+         |    JOIN nodes a ON a.nid = e.src JOIN nodes b ON b.nid = e.dst),
+         |ntbad AS (
+         |  SELECT DISTINCT comp FROM (
+         |    SELECT comp FROM ntcedges GROUP BY comp, src, dst HAVING COUNT(*) > 1
+         |    UNION ALL SELECT comp FROM ntcedges WHERE src = dst
+         |    UNION ALL SELECT comp FROM ntc
+         |      WHERE comp NOT IN (SELECT comp FROM ntpil))),
+         |ntce AS MATERIALIZED (
+         |  SELECT c.* FROM ntcedges c LEFT JOIN ntbad b ON b.comp = c.comp
+         |  WHERE b.comp IS NULL),
+         |ntsym AS MATERIALIZED (
+         |  SELECT comp, src, dst, w FROM ntce
+         |  UNION ALL SELECT comp, dst AS src, src AS dst, w FROM ntce),
+         |npaths AS (
+         |  SELECT comp, src AS s, dst AS cur, w AS d, [src, dst] AS vl FROM ntsym
+         |  UNION ALL
+         |  SELECT p.comp, p.s, e.dst, p.d + e.w, list_append(p.vl, e.dst)
+         |  FROM npaths p JOIN ntsym e ON e.comp = p.comp AND e.src = p.cur
+         |  WHERE NOT list_contains(p.vl, e.dst)),
+         |npst AS MATERIALIZED (
+         |  SELECT comp, s, cur AS t, d, vl FROM npaths WHERE s < cur),
+         |nmind AS (SELECT comp, s, t, MIN(d) AS md FROM npst GROUP BY comp, s, t),
+         |nsp AS MATERIALIZED (
+         |  SELECT p.comp, p.s, p.t, p.vl FROM npst p
+         |  JOIN nmind m ON m.comp = p.comp AND m.s = p.s AND m.t = p.t
+         |  WHERE p.d <= m.md + 1e-9),
+         |nsig AS (SELECT comp, s, t, COUNT(*) AS sigma FROM nsp GROUP BY comp, s, t),
+         |nspe AS (
+         |  SELECT comp, s, t, vl, unnest(range(1, len(vl))) AS i FROM nsp),
+         |ntres AS (
+         |  SELECT v.comp, v.es AS src, v.ed AS dst, SUM(1.0 / g.sigma) AS val
+         |  FROM (
+         |    SELECT comp, s, t,
+         |      LEAST(vl[i], vl[i + 1]) AS es, GREATEST(vl[i], vl[i + 1]) AS ed
+         |    FROM nspe) v
+         |  JOIN nsig g ON g.comp = v.comp AND g.s = v.s AND g.t = v.t
+         |  GROUP BY v.comp, v.es, v.ed)
          |SELECT e.comp, e.src, e.dst,
          |  CAST(s1.sz * (pc.n - s1.sz) * 1000 AS BIGINT) AS value_e3
          |FROM cedges e
@@ -245,7 +377,12 @@ object QueriesExtras {
          |  ((w.nid = e.src AND w.parent = e.dst) OR
          |   (w.nid = e.dst AND w.parent = e.src))
          |JOIN sub s1 ON s1.comp = e.comp AND s1.nid = w.nid
-         |JOIN pcount pc ON pc.comp = e.comp""".stripMargin,
+         |JOIN pcount pc ON pc.comp = e.comp
+         |UNION ALL
+         |SELECT e.comp, e.src, e.dst,
+         |  CAST(FLOOR(COALESCE(r.val, 0.0) * 1000 + 0.5) AS BIGINT) AS value_e3
+         |FROM ntce e LEFT JOIN ntres r
+         |  ON r.comp = e.comp AND r.src = e.src AND r.dst = e.dst""".stripMargin,
 
     "q46_longest_source_mouth" ->
       s"""WITH RECURSIVE $oracleWaysCte,
