@@ -157,6 +157,11 @@ object Derived {
   def memoize(key: String)(f: => DataFrame): DataFrame =
     memo.computeIfAbsent(key, _ => f.localCheckpoint(true))
 
+  /** Drop every memoised frame (Bench calls this between reps so each
+    * rep pays the full iterative cost instead of reusing warm caches).
+    */
+  def clearMemo(): Unit = memo.clear()
+
   /** Equal-split upstream over the DAG: (nodeUpstream, edgeFlow) memoised. */
   def dagUpstreamNodes(spark: SparkSession, dir: String): DataFrame =
     memoize(s"upnodes:$dir") {

@@ -102,6 +102,9 @@ object QueriesGraph {
   private def memoize(key: String)(f: => DataFrame): DataFrame =
     memo.computeIfAbsent(key, _ => f.localCheckpoint(true))
 
+  /** Drop every memoised frame (Bench calls this between reps). */
+  def clearMemo(): Unit = memo.clear()
+
   def ccLabels(s: SparkSession, d: String): DataFrame =
     memoize(s"cc:$d") { ConnectedComponents.run(edgesDF(s, d)).labels }
 
