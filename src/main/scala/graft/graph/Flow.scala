@@ -174,6 +174,20 @@ object Flow {
 
   /** D5 — upstream accumulation over a DAG with the full splitting rule.
     *
+    * Pregel-style RDD loop with ONE shared HashPartitioner (the same
+    * documented legitimate RDD case as [[biggestEndAssignment]]:
+    * iterative co-partitioned state that Catalyst cannot keep
+    * co-partitioned across rounds). Per round the ONLY shuffle is the
+    * frontier's out-flow push (aggregateByKey over this round's
+    * arrivals); the pending state — in-degree countdown plus the
+    * arrived contributions, which round-3 rewrote and re-checkpointed in
+    * full every round as the `acc` frame — now updates through NARROW
+    * co-partitioned joins, so per-round I/O ≈ |frontier out-edges|, not
+    * O(pending set). Resolved values and edge flows append to per-round
+    * DELTA logs exactly as before (the durable-checkpointer contract is
+    * unchanged: one frontier-sized parquet delta per round, resume =
+    * `IterationCheckpointer.allComplete` union).
+    *
     * @param edges DataFrame(src: Long, dst: Long, len: Double,
     *              tag: String nullable), acyclic (contract SCCs first).
     */
@@ -183,39 +197,22 @@ object Flow {
       checkpointer: Option[(Int, DataFrame) => DataFrame] = None): UpstreamResult = {
     val spark = edges.sparkSession
     import spark.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
 
     val e0 = edges.select(
       col("src").cast("long"), col("dst").cast("long"),
       col("len").cast("double"), col("tag").cast("string"))
       .localCheckpoint(true)
 
-    // static per-source out-edge lists (dst, tag, len)
-    val outLists = e0.groupBy("src")
-      .agg(collect_list(struct(col("dst"), col("tag"), col("len"))).as("outs"))
-      .localCheckpoint(true)
-
-    val allNodes = e0.select(col("src").as("nid"))
-      .union(e0.select(col("dst").as("nid"))).distinct().localCheckpoint(true)
-    val totalNodes = allNodes.count()
-
     def emptyDf(schema: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-    // acc: per (nid, tag) arrived in-contributions (flow + len) for nodes
-    // not yet resolved — consumed rows are dropped each round, so the
-    // frame stays bounded by the pending frontier's in-edges.
-    var acc = emptyDf(StructType(Seq(
-      StructField("nid", LongType), StructField("tag", StringType),
-      StructField("contrib", DoubleType))))
-
     // resolved/flows are APPEND-ONLY: per-round deltas are buffered (each
-    // is backed by that round's checkpointed `emitted` frame — or, with a
-    // durable checkpointer, its own parquet round dir) and only unioned
-    // at the end. Round-2 re-unioned + re-checkpointed the CUMULATIVE
-    // frames every round — O(depth × state) checkpoint I/O, the scale
-    // killer on deep DAGs (long rivers: thousands of rounds). Deltas are
-    // compacted every `compactEvery` rounds so the final union plan stays
-    // bounded.
+    // backed by that round's persisted frontier RDD — or, with a durable
+    // checkpointer, its own parquet round dir) and only unioned at the
+    // end; compaction every `compactEvery` rounds keeps the union plan
+    // bounded on deep DAGs.
     val compactEvery = 64
     final class DeltaLog(schema: StructType) {
       private var base: DataFrame = emptyDf(schema)
@@ -237,85 +234,125 @@ object Flow {
       StructField("tag", StringType), StructField("len", DoubleType),
       StructField("flow_m", DoubleType))))
 
-    // incremental in-degree countdown (round-1 recomputed
-    // allNodes ⟕ live ⟕ resolved anti-joins over the FULL node set every
-    // round — O(|V|·rounds)): pending in-degrees decrement as flows
-    // arrive; a node becomes ready exactly when its count hits zero, so
-    // per-round work is O(|frontier| + touched in-degrees).
-    var indeg = e0.groupBy(col("dst").as("nid"))
-      .agg(count(lit(1)).as("pending")).localCheckpoint(true)
-    var ready = allNodes.join(indeg.select("nid"), Seq("nid"), "left_anti")
-      .localCheckpoint(true)
+    // partitioner sized to the data (AQE cannot coalesce inside an RDD
+    // loop — same sizing rule as biggestEndAssignment)
+    val eCount = e0.count()
+    val nParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+      eCount / 100000L + 1L)).toInt
+    val part = new HashPartitioner(nParts)
+    if (spark.sparkContext.getCheckpointDir.isEmpty && spark.sparkContext.isLocal)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-rdd-ckpt").toString)
+    val reliableCkpt = spark.sparkContext.getCheckpointDir.nonEmpty
 
+    type Edge = (Long, Option[String], Double) // (dst, tag, len)
+    val eRdd = e0.as[(Long, Long, Double, Option[String])].rdd
+
+    // static per-source out-edge lists, co-partitioned with the state
+    val outs = eRdd
+      .map { case (s, d, l, t) => (s, (d, t, l): Edge) }
+      .groupByKey(part)
+      .mapValues(_.toArray)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // state: (pending in-degree countdown, contributions arrived so far);
+    // a node leaves the state the round after its countdown hits zero
+    type NodeState = (Long, List[(Option[String], Double)])
+    val indeg = eRdd.map { case (_, d, _, _) => (d, 1L) }.reduceByKey(part, _ + _)
+    val allNodes = eRdd
+      .flatMap { case (s, d, _, _) => Iterator(s, d) }
+      .map((_, ()))
+      .reduceByKey(part, (a, _) => a)
+    var state = allNodes.leftOuterJoin(indeg) // narrow (shared partitioner)
+      .mapValues { case (_, deg) => (deg.getOrElse(0L), Nil): NodeState }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totalNodes = state.count()
+
+    // every round's emitted frontier backs that round's delta frames, so
+    // it stays persisted until the final union is materialized by the
+    // caller — the retained total is O(output), the same as round 3's
+    // per-round checkpointed `emitted` frames
+    val retained = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    var prevState: Option[org.apache.spark.rdd.RDD[_]] = None
+    val pinnedGens = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     var rounds = 0
     var doneCount = 0L
-    var nReady = ready.count()
+    var nReady = state.filter(_._2._1 == 0L).count()
 
     while (doneCount < totalNodes && rounds < maxRounds) {
       if (nReady == 0 && doneCount < totalNodes) {
         throw new IllegalStateException(
           s"upstream propagation stalled after $rounds rounds — graph has a cycle")
       }
-
-      // per ready node: in-group sums + out-edge list → allocation
-      // (acc is semi-joined to the frontier BEFORE aggregating, so the
-      // shuffle is frontier-sized, not pending-set-sized)
-      val readyIns = acc.join(ready, Seq("nid"), "left_semi")
-        .groupBy("nid", "tag").agg(sum("contrib").as("inflow"))
-        .groupBy("nid")
-        .agg(collect_list(struct(col("tag"), col("inflow"))).as("ins"))
-      val readyState = ready
-        .join(readyIns, Seq("nid"), "left")
-        .join(outLists.withColumnRenamed("src", "nid"), Seq("nid"), "left")
-        .select(col("nid"), col("ins"), col("outs"))
-        .as[(Long, Option[Seq[(Option[String], Double)]],
-          Option[Seq[(Long, Option[String], Double)]])]
-
-      val emitted = readyState.flatMap { case (nid, insOpt, outsOpt) =>
-        val ins = insOpt.getOrElse(Nil)
-        val outs = outsOpt.getOrElse(Nil)
-        val (upstream, outFlows) = allocate(ins, outs)
-        val flowsOut = outs.zip(outFlows).map { case ((d, t, l), f) => (d, t, l, f) }
-        Iterator((nid, upstream, flowsOut))
-      }.localCheckpoint(true)
+      // frontier allocation: ready nodes joined with their static
+      // out-lists — narrow on both sides
+      val emitted = state.filter(_._2._1 == 0L)
+        .leftOuterJoin(outs)
+        .map { case (nid, ((_, ins), outsOpt)) =>
+          val os = outsOpt.map(_.toSeq).getOrElse(Nil)
+          val (upstream, outFlows) = allocate(ins, os)
+          (nid, upstream,
+            os.zip(outFlows).map { case ((d, t, l), f) => (d, t, l, f) })
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      retained += emitted
 
       val newResolved = emitted.map(x => (x._1, x._2)).toDF("nid", "up")
-      val newFlows = emitted.flatMap { case (src, _, outs) =>
-        outs.map { case (d, t, l, f) => (src, d, t.orNull, l, f) }
+      val newFlows = emitted.flatMap { case (src, _, os) =>
+        os.map { case (d, t, l, f) => (src, d, t.orNull, l, f) }
       }.toDF("src", "dst", "tag", "len", "flow_m")
-      val newContribs = newFlows.select(
-        col("dst").as("nid"), col("tag"),
-        (col("flow_m") + col("len")).as("contrib"))
 
-      // append the FRONTIER-SIZED delta only; a durable checkpointer
-      // persists each round's delta parquet — resume therefore reads the
-      // UNION of all complete rounds (IterationCheckpointer.allComplete),
-      // NOT latestComplete (which is the full-state contract used by CC
-      // and biggest-end)
+      // the durable checkpointer persists each round's delta parquet —
+      // resume therefore reads the UNION of all complete rounds
+      // (IterationCheckpointer.allComplete), NOT latestComplete (the
+      // full-state contract used by CC and biggest-end)
       resolvedLog.append(checkpointer match {
         case Some(cp) => cp(rounds, newResolved)
-        case None     => newResolved // backed by the checkpointed `emitted`
+        case None     => newResolved // backed by the persisted `emitted`
       })
       flowsLog.append(newFlows)
-      // consume the just-resolved nodes' contributions; no global re-agg
-      // (readyState aggregates per-use), so acc work is delta-sized
-      acc = acc.join(ready, Seq("nid"), "left_anti")
-        .union(newContribs)
-        .localCheckpoint(true)
 
-      // countdown: decrement pending in-degrees by this round's arrivals
-      val arrivals = newFlows.groupBy(col("dst").as("nid"))
-        .agg(count(lit(1)).as("arrived"))
-      val upd = indeg.join(arrivals, Seq("nid"), "left")
-        .select(col("nid"),
-          (col("pending") - coalesce(col("arrived"), lit(0L))).as("pending"))
-        .localCheckpoint(true)
+      // push: THE round's only shuffle, sized by the frontier's out-edges
+      val arrivals = emitted
+        .flatMap { case (_, _, os) =>
+          os.iterator.map { case (d, t, l, f) => (d, (t, f + l)) }
+        }
+        .aggregateByKey(
+          (0L, List.empty[(Option[String], Double)]), part)(
+          (a, e) => (a._1 + 1L, e :: a._2),
+          (a, b) => (a._1 + b._1, a._2 ::: b._2))
+
+      // retire resolved nodes; merge arrivals into the countdown — narrow
+      val newState = state.filter(_._2._1 > 0L)
+        .leftOuterJoin(arrivals)
+        .mapValues {
+          case ((pend, ins), Some((n, es))) => (pend - n, ins ::: es)
+          case ((pend, ins), None)          => (pend, ins)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pinned = rounds % 30 == 29 && !reliableCkpt
+      if (rounds % 30 == 29) {
+        if (reliableCkpt) newState.checkpoint() else newState.localCheckpoint()
+      }
       doneCount += nReady
-      ready = upd.filter(col("pending") === 0L).select("nid").localCheckpoint(true)
-      indeg = upd.filter(col("pending") > 0L)
-      nReady = ready.count()
+      // count() materializes EVERY partition before the previous round's
+      // state is released (a prefix action would force recomputation
+      // through the lineage chain later)
+      nReady = newState.filter(_._2._1 == 0L).count()
+      prevState.foreach(_.unpersist(false))
+      if (pinned) pinnedGens += newState
+      prevState = if (pinned) None else Some(newState)
+      state = newState
       rounds += 1
     }
+    prevState.foreach(_.unpersist(false))
+    pinnedGens.foreach(_.unpersist(false))
+    outs.unpersist(false)
+    // `retained` (the per-round emitted frontiers) deliberately stays
+    // persisted: the returned delta-log unions read from those RDDs
     UpstreamResult(
       resolvedLog.all.withColumnRenamed("up", "upstream_m"),
       flowsLog.all, rounds)

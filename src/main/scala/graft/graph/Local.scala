@@ -153,11 +153,23 @@ object Local {
     * in `neverRemove`, concatenating intermediates
     * (/root/reference/src/graph/undirected_graph.rs:640-716). Skips the
     * merge if it would duplicate an existing edge or form a self loop.
+    *
+    * Merge ORDER is semantic (it decides which vertexes survive a
+    * duplicate/self-loop skip) and is preserved exactly from the original
+    * pass-based form: always merge the smallest eligible degree-2 vertex
+    * first, then re-evaluate. The old implementation recomputed degrees
+    * and rescanned every edge per merge — O(V·E) on chain-heavy
+    * components, a compute cliff long before the memory one; this one
+    * maintains an adjacency index and an ordered candidate set for the
+    * identical sequence in O(E log E). (A merge changes no degree except
+    * the removed vertex's, so the recomputed per-pass candidate list of
+    * the old form equals this maintained set; a skipped candidate can
+    * only become mergeable after some other merge succeeds, which is
+    * exactly when the scan restarts from the smallest.)
     */
   def compress(
       edges: Seq[(Long, Long, Seq[Long])],
       neverRemove: Long => Boolean): Seq[(Long, Long, Seq[Long])] = {
-    type E = (Long, Long, Seq[Long])
     val es = mutable.LinkedHashMap.empty[(Long, Long), Seq[Long]]
     def canon(a: Long, b: Long, inter: Seq[Long]): ((Long, Long), Seq[Long]) =
       if (a <= b) ((a, b), inter) else ((b, a), inter.reverse)
@@ -165,34 +177,52 @@ object Local {
       val (k, iv) = canon(a, b, inter)
       if (!es.contains(k)) es(k) = iv
     }
-    var changed = true
-    while (changed) {
-      changed = false
-      val deg = mutable.HashMap.empty[Long, Int].withDefaultValue(0)
-      es.keys.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
-      val candidates = deg.filter { case (v, d) => d == 2 && !neverRemove(v) }
-        .keys.toSeq.sorted
-      for (v <- candidates if !changed) {
-        val inc = es.keys.filter { case (a, b) => a == v || b == v }.toSeq
-        if (inc.length == 2) {
-          val Seq(e1, e2) = inc
-          val o1 = if (e1._1 == v) e1._2 else e1._1
-          val o2 = if (e2._1 == v) e2._2 else e2._1
-          if (o1 != o2) {
-            val (k, _) = canon(o1, o2, Nil)
-            if (!es.contains(k)) {
-              // chain o1 … v … o2
-              val i1 = if (e1._1 == o1) es(e1) else es(e1).reverse
-              val i2 = if (e2._1 == v) es(e2) else es(e2).reverse
-              val merged = i1 ++ Seq(v) ++ i2
-              es.remove(e1); es.remove(e2)
-              val (kk, iv) = canon(o1, o2, merged)
-              es(kk) = iv
-              changed = true
-            }
-          }
-        }
+    val adj = mutable.HashMap.empty[Long, mutable.TreeSet[Long]]
+    es.keys.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.TreeSet.empty) += b
+      adj.getOrElseUpdate(b, mutable.TreeSet.empty) += a
+    }
+    // degree counts parallel edges; after canonical dedup there are none,
+    // so degree == |adj(v)| (self loops cannot arise: merges that would
+    // create one are skipped, and input self loops keep degree ≠ 2 shape
+    // only through canon dedup — mirror the old per-pass census exactly
+    // by counting incident edge keys)
+    val deg = mutable.HashMap.empty[Long, Int].withDefaultValue(0)
+    es.keys.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val candidates = mutable.TreeSet.empty[Long]
+    deg.foreach { case (v, d) => if (d == 2 && !neverRemove(v)) candidates += v }
+    // skipped candidates wait here until the next successful merge, when
+    // the old form's pass restart makes them eligible again
+    val parked = mutable.ArrayBuffer.empty[Long]
+    while (candidates.nonEmpty) {
+      val v = candidates.head
+      candidates -= v
+      val ns = adj.getOrElse(v, mutable.TreeSet.empty[Long]).toSeq
+      if (deg(v) == 2 && ns.length == 2 && ns.head != ns.last) {
+        val Seq(n1, n2) = ns
+        val e1 = (math.min(v, n1), math.max(v, n1))
+        val e2 = (math.min(v, n2), math.max(v, n2))
+        val (o1, o2) = (n1, n2)
+        val (k, _) = canon(o1, o2, Nil)
+        if (!es.contains(k)) {
+          val i1 = if (e1._1 == o1) es(e1) else es(e1).reverse
+          val i2 = if (e2._1 == v) es(e2) else es(e2).reverse
+          val merged = i1 ++ Seq(v) ++ i2
+          es.remove(e1); es.remove(e2)
+          val (kk, iv) = canon(o1, o2, merged)
+          es(kk) = iv
+          adj(o1) -= v; adj(o2) -= v; adj.remove(v)
+          adj(o1) += o2; adj(o2) += o1
+          deg(v) = 0
+          // degrees of o1/o2 are unchanged (two incident edges replaced
+          // by one merged edge each); un-park every skipped candidate —
+          // the old form restarts its ascending pass after each merge
+          parked.foreach(candidates += _)
+          parked.clear()
+        } else parked += v
       }
+      // degenerate candidates (parallel-edge degree vs adjacency mismatch
+      // or self-neighbour) simply drop out, as in the old per-pass form
     }
     es.iterator.map { case ((a, b), inter) => (a, b, inter) }.toSeq
   }

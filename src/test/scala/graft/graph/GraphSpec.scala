@@ -228,6 +228,40 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(r.edgeFlow.count() == (n - 1).toLong)
   }
 
+  test("deep-chain upstream: per-round state I/O is frontier-sized") {
+    // a chain of n nodes runs n rounds with a 1-node frontier; if any
+    // per-round step re-shuffled the PENDING state (as the old `acc`
+    // frame semi-join did), total shuffle records would be Ω(n²) — the
+    // co-partitioned loop's only per-round shuffle is the frontier push,
+    // so the total must stay O(n)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    val n = 300
+    val e = (1 until n).map(i => (i.toLong, (i + 1).toLong, 1.0))
+      .toDF("src", "dst", "len")
+      .withColumn("tag", org.apache.spark.sql.functions.lit(null).cast("string"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Flow.upstreamFlow(e)
+      r.nodeUpstream.count()
+      r.edgeFlow.count()
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(2000)
+      assert(r.rounds == n)
+      // linear bound with slack (setup shuffles + per-round frontier of
+      // 1); a pending-state reshuffle would be ≥ n²/2 = 45,000 records
+      assert(shuffled.get() < 20L * n,
+        s"upstream shuffled ${shuffled.get()} records over $n rounds — " +
+          "per-round work is no longer frontier-sized")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("deep-chain biggest-end: long propagation over co-partitioned state") {
     val n = 40
     val e = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
