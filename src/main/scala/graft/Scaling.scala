@@ -18,7 +18,9 @@ object Scaling {
 
   final case class RunResult(
       cpus: Int, wallSec: Double, waysPerSec: Double, ccRounds: Int,
-      nComponents: Long, checksum: Long, totalLenM: Double)
+      nComponents: Long, checksum: Long, totalLenM: Double,
+      geomSegments: Long = -1L, geomLines: Long = -1L,
+      geomCoveredEdges: Long = -1L)
 
   def runOnce(cpus: Int, nWays: Long, buckets: Long): RunResult = {
     // SPARK_GRAFT_SHUFFLE_MULT partitions-per-core (default 1 =
@@ -74,9 +76,40 @@ object Scaling {
         count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(comp, n_edges))"), lit(0L)).as("x"),
         sum("len").as("total")).head()
+      // optional sharded-geometry stage (SPARK_GRAFT_SCALE_GEOM=1): run
+      // the DistPeel mega-component path over EVERY component with the
+      // threshold forced low, so each component peels chunked + stitched
+      // — the measured evidence that geometry assembly no longer needs a
+      // whole component in one task. Invariants: covered segment pairs
+      // == edge count (each edge exactly once), line/segment counts are
+      // parallelism-independent (pure function of the data).
+      val geom = sys.env.get("SPARK_GRAFT_SCALE_GEOM").map { _ =>
+        val maxChunk = sys.env.getOrElse("SPARK_GRAFT_SCALE_GEOM_CHUNK",
+          "200000").toLong
+        val labelled = edges
+          .join(cc.labels.withColumnRenamed("nid", "src"), Seq("src"))
+          .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
+            col("lon").as("lon1")), Seq("src"))
+          .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
+            col("lon").as("lon2")), Seq("dst"))
+          .select(col("comp"), col("src"), col("dst"),
+            array(col("src"), col("dst")).as("nids"),
+            array(col("lat1"), col("lat2")).as("lats"),
+            array(col("lon1"), col("lon2")).as("lons"),
+            col("lat1"), col("lon1"))
+        val segs = graph.DistPeel.peelSegments(
+          graph.DistPeel.withChunk(labelled, maxChunk), spark)
+        val s = segs.agg(
+          count(lit(1)).as("nsegs"),
+          countDistinct(col("comp"), col("line_idx")).as("nlines"),
+          sum(size(col("nids")) - 1).as("covered")).head()
+        (s.getLong(0), s.getLong(1), s.getLong(2))
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       RunResult(cpus, wall, nWays / wall, cc.rounds,
-        summary.getLong(0), summary.getLong(1), summary.getDouble(2))
+        summary.getLong(0), summary.getLong(1), summary.getDouble(2),
+        geom.map(_._1).getOrElse(-1L), geom.map(_._2).getOrElse(-1L),
+        geom.map(_._3).getOrElse(-1L))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -118,12 +151,27 @@ object Scaling {
       math.max(math.abs(lo.totalLenM), 1.0)
     require(lenRel < 1e-9,
       s"total length diverges beyond fp reassociation: $lenRel")
+    // sharded-geometry invariants (when SPARK_GRAFT_SCALE_GEOM=1): the
+    // peel is a pure function of the data — counts must be identical at
+    // every parallelism, and coverage must equal the edge count exactly
+    if (lo.geomSegments >= 0) {
+      require(lo.geomSegments == hi.geomSegments &&
+        lo.geomLines == hi.geomLines &&
+        lo.geomCoveredEdges == hi.geomCoveredEdges,
+        s"sharded geometry differs across parallelism: " +
+          s"${(lo.geomSegments, lo.geomLines, lo.geomCoveredEdges)} vs " +
+          s"${(hi.geomSegments, hi.geomLines, hi.geomCoveredEdges)}")
+    }
+    val geomJson =
+      if (lo.geomSegments < 0) ""
+      else s""""geom_segments":${lo.geomSegments},"geom_lines":${lo.geomLines},""" +
+        s""""geom_covered_edges":${lo.geomCoveredEdges},"""
     println(
       s"""{"metric":"scaling","n_ways":$nWays,"buckets":$buckets,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,""" +
         s""""t_lo_sec":${lo.wallSec},"t_hi_sec":${hi.wallSec},""" +
         s""""ways_per_sec_lo":${lo.waysPerSec.toLong},"ways_per_sec_hi":${hi.waysPerSec.toLong},""" +
         s""""cc_rounds":${lo.ccRounds},"n_components":${lo.nComponents},""" +
-        s""""checksum":${lo.checksum},"total_len_rel_diff":$lenRel,""" +
+        s""""checksum":${lo.checksum},"total_len_rel_diff":$lenRel,$geomJson""" +
         s""""efficiency":$eff}""")
   }
 }

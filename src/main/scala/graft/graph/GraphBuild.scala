@@ -241,4 +241,83 @@ object GraphBuild {
     }
     uniq.as[KeyedEdge]
   }
+
+  /** C9 at scale — the vertex count of each component AFTER local
+    * degree-2 compression ([[Local.compress]]), computed DISTRIBUTED with
+    * joins + aggregates + one interior-chain CC, no per-component
+    * materialization. Closed form (the same one the q35 DuckDB oracle
+    * validated row-exact against `Local.compress` over every sf0.01
+    * component):
+    *
+    *   pillars (degree ≠ 2 in the contracted graph)
+    *   + per parallel-chain family (p, q): C − 1 + [direct edge exists]
+    *     (one chain of the family fully compresses unless a direct edge
+    *     blocks it; every other chain keeps exactly one survivor)
+    *   + 2 per pillar loop (a chain attached twice to the same pillar)
+    *   + 3 per pure-cycle component (compresses to a triangle)
+    *
+    * Used by the sharded geometry path, where the whole component never
+    * fits one task so `Local.compress` cannot run.
+    *
+    * @param edges (comp, src, dst) canonical (deduplicated) undirected
+    * @return (comp, num_nodes)
+    */
+  def compressedNumNodes(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+      col("comp"),
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+    val deg = e.select(col("comp"), col("src").as("nid"))
+      .union(e.select(col("comp"), col("dst").as("nid")))
+      .groupBy("comp", "nid").agg(count(lit(1)).as("d"))
+    val pillars = deg.filter(col("d") =!= 2)
+      .groupBy("comp").agg(count(lit(1)).as("p"))
+    val intn = deg.filter(col("d") === 2).select("comp", "nid")
+    // interior-chain labels: components are vertex-disjoint, so one
+    // global CC over the degree-2-induced subgraph labels every chain;
+    // isolated interior nodes (single-vertex chains) self-label
+    val inte = e
+      .join(intn.withColumnRenamed("nid", "src"), Seq("comp", "src"), "left_semi")
+      .join(intn.withColumnRenamed("nid", "dst"), Seq("comp", "dst"), "left_semi")
+    val icLabels = ConnectedComponents.run(inte.select("src", "dst")).labels
+      .withColumnRenamed("comp", "ic")
+    val ic = intn.join(icLabels, Seq("nid"), "left")
+      .select(col("comp"), col("nid"), coalesce(col("ic"), col("nid")).as("ic"))
+    // attachments: interior node → pillar neighbour
+    val pilN = deg.filter(col("d") =!= 2).select("comp", "nid")
+    val icSrc = ic.select(col("comp"), col("nid").as("src"), col("ic"))
+    val icDst = ic.select(col("comp"), col("nid").as("dst"), col("ic"))
+    val att = e
+      .join(icSrc, Seq("comp", "src"))
+      .join(pilN.withColumnRenamed("nid", "dst"), Seq("comp", "dst"), "left_semi")
+      .select(col("comp"), col("ic"), col("dst").as("pillar"))
+      .union(e
+        .join(icDst, Seq("comp", "dst"))
+        .join(pilN.withColumnRenamed("nid", "src"), Seq("comp", "src"), "left_semi")
+        .select(col("comp"), col("ic"), col("src").as("pillar")))
+    val allIcs = ic.select("comp", "ic").distinct()
+    val ica = allIcs.join(att, Seq("comp", "ic"), "left")
+      .groupBy("comp", "ic").agg(
+        count(col("pillar")).as("natt"),
+        min("pillar").as("p1"), max("pillar").as("p2"))
+    val chains = ica.filter(col("natt") === 2 && col("p1") =!= col("p2"))
+      .groupBy("comp", "p1", "p2").agg(count(lit(1)).as("c"))
+    val direct = e.select(col("comp"), col("src").as("p1"), col("dst").as("p2"))
+      .distinct().withColumn("hasDirect", lit(1L))
+    val extras = chains
+      .join(direct, Seq("comp", "p1", "p2"), "left")
+      .select(col("comp"),
+        (col("c") - 1 + coalesce(col("hasDirect"), lit(0L))).as("surv"))
+      .union(ica.filter(col("natt") === 2 && col("p1") === col("p2"))
+        .select(col("comp"), lit(2L).as("surv")))
+      .union(ica.filter(col("natt") === 0)
+        .select(col("comp"), lit(3L).as("surv")))
+      .groupBy("comp").agg(sum("surv").as("x"))
+    e.select("comp").distinct()
+      .join(pillars, Seq("comp"), "left")
+      .join(extras, Seq("comp"), "left")
+      .select(col("comp"),
+        (coalesce(col("p"), lit(0L)) + coalesce(col("x"), lit(0L)))
+          .as("num_nodes"))
+  }
 }

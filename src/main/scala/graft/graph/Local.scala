@@ -9,6 +9,36 @@ import scala.collection.mutable
   */
 object Local {
 
+  /** Per-group materialization cap for the local algorithms that must
+    * hold one component/group in a single task (D16 line walk, frames,
+    * betweenness, longest source→mouth). Overridable with
+    * `-Dgraft.maxLocalGroupRows=N` (spark.executor.extraJavaOptions on a
+    * cluster). ~20M rows ≈ a few GB of boxed tuples — loud failure
+    * comfortably before the executor OOM-kills.
+    */
+  lazy val MaxLocalGroupRows: Long =
+    sys.props.get("graft.maxLocalGroupRows").map(_.toLong).getOrElse(20000000L)
+
+  /** Materialize a per-group iterator with a LOUD size guard (SURVEY
+    * §7.5.4): a mega-component crossing the cap fails with sizing
+    * guidance instead of grinding into spill/OOM death. The undirected
+    * geometry path shards instead ([[DistPeel]]); the operators calling
+    * this have whole-group semantics (a single feature's props/geometry
+    * depend on every edge), matching the reference's own in-RAM bound.
+    */
+  def boundedSeq[T](rows: Iterator[T], what: String): Seq[T] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    rows.foreach { r =>
+      buf += r
+      if (buf.length > MaxLocalGroupRows)
+        throw new IllegalStateException(
+          s"$what: group exceeds ${MaxLocalGroupRows} rows — one task " +
+            "cannot hold it; raise executor memory and " +
+            "-Dgraft.maxLocalGroupRows, or split the group upstream")
+    }
+    buf.toSeq
+  }
+
   /** Sorted undirected adjacency (BTreeMap-order parity: the reference
     * iterates neighbours in sorted order, which fixes MultiLineString part
     * order — /root/reference/src/graph/undirected_graph.rs:186-190).

@@ -334,7 +334,7 @@ object WaterwayFeatures {
       .as[(String, Long, Long, Double, Double, Double, Double, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (gkey, it) =>
-        val es = it.toSeq
+        val es = Local.boundedSeq(it, s"D16 grouped-waterways walk ($gkey)")
         val pos = (es.map(r => (r._2, (r._6, r._7))) ++
           es.map(r => (r._3, (r._8, r._9)))).toMap
         val cum = es.map(_._5).sum

@@ -29,7 +29,7 @@ object Extras {
       .as[(Long, Long, Long, Double, Double, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (comp, rows) =>
-        val es = rows.toSeq
+        val es = Local.boundedSeq(rows, s"P6 frames (component $comp)")
         val pos: LocalPaths.Pos =
           (es.map(e => e._2 -> (e._4, e._5)) ++ es.map(e => e._3 -> (e._6, e._7))).toMap
         LocalPaths.frames(es.map(e => (e._2, e._3)), pos)
@@ -84,7 +84,7 @@ object Extras {
       .as[(Long, Long, Long, Double, Double, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (comp, rows) =>
-        val es = rows.toSeq
+        val es = Local.boundedSeq(rows, s"P8 betweenness (group $comp)")
         val pos: LocalPaths.Pos =
           (es.map(e => e._2 -> (e._4, e._5)) ++ es.map(e => e._3 -> (e._6, e._7))).toMap
         // 1. the pipeline's UNPINNED degree-2 compression first
@@ -179,7 +179,7 @@ object Extras {
         Double, Double, Double, Double, Double)]
     e.groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
-        val es = rows.toSeq
+        val es = Local.boundedSeq(rows, "D17 longest source-mouth features")
         val pos = (es.map(x => (x._2, (x._9, x._10))) ++
           es.map(x => (x._3, (x._11, x._12)))).toMap
         val upOf = es.map(x => (x._3, x._13)).toMap
@@ -270,7 +270,7 @@ object Extras {
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
-        val es = rows.toSeq
+        val es = Local.boundedSeq(rows, "D17 longest source-mouth")
         val outs = es.map(e => (e._2, e._3)).toSet
         val mouths = es.map(_._3).distinct.filterNot(n => es.exists(_._2 == n))
         // reversed adjacency for the upstream flood

@@ -64,7 +64,15 @@ object LumpWays {
       onlyNodeids: Seq[Long] = Nil, // C6 --only-these-way-groups-nodeid
       splitIntoSinglePaths: Boolean = false, // P2 (as-crow-flies only)
       onlyLongestNSplittedPaths: Option[Int] = None,
-      inclWayIds: Boolean = false) // --incl-wayids (main.rs:650-653)
+      inclWayIds: Boolean = false, // --incl-wayids (main.rs:650-653)
+      // components with more contracted edges than this peel SHARDED
+      // (DistPeel: per-cell chunk peel + endpoint stitch, one LineString
+      // feature row per segment) instead of in one task — the
+      // mega-component memory cliff (SURVEY §7.5.4). The default keeps
+      // every sane component on the exact single-task path; the peel
+      // decomposition is within the reference's contract either way (its
+      // into_lines_random walk is unseeded-RNG).
+      shardThresholdEdges: Long = 2000000L)
 
   /** Composite (group id, node id) packed into one Long for the CC key —
     * group graphs are independent (SURVEY C1: a node can sit in different
@@ -186,21 +194,36 @@ object LumpWays {
       .withColumn("length_m_fraction_longest",
         Geo.roundHalfAway(col("length_m") / longest, 4))
 
-    // 8. geometry: expand each kept component's edges + positions, peel
-    val chain = composite
+    // 8. geometry: expand each kept component's edges + positions, peel.
+    // Components above `shardThresholdEdges` contracted edges take the
+    // sharded path (DistPeel): no task ever materializes them whole.
+    val keptEdges = composite
       .join(labels.withColumnRenamed("nid", "csrc"), Seq("csrc"))
       .join(withRanks.select("comp"), Seq("comp"))
       .select(col("comp"), col("src"), col("dst"), col("inter"))
+      .localCheckpoint(true)
+    // P2 split mode is a global farthest-pair + A* walk — inherently
+    // unshardable, so it always takes the single-task path
+    val shardAt =
+      if (cfg.splitIntoSinglePaths) Long.MaxValue else cfg.shardThresholdEdges
+    val bigComps = keptEdges.groupBy("comp").agg(count(lit(1)).as("ne"))
+      .filter(col("ne") > shardAt)
+      .select("comp").localCheckpoint(true)
+    val anyBig = bigComps.limit(1).count() > 0L
+    val smallEdges =
+      if (anyBig) keptEdges.join(bigComps, Seq("comp"), "left_anti") else keptEdges
+    val chain = smallEdges
       .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
       .select(col("comp"), col("src"), col("dst"), posexplode(col("chain")).as(Seq("pos", "nid")))
       .join(nodes, Seq("nid"))
-    val geoms = chain
+    val geomsSmall = chain
       .select(col("comp"), col("src"), col("dst"), col("pos"), col("nid"),
         col("lat"), col("lon"))
       .as[(Long, Long, Long, Int, Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (comp, rows) =>
-        val byEdge = rows.toSeq.groupBy(r => (r._2, r._3))
+        val byEdge = Local.boundedSeq(rows, s"P1 geometry (component $comp)")
+          .groupBy(r => (r._2, r._3))
         val edges = byEdge.toSeq.map { case ((s, d), pts) =>
           val ordered = pts.sortBy(_._4)
           (s, d, ordered.map(_._5), ordered.map(p => (p._5, p._6, p._7)))
@@ -248,6 +271,47 @@ object LumpWays {
         else Iterator((comp, expanded, coords, numNodes, -1, vertices))
       }
       .toDF("comp", "lines", "coords", "num_nodes", "path_idx", "vertices")
+      .withColumn("line_idx", lit(-1L))
+      .withColumn("seg_idx", lit(-1L))
+
+    // sharded geometry for oversize components: one row PER SEGMENT of a
+    // stitched line (each ≤ threshold edges), serialized as its own
+    // LineString feature carrying the group props — the documented scale
+    // deviation from the one-MultiLineString-per-group shape (whose
+    // single row is itself O(component))
+    val geoms = if (!anyBig) geomsSmall else {
+      val bigEdges = keptEdges.join(bigComps, Seq("comp"), "left_semi")
+      val perEdge = bigEdges
+        .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
+        .select(col("comp"), col("src"), col("dst"),
+          posexplode(col("chain")).as(Seq("pos", "nid")))
+        .join(nodes, Seq("nid"))
+        .groupBy("comp", "src", "dst")
+        .agg(sort_array(collect_list(struct(col("pos"), col("nid"),
+          col("lat"), col("lon")))).as("pts"))
+        .select(col("comp"), col("src"), col("dst"),
+          transform(col("pts"), p => p.getField("nid")).as("nids"),
+          transform(col("pts"), p => p.getField("lat")).as("lats"),
+          transform(col("pts"), p => p.getField("lon")).as("lons"),
+          element_at(col("pts"), 1).getField("lat").as("lat1"),
+          element_at(col("pts"), 1).getField("lon").as("lon1"))
+      val segs = graft.graph.DistPeel.peelSegments(
+        graft.graph.DistPeel.withChunk(perEdge, shardAt), spark)
+      val numNodesBig = graft.graph.GraphBuild.compressedNumNodes(
+        bigEdges.select("comp", "src", "dst"))
+      val geomsBig = segs
+        .join(numNodesBig, Seq("comp"))
+        .select(col("comp"),
+          array(col("nids")).as("lines"),
+          array(transform(arrays_zip(col("lons"), col("lats")),
+            x => struct(x.getField("lons").as("_1"),
+              x.getField("lats").as("_2")))).as("coords"),
+          col("num_nodes"),
+          lit(-1).as("path_idx"),
+          array().cast("array<bigint>").as("vertices"),
+          col("line_idx"), col("seg_idx"))
+      geomsSmall.union(geomsBig)
+    }
 
     val joined = withRanks.join(geoms, Seq("comp"))
     if (!cfg.inclWayIds) joined.drop("vertices")
@@ -255,11 +319,23 @@ object LumpWays {
       // all_wayids (main.rs:46-62, 650-653): "w{id}" for every FILTERED
       // way touching a POST-compress vertex of the group graph, sorted by
       // id, deduped. The node→wayids index is global across groups, like
-      // the reference's NodeIdWayIds.
+      // the reference's NodeIdWayIds. Sharded components contribute their
+      // PILLAR vertexes through a distributed frame (no per-row vertex
+      // arrays); the rare merge-order leftover vertexes of
+      // parallel-chain/pure-cycle anomalies are excluded there —
+      // documented deviation on the sharded path only.
       val nidWays = withGroup.select(col("wid"), explode(col("nids")).as("nid"))
         .distinct()
-      val wayIds = geoms
-        .select(col("comp"), explode(col("vertices")).as("nid")).distinct()
+      val smallVerts = geoms
+        .select(col("comp"), explode(col("vertices")).as("nid"))
+      val bigVerts = if (!anyBig) smallVerts.limit(0) else {
+        val be = keptEdges.join(bigComps, Seq("comp"), "left_semi")
+        be.select(col("comp"), col("src").as("nid"))
+          .union(be.select(col("comp"), col("dst").as("nid")))
+          .groupBy("comp", "nid").agg(count(lit(1)).as("d"))
+          .filter(col("d") =!= 2).select("comp", "nid")
+      }
+      val wayIds = smallVerts.union(bigVerts).distinct()
         .join(nidWays, Seq("nid"))
         .groupBy("comp")
         .agg(sort_array(collect_set(col("wid"))).as("all_wayids"))
@@ -277,7 +353,10 @@ object LumpWays {
     val spark = features.sparkSession
     import spark.implicits._
     features
-      .orderBy(col("length_m").desc, col("comp").asc)
+      // line_idx/seg_idx order the sharded components' segment rows
+      // deterministically (−1 on the exact path)
+      .orderBy(col("length_m").desc, col("comp").asc,
+        col("line_idx").asc, col("seg_idx").asc)
       .map(serializeFeature)
       .toDF("feature")
   }
