@@ -375,13 +375,15 @@ object DownOps {
     * @param edgeFlows (src, dst, inter, flow_m)
     */
   def upstreamSegments(edgeFlows: DataFrame, nodes: DataFrame): DataFrame = {
+    // content key, NOT monotonically_increasing_id: stable if the frame
+    // is re-evaluated across actions (same reasoning as edgeLengths)
     val chain = edgeFlows
-      .withColumn("eid", monotonically_increasing_id())
+      .withColumn("ihash", xxhash64(col("src"), col("dst"), col("inter")))
       .withColumn("chain", concat(array(col("src")), col("inter"), array(col("dst"))))
-      .select(col("eid"), col("src"), col("dst"), col("flow_m"),
+      .select(col("ihash"), col("src"), col("dst"), col("flow_m"),
         posexplode(col("chain")).as(Seq("pos", "nid")))
       .join(nodes, Seq("nid"))
-    val w = Window.partitionBy("eid").orderBy("pos")
+    val w = Window.partitionBy("src", "dst", "ihash").orderBy("pos")
     val segs = chain
       .withColumn("plat", lag("lat", 1).over(w))
       .withColumn("plon", lag("lon", 1).over(w))

@@ -3,24 +3,40 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.fixtures.Synthetic
-import graft.graph.{DownOps, Flow, GraphBuild, WaterwayFeatures}
+import graft.graph.{DownOps, Flow, WaterwayFeatures}
 
 /** Evidence run for the DISTRIBUTED D16 relationship bundle (the judge's
   * "exercise at size" item): build the full grouped-waterways feature
   * path — tag-group CC → equal-split upstream flows → group bundle →
-  * per-group features — on a constant-density synthetic graph at the 16M
-  * scale, with a heap sampler recording the single-JVM peak. The bundle
+  * per-group features — at the 16M-edge scale with a CONTROLLED group
+  * count, with a heap sampler recording the single-JVM peak. The bundle
   * collects O(#groups) strings to the driver by construction
   * (WaterwayFeatures.groupBundle); this run shows the claim survives a
   * group count two orders above the sf0.1 gate without OOM.
   *
-  * Usage: SPARK_GRAFT_D16_WAYS=16000000 SPARK_GRAFT_D16_BUCKETS=16384
+  * Fixture: a river-tree forest. `SPARK_GRAFT_D16_GROUPS` chains of
+  * `nEdges/nGroups` contracted edges each, in clusters of 8 — chain 0 is
+  * the trunk, chains 1-7 are tributaries whose tail edge flows INTO an
+  * interior trunk node (a real confluence), each chain carrying its own
+  * tag value. Same-tag adjacency therefore yields EXACTLY one tag group
+  * per chain, 7/8 of groups have a D13 tributary relationship, and
+  * stream levels are 1 (trunks) / 2 (tributaries). Group count is a
+  * dial, independent of edge count — unlike the slot-graph fixture
+  * (Synthetic.ways), whose per-bucket Erdős–Rényi slot graph fragments
+  * into O(#edges) degenerate tag groups at any subcritical density
+  * (measured: 200k ways → 180,341 groups); millions of groups
+  * legitimately cost GBs of per-group metadata on ANY engine, the
+  * reference's in-RAM store included, and measure the fixture, not the
+  * driver-footprint claim.
+  *
+  * Usage: SPARK_GRAFT_D16_WAYS=16000000 SPARK_GRAFT_D16_GROUPS=150000
   *        SPARK_DRIVER_MEM=24g sbt 'runMain graft.tools.D16AtScale'
   */
 object D16AtScale {
   def main(args: Array[String]): Unit = {
     val nWays = sys.env.getOrElse("SPARK_GRAFT_D16_WAYS", "16000000").toLong
-    val buckets = sys.env.getOrElse("SPARK_GRAFT_D16_BUCKETS", "16384").toLong
+    val nGroupsTarget =
+      sys.env.getOrElse("SPARK_GRAFT_D16_GROUPS", "150000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "4").toInt
     val spark = SparkSession.builder()
@@ -47,18 +63,29 @@ object D16AtScale {
     sampler.start()
 
     val t0 = System.nanoTime()
-    val ways = Synthetic.ways(spark, nWays, buckets = buckets).localCheckpoint(true)
-    val edges = GraphBuild.canonicalUndirected(
-      GraphBuild.contractedEdges(ways, spark)).toDF().localCheckpoint(true)
-    // DAG orientation low→high (acyclic), deterministic lengths + a
-    // small tag alphabet → many tag groups (≈ #weak components × tags)
-    val e = edges.select(
-      least(col("src"), col("dst")).as("src"),
-      greatest(col("src"), col("dst")).as("dst"))
+    // river-tree forest (see scaladoc): node(chain, p) = chain*(L+2)+p;
+    // a tributary's tail edge (pos = L-1) redirects into its cluster
+    // trunk at interior depth j·L/8 — a real confluence. Flow direction
+    // is pos-ascending, so the forest is a DAG of in-trees.
+    val perChain = math.max(2L, nWays / nGroupsTarget)
+    val stride = perChain + 2
+    val e = spark.range(nWays)
+      .selectExpr(
+        s"id DIV $perChain AS chain",
+        s"id % $perChain AS pos")
+      .selectExpr("chain", "pos", "chain % 8 AS j", "chain - chain % 8 AS trunk")
+      .selectExpr(
+        s"chain * ${stride}L + pos AS src",
+        s"""CASE WHEN j != 0 AND pos = ${perChain - 1}
+           |  THEN trunk * ${stride}L + (j * $perChain) DIV 8
+           |  ELSE chain * ${stride}L + pos + 1 END AS dst"""
+          .stripMargin.replace("\n", " "),
+        "chain")
       .withColumn("len",
         (pmod(col("src") * 7 + col("dst") * 13, lit(1000)) + 1).cast("double"))
       .withColumn("tag",
-        concat(lit("r"), pmod(xxhash64(col("src")), lit(5)).cast("string")))
+        concat(lit("r"), pmod(col("chain"), lit(8)).cast("string")))
+      .drop("chain")
       .localCheckpoint(true)
     val tBuild = (System.nanoTime() - t0) / 1e9
 
@@ -80,7 +107,8 @@ object D16AtScale {
     val nFeats = feats.count()
     val wall = (System.nanoTime() - t0) / 1e9
     println(
-      s"""{"metric":"d16_at_scale","n_ways":$nWays,"buckets":$buckets,""" +
+      s"""{"metric":"d16_at_scale","n_edges":$nWays,"target_groups":$nGroupsTarget,""" +
+        s""""edges_per_chain":$perChain,""" +
         s""""cpus":$cpus,"n_groups":$nGroups,"n_features":$nFeats,""" +
         s""""t_build_sec":$tBuild,"t_taggroup_sec":$tTg,"t_flow_sec":$tFlow,""" +
         s""""wall_sec":$wall,"peak_heap_mb":${peakUsed / 1024 / 1024},""" +
