@@ -78,4 +78,44 @@ object Synthetic {
         // and the product stays far from int64 overflow
         "(CAST(((nid % 1700000) * 2654435761) % 1700000 AS DOUBLE) / 10000.0 - 85.0) AS lat",
         "(CAST(((nid % 3600000) * 2246822519) % 3600000 AS DOUBLE) / 10000.0 - 180.0) AS lon")
+
+  /** River-tree forest with a CONTROLLED tag-group count: ⌈nEdges/L⌉
+    * chains of L = nEdges/nGroups contracted edges, in clusters of 8 —
+    * chain 0 is the trunk, chains 1-7 are tributaries whose tail edge
+    * (pos = L-1) flows INTO an interior trunk node at depth j·L/8 (a
+    * real confluence). Each chain carries one tag value, so same-tag
+    * adjacency yields EXACTLY one tag group per chain; 7/8 of groups
+    * have a tributary (D13) relationship and stream levels are 1/2.
+    * Flow direction is pos-ascending → a DAG of in-trees.
+    *
+    * Node ids: node(chain, p) = chain·(L+2)+p. Output columns
+    * (src, dst, len, tag); deterministic, identical at any parallelism.
+    *
+    * Exists because the slot-graph fixture ([[ways]]) cannot dial group
+    * count: its per-bucket Erdős–Rényi slot graph fragments into
+    * O(#edges) degenerate tag groups at subcritical density (measured:
+    * 200k ways → 180,341 groups).
+    */
+  def riverForest(spark: SparkSession, nEdges: Long, nGroups: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perChain = math.max(2L, nEdges / nGroups)
+    val stride = perChain + 2
+    spark.range(nEdges)
+      .selectExpr(
+        s"id DIV $perChain AS chain",
+        s"id % $perChain AS pos")
+      .selectExpr("chain", "pos", "chain % 8 AS j", "chain - chain % 8 AS trunk")
+      .selectExpr(
+        s"chain * ${stride}L + pos AS src",
+        s"""CASE WHEN j != 0 AND pos = ${perChain - 1}
+           |  THEN trunk * ${stride}L + (j * $perChain) DIV 8
+           |  ELSE chain * ${stride}L + pos + 1 END AS dst"""
+          .stripMargin.replace("\n", " "),
+        "chain")
+      .withColumn("len",
+        (pmod(col("src") * 7 + col("dst") * 13, lit(1000)) + 1).cast("double"))
+      .withColumn("tag",
+        concat(lit("r"), pmod(col("chain"), lit(8)).cast("string")))
+      .drop("chain")
+  }
 }

@@ -63,29 +63,8 @@ object D16AtScale {
     sampler.start()
 
     val t0 = System.nanoTime()
-    // river-tree forest (see scaladoc): node(chain, p) = chain*(L+2)+p;
-    // a tributary's tail edge (pos = L-1) redirects into its cluster
-    // trunk at interior depth j·L/8 — a real confluence. Flow direction
-    // is pos-ascending, so the forest is a DAG of in-trees.
     val perChain = math.max(2L, nWays / nGroupsTarget)
-    val stride = perChain + 2
-    val e = spark.range(nWays)
-      .selectExpr(
-        s"id DIV $perChain AS chain",
-        s"id % $perChain AS pos")
-      .selectExpr("chain", "pos", "chain % 8 AS j", "chain - chain % 8 AS trunk")
-      .selectExpr(
-        s"chain * ${stride}L + pos AS src",
-        s"""CASE WHEN j != 0 AND pos = ${perChain - 1}
-           |  THEN trunk * ${stride}L + (j * $perChain) DIV 8
-           |  ELSE chain * ${stride}L + pos + 1 END AS dst"""
-          .stripMargin.replace("\n", " "),
-        "chain")
-      .withColumn("len",
-        (pmod(col("src") * 7 + col("dst") * 13, lit(1000)) + 1).cast("double"))
-      .withColumn("tag",
-        concat(lit("r"), pmod(col("chain"), lit(8)).cast("string")))
-      .drop("chain")
+    val e = Synthetic.riverForest(spark, nWays, nGroupsTarget)
       .localCheckpoint(true)
     val tBuild = (System.nanoTime() - t0) / 1e9
 
