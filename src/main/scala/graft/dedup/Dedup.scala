@@ -268,6 +268,173 @@ object Dedup {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  // ---- IVF approximate nearest neighbours ----------------------------------
+
+  /** IVF (inverted-file) approximate cosine top-k — the second ANN scale
+    * path beside [[annCosineTopK]]: a coarse quantizer of `nlist`
+    * centroids partitions the vectors into inverted lists; each query
+    * probes only its `nprobe` closest lists. Candidate volume per query
+    * ≈ nprobe·n/nlist and every join is a list-id equi-join — no
+    * all-pairs, no unbounded collect (the driver holds nlist·dim
+    * doubles, the same contract as a broadcast join).
+    *
+    * Fully deterministic and engine-portable (DuckDB-oracled):
+    *  - seeds = the `nlist` vectors with the LOWEST ids (no RNG);
+    *  - ONE Lloyd step: vectors are assigned to their max-cosine seed
+    *    (ties → lowest list id), then each centroid is the per-component
+    *    mean computed over components quantized to integers at 2^20 —
+    *    integer sums are order-independent, so the centroid is EXACTLY
+    *    `sum(floor(x·2^20+0.5)) / (n·2^20)` in both engines regardless
+    *    of partitioning;
+    *  - final assignment + probe ranking use max-cosine with the same
+    *    tie-break.
+    *
+    * Assignment/probing run as broadcast primitive-loop scans
+    * (`mapPartitions`), not per-pair Catalyst lambdas — the q31 lesson
+    * (562 s → 3.1 s). The one Lloyd shuffle is map-side combined:
+    * posexplode → partial sums, shuffle volume = #partitions·nlist·dim.
+    *
+    * @return (qid, nid, sim, rank) — exact cosine over probed candidates
+    */
+  def ivfCosineTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 2, maxList: Long = 10000000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+
+    def dotDD(a: Array[Double], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i).toDouble; i += 1 }
+      s
+    }
+    def norm(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
+    }
+    def normF(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    // per-row ranked lists by (cosine desc, list id asc) — a bounded
+    // insertion selection over centroids pre-paired with their norms
+    // (scanned in ascending c, so exact-sim ties keep the lower c: the
+    // oracle's ROW_NUMBER order). No per-row sort, no boxing.
+    def rankLists(v: Array[Float], cents: Array[(Int, Array[Double], Double)],
+        take: Int): Array[Int] = {
+      val vn = normF(v)
+      val m = math.min(take, cents.length)
+      val bestC = new Array[Int](m)
+      val bestS = new Array[Double](m)
+      var filled = 0
+      var ci = 0
+      while (ci < cents.length) {
+        val (c, cv, cn) = cents(ci)
+        val sim = dotDD(cv, v) / (cn * vn)
+        var pos = filled
+        while (pos > 0 && bestS(pos - 1) < sim) pos -= 1
+        if (pos < m) {
+          var j = math.min(filled, m - 1)
+          while (j > pos) { bestS(j) = bestS(j - 1); bestC(j) = bestC(j - 1); j -= 1 }
+          bestS(pos) = sim; bestC(pos) = c
+          if (filled < m) filled += 1
+        }
+        ci += 1
+      }
+      if (filled == m) bestC else bestC.take(filled)
+    }
+    def withNorms(cents: Array[(Int, Array[Double])]) =
+      cents.map { case (c, cv) => (c, cv, norm(cv)) }
+    def assign(cents: Array[(Int, Array[Double], Double)]) = {
+      val bc = spark.sparkContext.broadcast(cents)
+      vecs.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, rankLists(v.toArray, cs, 1)(0), v) }
+      }
+    }
+
+    // 1. deterministic seeds: the nlist lowest-id vectors
+    val seeds: Array[(Int, Array[Double])] = vecs
+      .orderBy(col("id")).limit(nlist).collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), c) => (c, v.map(_.toDouble).toArray) }
+    if (seeds.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nid", "sim", "rank")
+
+    // 2. one Lloyd step on 2^20-quantized components (exact integer sums)
+    val a1 = assign(withNorms(seeds)).toDF("id", "c", "v")
+    val centroids: Array[(Int, Array[Double])] = a1
+      .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("c"), col("pos"),
+        floor(col("x").cast("double") * 1048576.0 + 0.5).as("q"))
+      .groupBy("c", "pos")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .select(col("c"), col("pos"),
+        (col("s") / (col("n") * lit(1048576.0))).as("m"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toArray
+      .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1)
+
+    // 3. inverted lists: final assignment to the refined centroids
+    val centsN = withNorms(centroids)
+    val members = assign(centsN)
+    // 4. probes: each query's nprobe closest lists
+    val bcCents = spark.sparkContext.broadcast(centsN)
+    val probes = vecs.mapPartitions { it =>
+      val cs = bcCents.value
+      it.flatMap { case (id, v) =>
+        rankLists(v.toArray, cs, nprobe).iterator.map(c => (id, c, v))
+      }
+    }
+    // 5. per-list batch scan (cogroup on the list id): one task holds ONE
+    //    inverted list's vectors (≈ n/nlist — loudly guarded) and streams
+    //    the probes through it, emitting only each probe's per-list top-k.
+    //    No candidate-PAIR row ever materializes — the q31 broadcast-scan
+    //    lesson applied to the probe join; shuffle volume is
+    //    n + n·nprobe in, n·nprobe·k out. The global top-k per query is
+    //    exact: it is the merge of its nprobe per-list top-ks.
+    val partial = members.groupByKey(_._2).cogroup(probes.groupByKey(_._2)) {
+      (c, ms, ps) =>
+        val mem = ms.map { case (id, _, v) => (id, v.toArray) }.toArray
+        if (mem.length > maxList)
+          throw new IllegalStateException(
+            s"IVF list $c holds ${mem.length} vectors (> $maxList) — one " +
+              "scan task cannot hold it; raise nlist (finer quantizer), " +
+              "or maxList with more executor memory")
+        val norms = mem.map { case (_, nv) => normF(nv) }
+        ps.flatMap { case (qid, _, qv) =>
+          val q = qv.toArray
+          val qn = normF(q)
+          val cand = new Array[(Long, Double)](mem.length)
+          var n = 0
+          var i = 0
+          while (i < mem.length) {
+            val (nid, nv) = mem(i)
+            if (nid != qid) {
+              var s = 0.0; var j = 0
+              while (j < q.length) { s += q(j).toDouble * nv(j).toDouble; j += 1 }
+              cand(n) = (nid, s / (qn * norms(i))); n += 1
+            }
+            i += 1
+          }
+          cand.take(n).sortBy { case (nid, sim) => (-sim, nid) }.take(k)
+            .iterator.map { case (nid, sim) => (qid, nid, sim) }
+        }
+    }.toDF("qid", "nid", "sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+
   /** Approximate cosine top-k via sign-LSH buckets — the 100 TB path:
     * every vector lands in ONE bucket; each query multi-probes its own
     * bucket plus the `bits` buckets at Hamming distance 1, so candidate

@@ -96,6 +96,20 @@ object Synthetic {
     * O(#edges) degenerate tag groups at subcritical density (measured:
     * 200k ways → 180,341 groups).
     */
+  /** Deterministic embedding table (vec_id, embedding: array<float>) with
+    * 16 planted clusters: vector v lives on axes [4·(v%16), 4·(v%16)+4)
+    * plus a small integer-derived jitter — same shape at any size, so ANN
+    * operators see realistic (non-uniform) inverted-list occupancy.
+    * Identical at any parallelism (pure function of vec_id).
+    */
+  def embeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).selectExpr(
+      "id AS vec_id",
+      s"""transform(sequence(0, ${dim - 1}), i -> CAST(
+         |  CASE WHEN i DIV 4 = id % 16 THEN 1.0 ELSE 0.0 END
+         |  + CAST((id * 31 + i * 7) % 13 AS DOUBLE) / 130.0 AS FLOAT))
+         |AS embedding""".stripMargin.replace("\n", " "))
+
   def riverForest(spark: SparkSession, nEdges: Long, nGroups: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val perChain = math.max(2L, nEdges / nGroups)

@@ -93,6 +93,14 @@ object QueriesText {
         .select(col("qid"), col("rank"), col("nid"),
           expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
 
+    // IVF ANN cosine top-3 — the second 100 TB scale path beside q50's
+    // sign-LSH: coarse quantizer + inverted lists, nprobe equi-joins,
+    // exact-integer Lloyd step (fully DuckDB-oracled)
+    "q56_ivf_topk" -> ((s, d) =>
+      Dedup.ivfCosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
+
     // MinHash-LSH near-dup candidates (md5-derived hashes — fully
     // DuckDB-oracled; DedupSpec pins the semantics too)
     "q32_minhash_lsh" -> ((s, d) =>
@@ -204,8 +212,61 @@ object QueriesText {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q56 oracle: the IVF pipeline in DuckDB — lowest-id seeds, max-cosine
+    * assignment (ties → lowest list id), ONE Lloyd step over 2^20-quantized
+    * components (integer sums — order-independent, so the centroid doubles
+    * are bit-identical to Spark's), reassignment, nprobe probing, exact
+    * cosine top-k. DuckDB list lambdas index 1-based — harmless here: `i`
+    * is only a grouping/ordering key within one engine.
+    */
+  private def ivfTopKOracle: String = {
+    val (nlist, nprobe, k) = (16, 2, 3)
+    s"""WITH ve AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, v AS sv
+       |  FROM ve ORDER BY id LIMIT $nlist),
+       |a1 AS (
+       |  SELECT id, v, c FROM (
+       |    SELECT ve.id AS id, ve.v AS v, s.c AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY ve.id
+       |        ORDER BY list_cosine_similarity(ve.v, s.sv) DESC, s.c ASC) AS rn
+       |    FROM ve CROSS JOIN seeds s) WHERE rn = 1),
+       |comps AS (
+       |  SELECT c, u.i AS i, CAST(SUM(u.q) AS BIGINT) AS s, COUNT(*) AS n
+       |  FROM a1, unnest(list_transform(v, (x, i) ->
+       |    {'i': i, 'q': CAST(FLOOR(x * 1048576 + 0.5) AS BIGINT)})) AS t(u)
+       |  GROUP BY c, u.i),
+       |cent AS (
+       |  SELECT c, list(s / (n * 1048576.0) ORDER BY i) AS cv
+       |  FROM comps GROUP BY c),
+       |a2 AS (
+       |  SELECT id AS nid, v AS nv, c FROM (
+       |    SELECT ve.id AS id, ve.v AS v, cent.c AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY ve.id
+       |        ORDER BY list_cosine_similarity(ve.v, cent.cv) DESC, cent.c ASC) AS rn
+       |    FROM ve CROSS JOIN cent) WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS qid, v AS qv, c FROM (
+       |    SELECT ve.id AS id, ve.v AS v, cent.c AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY ve.id
+       |        ORDER BY list_cosine_similarity(ve.v, cent.cv) DESC, cent.c ASC) AS rn
+       |    FROM ve CROSS JOIN cent) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, m.nid, list_cosine_similarity(p.qv, m.nv) AS sim
+       |  FROM probes p JOIN a2 m ON m.c = p.c WHERE m.nid <> p.qid)
+       |SELECT qid, rank, nid, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+       |FROM (
+       |  SELECT qid, nid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q50_ann_topk" -> annTopKOracle,
+    "q56_ivf_topk" -> ivfTopKOracle,
     "q24_tag_filter" ->
       s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders
          |  WHERE $wayFilter)
