@@ -105,9 +105,14 @@ object Synthetic {
   def embeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
     spark.range(n).selectExpr(
       "id AS vec_id",
+      // jitter is a multiplicative hash of (id, i) — every vector is
+      // distinct (a short-period pattern like (id·31+i·7)%13 collapses
+      // the table to 16·13 duplicate points and every inverted list to
+      // a mega-list), magnitude 0.2 so the planted cluster dominates
       s"""transform(sequence(0, ${dim - 1}), i -> CAST(
          |  CASE WHEN i DIV 4 = id % 16 THEN 1.0 ELSE 0.0 END
-         |  + CAST((id * 31 + i * 7) % 13 AS DOUBLE) / 130.0 AS FLOAT))
+         |  + CAST((id * 2654435761 + i * 40503) % 1009 AS DOUBLE)
+         |    / 1009.0 * 0.2 AS FLOAT))
          |AS embedding""".stripMargin.replace("\n", " "))
 
   def riverForest(spark: SparkSession, nEdges: Long, nGroups: Long): DataFrame = {

@@ -93,6 +93,16 @@ object QueriesText {
         .select(col("qid"), col("rank"), col("nid"),
           expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
 
+    // BPE-ish subword pre-token count (GPT-2 pretokenizer regex)
+    "q57_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
+
+    // order-sensitive rolling-hash document fingerprint
+    "q58_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
     // IVF ANN cosine top-3 — the second 100 TB scale path beside q50's
     // sign-LSH: coarse quantizer + inverted lists, nprobe equi-joins,
     // exact-integer Lloyd step (fully DuckDB-oracled)
@@ -267,6 +277,28 @@ object QueriesText {
   val oracles: Map[String, String] = Map(
     "q50_ann_topk" -> annTopKOracle,
     "q56_ivf_topk" -> ivfTopKOracle,
+
+    // same pretokenizer pattern; '' escapes the leading quote in SQL
+    "q57_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+        |  AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    // the rolling hash replayed with list_reduce; the fold's initial
+    // accumulator is PREPENDED (DuckDB's reduce has no init argument),
+    // giving exactly Spark's aggregate(chars, init, step) sequence
+    "q58_fingerprint" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform($duckTokens, t ->
+         |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |      list_transform(regexp_extract_all(t, '(?s).'),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS ths
+         |  FROM documents)
+         |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), ths),
+         |  (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
+         |FROM th""".stripMargin,
     "q24_tag_filter" ->
       s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders
          |  WHERE $wayFilter)

@@ -61,6 +61,18 @@ object TextOps {
       "is_short" -> (nChar < 100).cast("long"))
   }
 
+  /** BPE-ish subword pre-token count: the GPT-2 pretokenizer regex
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs), without the trailing-whitespace branch so the
+    * pattern is portable between Java regex and RE2 (the DuckDB oracle).
+    * A codegen'd `regexp_count` — no UDF, no explode.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern))
+
   /** Polynomial rolling-hash fingerprint of the token stream:
     * h = Σ tok_hash · 31^pos  (mod 2^61−1-ish small prime), where
     * tok_hash is itself a char-level polynomial hash. Deterministic,
