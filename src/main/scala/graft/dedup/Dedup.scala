@@ -381,16 +381,22 @@ object Dedup {
       .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3)) }
       .sortBy(_._1)
 
-    // 3. inverted lists: final assignment to the refined centroids
+    // 3+4. inverted lists AND probes from ONE centroid-ranking pass:
+    //    rankLists is the expensive step (n·nlist·dim multiply-adds) and
+    //    its rank-1 entry IS the final-assignment list (same argmax, same
+    //    ascending-c tie-break as take=1), so membership and the nprobe
+    //    probe lists come from a single checkpointed scan instead of two.
     val centsN = withNorms(centroids)
-    val members = assign(centsN)
-    // 4. probes: each query's nprobe closest lists
     val bcCents = spark.sparkContext.broadcast(centsN)
-    val probes = vecs.mapPartitions { it =>
+    val np = math.max(1, nprobe)
+    val ranked = vecs.mapPartitions { it =>
       val cs = bcCents.value
-      it.flatMap { case (id, v) =>
-        rankLists(v.toArray, cs, nprobe).iterator.map(c => (id, c, v))
-      }
+      it.map { case (id, v) => (id, v, rankLists(v.toArray, cs, np)) }
+    }.toDF("id", "v", "lists").localCheckpoint(true)
+      .as[(Long, Seq[Float], Seq[Int])]
+    val members = ranked.map { case (id, v, ls) => (id, ls.head, v) }
+    val probes = ranked.flatMap { case (id, v, ls) =>
+      ls.iterator.map(c => (id, c, v))
     }
     // 5. per-list batch scan (cogroup on the list id): one task holds ONE
     //    inverted list's vectors (≈ n/nlist — loudly guarded) and streams
