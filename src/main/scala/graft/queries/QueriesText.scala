@@ -116,6 +116,28 @@ object QueriesText {
     "q32_minhash_lsh" -> ((s, d) =>
       Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text")),
 
+    // exact n-gram Jaccard verification of the LSH candidate pairs —
+    // the LSH→verify stage of the near-dup pipeline (3-shingle md5
+    // hash sets, the same shingle space the banding quantizes)
+    "q59_jaccard_verify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // the candidate set is the small side (bucket-capped banding), so
+      // it broadcasts against the big documents table twice and the
+      // full table never shuffles; if candidates ever outgrow the
+      // broadcast limit, drop the hints and AQE picks a shuffle join
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val withA = docs
+        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        .join(broadcast(cand), Seq("id_a"))
+      docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        .join(broadcast(withA), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          floor(Dedup.ngramJaccard(col("text_a"), col("text_b")) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("j_e6"))
+        .withColumn("is_dup",
+          when(col("j_e6") >= 500000L, 1L).otherwise(0L))
+    }),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -172,6 +194,42 @@ object QueriesText {
     * token hashes; empty token lists hash to 0 — list_sum([]) IS NULL,
     * which the CASE maps to the same 0 the Spark fold produces).
     */
+  /** q59 oracle: the q32 candidate SQL as a CTE, then the exact
+    * 3-shingle Jaccard per pair — distinct md5h32 shingle-hash sets on
+    * each side, |A∩B| / (|A|+|B|−|A∩B|), e6-floored like the engine.
+    */
+  private def jaccardVerifyOracle: String = {
+    val w = 3
+    s"""WITH cand AS (
+       |$minhashLshOracle
+       |),
+       |jtoks AS (
+       |  SELECT doc_id, $duckTokens AS tk FROM documents),
+       |jsh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= $w
+       |      THEN list_transform(range(len(tk) - ${w - 1}),
+       |             i -> array_to_string(list_slice(tk, i + 1, i + $w), ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS sg
+       |  FROM jtoks),
+       |jhs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(sg, s -> ${Dedup.md5h32Sql("s")})) AS hs
+       |  FROM jsh),
+       |jj AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
+       |  FROM cand c
+       |  JOIN jhs a ON a.doc_id = c.id_a
+       |  JOIN jhs b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b,
+       |  CAST(FLOOR(jac * 1000000 + 0.5) AS BIGINT) AS j_e6,
+       |  CAST(CASE WHEN FLOOR(jac * 1000000 + 0.5) >= 500000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM jj""".stripMargin
+  }
+
   private def simhashOracle: String = {
     val bitTerms = (0 until Dedup.SimhashBits).map { i =>
       s"""CASE WHEN list_sum(list_transform(hs,
@@ -351,6 +409,8 @@ object QueriesText {
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
 
     "q32_minhash_lsh" -> minhashLshOracle,
+
+    "q59_jaccard_verify" -> jaccardVerifyOracle,
 
     "q33_simhash" -> simhashOracle,
 
