@@ -214,9 +214,9 @@ object Dedup {
     import spark.implicits._
     val vecs = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .as[(Long, Seq[Float])]
+      .as[(Long, Array[Float])]
     val ref = spark.sparkContext.broadcast(
-      vecs.collect().sortBy(_._1).map { case (i, v) => (i, v.toArray) })
+      vecs.collect().sortBy(_._1).map { case (i, v) => (i, v) })
     vecs.mapPartitions { it =>
       val refs = ref.value
       def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -225,7 +225,7 @@ object Dedup {
         s
       }
       it.flatMap { case (qid, qv) =>
-        val q = qv.toArray
+        val q = qv
         val qn = math.sqrt(dot(q, q))
         val top = refs.iterator
           .filter(_._1 != qid)
@@ -303,7 +303,7 @@ object Dedup {
     import spark.implicits._
     val vecs = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .as[(Long, Seq[Float])]
+      .as[(Long, Array[Float])]
 
     def dotDD(a: Array[Double], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
@@ -353,7 +353,7 @@ object Dedup {
       val bc = spark.sparkContext.broadcast(cents)
       vecs.mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, v) => (id, rankLists(v.toArray, cs, 1)(0), v) }
+        it.map { case (id, v) => (id, rankLists(v, cs, 1)(0), v) }
       }
     }
 
@@ -391,9 +391,9 @@ object Dedup {
     val np = math.max(1, nprobe)
     val ranked = vecs.mapPartitions { it =>
       val cs = bcCents.value
-      it.map { case (id, v) => (id, v, rankLists(v.toArray, cs, np)) }
+      it.map { case (id, v) => (id, v, rankLists(v, cs, np)) }
     }.toDF("id", "v", "lists").localCheckpoint(true)
-      .as[(Long, Seq[Float], Seq[Int])]
+      .as[(Long, Array[Float], Array[Int])]
     val members = ranked.map { case (id, v, ls) => (id, ls.head, v) }
     val probes = ranked.flatMap { case (id, v, ls) =>
       ls.iterator.map(c => (id, c, v))
@@ -407,7 +407,7 @@ object Dedup {
     //    exact: it is the merge of its nprobe per-list top-ks.
     val partial = members.groupByKey(_._2).cogroup(probes.groupByKey(_._2)) {
       (c, ms, ps) =>
-        val mem = ms.map { case (id, _, v) => (id, v.toArray) }.toArray
+        val mem = ms.map { case (id, _, v) => (id, v) }.toArray
         if (mem.length > maxList)
           throw new IllegalStateException(
             s"IVF list $c holds ${mem.length} vectors (> $maxList) — one " +
@@ -415,7 +415,7 @@ object Dedup {
               "or maxList with more executor memory")
         val norms = mem.map { case (_, nv) => normF(nv) }
         ps.flatMap { case (qid, _, qv) =>
-          val q = qv.toArray
+          val q = qv
           val qn = normF(q)
           val cand = new Array[(Long, Double)](mem.length)
           var n = 0
