@@ -13,6 +13,33 @@ object QueriesStream {
 
   @volatile private var counter = 0
 
+  /** Split `ev` (must carry a `tus` epoch-micros column) into four
+    * time-ranged parquet files — exact time quartiles — staged in one
+    * directory with ascending mod-times, so the file stream source
+    * replays them in time order, one per micro-batch.
+    */
+  private def stageQuartileFiles(ev: DataFrame, tag: String): String = {
+    val qs = ev.selectExpr("percentile(tus, array(0.25, 0.5, 0.75)) AS q")
+      .head().getAs[collection.Seq[Double]](0).map(_.toLong)
+    val dir = java.nio.file.Files.createTempDirectory(s"${tag}_events")
+    val ranges = Seq(
+      col("tus") <= qs(0),
+      col("tus") > qs(0) && col("tus") <= qs(1),
+      col("tus") > qs(1) && col("tus") <= qs(2),
+      col("tus") > qs(2))
+    ranges.zipWithIndex.foreach { case (cond, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"${tag}_part$i")
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val tgt = dir.resolve(f"events_$i%02d.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(src), tgt)
+      java.nio.file.Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    dir.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_stream_window" -> ((s, d) => {
       val path = s"$d/events.parquet"
@@ -43,6 +70,40 @@ object QueriesStream {
       out
     }),
 
+    // stateful streaming dedup: dropDuplicates across micro-batches —
+    // the streaming-ingest half of the exact-dedup pair (q26 is the
+    // batch half). Events replay as four time-ranged files
+    // (maxFilesPerTrigger=1 ⇒ four real micro-batches), so a key first
+    // seen in batch 0 MUST be suppressed by the dedup state when it
+    // recurs in batches 1-3. Keys-only projection before the dedup
+    // keeps the emitted row set deterministic (dropDuplicates keeps an
+    // arbitrary first row; the key set is a pure function of the data).
+    "q60_stream_dedup" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          col("event_id").cast("long").as("event_id"))
+        .localCheckpoint(true)
+      val dir = stageQuartileFiles(ev, "q60")
+      counter += 1
+      val sinkName = s"q60_sink_$counter"
+      val q = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sinkName).localCheckpoint(true)
+    }),
+
     // custom streaming state: per-user SESSIONIZATION via
     // flatMapGroupsWithState (Append mode) — events replayed as four
     // time-ranged files (maxFilesPerTrigger=1 ⇒ real cross-micro-batch
@@ -58,33 +119,14 @@ object QueriesStream {
           unix_micros(col("ts").cast("timestamp")).as("tus"),
           expr(QueriesRelational.centsSql("value")).as("cents"))
         .localCheckpoint(true)
-      // exact time quartiles → four time-ranged parquet files with
-      // ascending mod-times so the file source replays them in order
-      val qs = ev.selectExpr("percentile(tus, array(0.25, 0.5, 0.75)) AS q")
-        .head().getAs[collection.Seq[Double]](0).map(_.toLong)
-      val dir = java.nio.file.Files.createTempDirectory("q53_events")
-      val ranges = Seq(
-        col("tus") <= qs(0),
-        col("tus") > qs(0) && col("tus") <= qs(1),
-        col("tus") > qs(1) && col("tus") <= qs(2),
-        col("tus") > qs(2))
-      ranges.zipWithIndex.foreach { case (cond, i) =>
-        val part = java.nio.file.Files.createTempDirectory(s"q53_part$i")
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(part.toString)
-        val src = java.nio.file.Files.list(part).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
-        val tgt = dir.resolve(f"events_$i%02d.parquet")
-        java.nio.file.Files.move(java.nio.file.Paths.get(src), tgt)
-        java.nio.file.Files.setLastModifiedTime(tgt,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      val dir = stageQuartileFiles(ev, "q53")
       counter += 1
       val sinkName = s"q53_sink_$counter"
       val GapUs = 300000000L
       val q = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(dir.toString)
+        .parquet(dir)
         .as[(Long, Long, Long, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -118,6 +160,12 @@ object QueriesStream {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the streamed keys-only dedup over a bounded stream is exactly the
+    // batch distinct of the key columns
+    "q60_stream_dedup" ->
+      """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM events""".stripMargin,
+
     // gaps-and-islands sessionization; each user's LAST session dropped
     // (it never closes in the bounded stream)
     "q53_stream_sessions" ->
