@@ -157,6 +157,45 @@ object Dedup {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash near-duplicate pairs at scale: band the 63-bit simhash into
+    * `bands` 16-bit chunks (pigeonhole — any pair within Hamming distance
+    * maxHam < bands shares at least one exact chunk), bucket equi-join per
+    * band, then exact Hamming verify via bit_count(xor). The same
+    * explode→groupBy→pair-expand shape as [[minhashCandidates]]: no
+    * all-pairs join ever forms, oversized buckets are capped.
+    * Returns (id_a, id_b, hamming) with a < b, hamming ≤ maxHam.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHam: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(bands > maxHam, s"need bands > maxHam for full recall at " +
+      s"distance $maxHam (pigeonhole); got bands=$bands")
+    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val keyCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val buckets = sh
+      .select(col("id"), col("sh"), explode(array(keyCols: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    buckets
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |    y -> struct(x.id AS a, x.sh AS sa, y.id AS b, y.sh AS sb))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      // a pair sharing several band keys appears once per shared band
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
+        bit_count(col("p.sa").bitwiseXOR(col("p.sb"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+
   /** Exact n-gram Jaccard between explicit shingle sets (for verification
     * of LSH candidates): |A ∩ B| / |A ∪ B| over distinct shingle hashes.
     */

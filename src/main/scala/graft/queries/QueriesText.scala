@@ -138,6 +138,13 @@ object QueriesText {
           when(col("j_e6") >= 500000L, 1L).otherwise(0L))
     }),
 
+    // SimHash near-dup PAIRS — the banding+verify stage over q33's
+    // per-doc simhash: 16-bit-chunk buckets (pigeonhole: Hamming ≤ 3
+    // pairs always share a chunk when bands = 4), exact bit_count(xor)
+    // verify; no all-pairs join at any scale
+    "q61_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -228,6 +235,34 @@ object QueriesText {
        |  CAST(CASE WHEN FLOOR(jac * 1000000 + 0.5) >= 500000
        |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM jj""".stripMargin
+  }
+
+  /** q61 oracle: q33's simhash SQL as a CTE, then the banding self-join
+    * with the same 2..maxBucket bucket cap and the exact Hamming verify.
+    */
+  private def simhashPairsOracle: String = {
+    val (maxHam, bands, maxBucket) = (3, 4, 1000)
+    s"""WITH sims AS (
+       |$simhashOracle
+       |),
+       |bk AS (
+       |  SELECT doc_id, simhash, t.band,
+       |    (simhash >> (t.band * 16)) & 65535 AS key
+       |  FROM sims, (SELECT CAST(range AS INTEGER) AS band
+       |              FROM range($bands)) t),
+       |kept AS (
+       |  SELECT band, key FROM bk GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM bk x
+       |  JOIN kept k ON k.band = x.band AND k.key = x.key
+       |  JOIN bk y ON y.band = x.band AND y.key = x.key
+       |    AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHam""".stripMargin
   }
 
   private def simhashOracle: String = {
@@ -411,6 +446,8 @@ object QueriesText {
     "q32_minhash_lsh" -> minhashLshOracle,
 
     "q59_jaccard_verify" -> jaccardVerifyOracle,
+
+    "q61_simhash_pairs" -> simhashPairsOracle,
 
     "q33_simhash" -> simhashOracle,
 

@@ -113,6 +113,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(routed == exact)
   }
 
+  test("simhash pairs: exactly the Hamming<=3 pairs of the brute force") {
+    // real testdata texts; brute-force all-pairs Hamming as the oracle
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole: bands=4 > maxHam=3 ⇒ full recall, and the exact
+    // verify kills every beyond-threshold bucket collision
+    assert(got === expected)
+  }
+
   test("tokens/quality/fingerprint primitives") {
     val df = Seq(Tuple1("  the  quick   fox  ")).toDF("text")
     val n = df.select(TextOps.tokenCount(col("text"))).head().getInt(0)
