@@ -170,7 +170,14 @@ object Dedup {
       maxHam: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     require(bands > maxHam, s"need bands > maxHam for full recall at " +
       s"distance $maxHam (pigeonhole); got bands=$bands")
+    // materialize (id, sh) before banding: the simhash tree is 63
+    // aggregate folds over the md5 token hashes, and the banding
+    // projection references it five times (4 band keys + the carried
+    // column) — inlined, that re-evaluates the whole tree per
+    // reference (measured: 28 s vs 0.2 s for the identical per-doc
+    // q33 at sf0.1)
     val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .localCheckpoint(true)
     val keyCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))

@@ -70,6 +70,44 @@ object QueriesStream {
       out
     }),
 
+    // watermarked APPEND-mode windowed aggregation — the third streaming
+    // shape beside complete-mode q34 and the stateful q53/q60: a
+    // 10-minute event-time watermark over the four time-ordered
+    // micro-batches; a window row is emitted only once the watermark
+    // passes its end, so windows still open when the bounded stream
+    // ends stay in state and are dropped — and the oracle drops them
+    // symmetrically (bucket end ≤ final watermark = max ts − 10 min).
+    // Deterministic: the quartile files fix the batch boundaries, and
+    // watermark progression is a pure function of per-batch max ts.
+    "q62_stream_late" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          expr(QueriesRelational.centsSql("value")).as("cents"))
+        .localCheckpoint(true)
+      val dir = stageQuartileFiles(ev, "q62")
+      counter += 1
+      val sinkName = s"q62_sink_$counter"
+      val q = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withColumn("ets", timestamp_micros(col("tus")))
+        .withWatermark("ets", "10 minutes")
+        .groupBy(window(col("ets"), "300 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("sum_cents"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sinkName).localCheckpoint(true)
+    }),
+
     // stateful streaming dedup: dropDuplicates across micro-batches —
     // the streaming-ingest half of the exact-dedup pair (q26 is the
     // batch half). Events replay as four time-ranged files
@@ -160,6 +198,23 @@ object QueriesStream {
     }))
 
   val oracles: Map[String, String] = Map(
+    // append-mode watermarked windows: the batch agg restricted to
+    // buckets the FINAL watermark (max ts − 10 min) has closed; the
+    // still-open tail buckets died in state when the stream ended.
+    // No event is ever late in this replay (time-quartile batching ⇒
+    // every event outruns the watermark), so no per-row drop term.
+    "q62_stream_late" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) AS tus,
+         |    ${QueriesRelational.centsSql("value")} AS cents
+         |  FROM events),
+         |wm AS (SELECT MAX(tus) - 600000000 AS w FROM e)
+         |SELECT (tus - tus % 300000000) AS bucket_us, event_type,
+         |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM e, wm
+         |WHERE (tus - tus % 300000000) + 300000000 <= wm.w
+         |GROUP BY 1, 2""".stripMargin,
+
     // the streamed keys-only dedup over a bounded stream is exactly the
     // batch distinct of the key columns
     "q60_stream_dedup" ->
