@@ -170,13 +170,16 @@ object Dedup {
       maxHam: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
     require(bands > maxHam, s"need bands > maxHam for full recall at " +
       s"distance $maxHam (pigeonhole); got bands=$bands")
-    // materialize (id, sh) before banding: the simhash tree is 63
-    // aggregate folds over the md5 token hashes, and the banding
-    // projection references it five times (4 band keys + the carried
-    // column) — inlined, that re-evaluates the whole tree per
-    // reference (measured: 28 s vs 0.2 s for the identical per-doc
-    // q33 at sf0.1)
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // stage the token-hash array in its own projection FIRST (the q33
+    // shape): referencing `hs` inline makes each of the 63 bit-vote
+    // aggregates recompute the md5 hash of every token (measured: 25 s
+    // vs 0.2 s for q33 at sf0.1 — ~10⁸ md5 calls), then materialize
+    // (id, sh) so the banding projection's five references to `sh`
+    // (4 band keys + the carried column) read a column, not the tree
+    val sh = docs
+      .select(col(idCol).as("id"),
+        transform(TextOps.tokens(col(textCol)), t => md5h63(t)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sh"))
       .localCheckpoint(true)
     val keyCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
