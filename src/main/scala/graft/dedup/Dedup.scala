@@ -528,4 +528,47 @@ object Dedup {
       .filter(col("rank") <= k)
       .select("qid", "nid", "sim", "rank")
   }
+
+  /** Embedding-cosine near-duplicate PAIR extraction — the dedup member
+    * of the embedding family (q31/q50/q56 are top-k *search*; this emits
+    * the near-dup *pairs* a dedup pipeline would collapse). Candidates
+    * come from the q50 sign-LSH shape — every vector lands in one
+    * bucket, probes its own bucket plus the `bits` Hamming-1 buckets, so
+    * candidate volume ≈ (bits+1)·n/2^bits and every join is a bucket
+    * equi-join (no all-pairs at any scale) — then exact cosine verifies
+    * each pair at `tauE6` (e6-quantized, engine-portable).
+    *
+    * Each unordered pair appears exactly once without a distinct: the
+    * `id_a < id_b` filter keeps one orientation, and a candidate pair
+    * shares either its own bucket (caught only by the self-probe) or a
+    * Hamming-1 bucket pair (caught by exactly one probe bit).
+    * Oversized buckets are dropped from the reference side with a loud
+    * log, as in [[annCosineTopK]] — recall loss is logged, never silent.
+    */
+  def embedNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      tauE6: Long = 990000L, bits: Int = 8, maxBucket: Long = 100000L): DataFrame = {
+    val vecs = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), bits))
+      .localCheckpoint(true)
+    val sizes = vecs.groupBy("bucket").count()
+    val dropped = sizes.filter(col("count") > maxBucket).count()
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"embedNearDupPairs: dropping $dropped oversized LSH buckets (> $maxBucket rows) from the reference side")
+    val refs = vecs.join(
+      sizes.filter(col("count") <= maxBucket).select("bucket"), Seq("bucket"))
+      .select(col("bucket"), col("id").as("id_b"), col("v").as("nv"))
+    val probes = vecs.select(col("id").as("id_a"), col("v").as("qv"),
+      explode(array((col("bucket") +: (0 until bits).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)).as("bucket"))
+    probes.join(refs, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_e6",
+        floor(cosine(col("qv"), col("nv")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .filter(col("sim_e6") >= tauE6)
+      .select("id_a", "id_b", "sim_e6")
+  }
 }

@@ -145,6 +145,24 @@ object QueriesText {
     "q61_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
 
+    // embedding-cosine near-dup PAIRS — the dedup member of the
+    // embedding family. The synthetic embeddings are isotropic (max
+    // natural pair cosine ≈ 0.51), so the query derives a dup-planted
+    // table the way Derived.waysDF derives ways from orders: each
+    // vector gets a deterministically perturbed copy at id + 1e9
+    // (±0.006/component → cosine ≥ 0.999 to its original), and the
+    // operator must recover exactly those pairs at τ = 0.99
+    "q63_embed_neardup" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val planted = t(s, d, "embeddings")
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
+            "((vec_id * 31 + i) % 7 - 3) * 0.002)").as("v"))
+      Dedup.embedNearDupPairs(base.unionByName(planted), "vec_id", "v")
+    }),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -315,6 +333,44 @@ object QueriesText {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q63 oracle: the dup-planting derivation (original id in the noise
+    * term, DuckDB lambdas index 1-based hence `i - 1`), then the exact
+    * q50 LSH machinery — buckets, Hamming-1 probes, bucket cap — with
+    * the `id_a < id_b` pair filter and the e6 cosine threshold.
+    */
+  private def embedNearDupOracle: String = {
+    val (bits, maxBucket, tauE6) = (8, 100000L, 990000L)
+    val bitTerms = (0 until bits).map { j =>
+      s"""CASE WHEN list_sum(list_transform(v,
+         |  (x, i) -> x * ${Dedup.hyperplaneComponentSql(j.toString, "i - 1")}))
+         |  > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    val probeList = ("bucket" +: (0 until bits).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ve AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 1000000000, list_transform(v,
+       |    (x, i) -> x + ((id * 31 + (i - 1)) % 7 - 3) * 0.002)
+       |  FROM base),
+       |bk AS (SELECT id, v, ($bitTerms) AS bucket FROM ve),
+       |sizes AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
+       |refs AS (
+       |  SELECT bk.bucket, bk.id AS id_b, bk.v AS nv
+       |  FROM bk JOIN sizes s ON s.bucket = bk.bucket WHERE s.c <= $maxBucket),
+       |probes AS (
+       |  SELECT id AS id_a, v AS qv, unnest($probeList) AS bucket FROM bk)
+       |SELECT id_a, id_b, sim_e6 FROM (
+       |  SELECT p.id_a, r.id_b,
+       |    CAST(FLOOR(list_cosine_similarity(p.qv, r.nv) * 1000000 + 0.5)
+       |      AS BIGINT) AS sim_e6
+       |  FROM probes p JOIN refs r ON r.bucket = p.bucket
+       |  WHERE p.id_a < r.id_b)
+       |WHERE sim_e6 >= $tauE6""".stripMargin
+  }
+
   /** q56 oracle: the IVF pipeline in DuckDB — lowest-id seeds, max-cosine
     * assignment (ties → lowest list id), ONE Lloyd step over 2^20-quantized
     * components (integer sums — order-independent, so the centroid doubles
@@ -370,6 +426,7 @@ object QueriesText {
   val oracles: Map[String, String] = Map(
     "q50_ann_topk" -> annTopKOracle,
     "q56_ivf_topk" -> ivfTopKOracle,
+    "q63_embed_neardup" -> embedNearDupOracle,
 
     // same pretokenizer pattern; '' escapes the leading quote in SQL
     "q57_bpe_tokens" ->

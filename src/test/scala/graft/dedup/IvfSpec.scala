@@ -33,6 +33,59 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     rows.toDF("vec_id", "embedding")
   }
 
+  /** 12 mutually near-orthogonal vectors (distinct one-hot axis + a tiny
+    * id-keyed secondary component): every distinct pair has cosine ≈ 0,
+    * so a planted perturbed copy is the only thing near τ.
+    */
+  private def orthogonal = {
+    val rows = (0 until 12).map { id =>
+      val v = Array.tabulate(dim)(i => if (i == id) 1.0f else 0.0f)
+      v((id + 5) % dim) = 0.01f * (id + 1)
+      (id.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embedNearDupPairs: recovers planted dups once each, nothing else") {
+    // plant a perturbed copy of every vector at id+1000: cosine to its
+    // original ≈ 1, while every cross pair is near-orthogonal (≈ 0)
+    val base = orthogonal
+    val planted = base.select((col("vec_id") + lit(1000L)).as("vec_id"),
+      expr("transform(embedding, x -> x + CAST(0.001 AS FLOAT))").as("embedding"))
+    val pairs = Dedup.embedNearDupPairs(
+      base.unionByName(planted), "vec_id", "embedding", tauE6 = 990000L)
+      .as[(Long, Long, Long)].collect()
+    // one row per unordered pair, always id_a < id_b
+    assert(pairs.forall { case (a, b, _) => a < b })
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    // every planted pair is found with sim ≥ τ (the tiny uniform shift
+    // stays within the Hamming-1 probes on this fixture)…
+    val plantedPairs = pairs.filter { case (a, b, _) => b == a + 1000L }
+    assert(plantedPairs.length == 12,
+      s"expected all 12 planted pairs, got ${plantedPairs.length}")
+    assert(plantedPairs.forall(_._3 >= 990000L))
+    // …and nothing else clears τ = 0.99
+    assert(pairs.length == 12, s"non-planted pairs above τ: " +
+      pairs.filterNot { case (a, b, _) => b == a + 1000L }.take(5).mkString(","))
+  }
+
+  test("embedNearDupPairs: threshold bites on the same candidate pair") {
+    // two vectors that certainly share a bucket (differ only in a small
+    // secondary weight): cosine ≈ 0.9998 — found at τ = 0.99, excluded
+    // at τ = 0.999999
+    val two = Seq(
+      (1L, Seq(1.0f, 0.10f) ++ Seq.fill(dim - 2)(0.0f)),
+      (2L, Seq(1.0f, 0.08f) ++ Seq.fill(dim - 2)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val loose = Dedup.embedNearDupPairs(two, "vec_id", "embedding",
+      tauE6 = 990000L).as[(Long, Long, Long)].collect()
+    assert(loose.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(loose.head._3 < 1000000L)
+    val tight = Dedup.embedNearDupPairs(two, "vec_id", "embedding",
+      tauE6 = 999999L).as[(Long, Long, Long)].collect()
+    assert(tight.isEmpty, s"unexpected pairs: ${tight.mkString(",")}")
+  }
+
   test("ivf: high recall vs brute force on separable clusters") {
     val ivf = Dedup.ivfCosineTopK(clustered, "vec_id", "embedding", 3,
       nlist = 4, nprobe = 2)
