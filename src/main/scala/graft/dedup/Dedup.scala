@@ -545,6 +545,29 @@ object Dedup {
     * Oversized buckets are dropped from the reference side with a loud
     * log, as in [[annCosineTopK]] — recall loss is logged, never silent.
     */
+  /** Near-duplicate cluster collapse — the final stage of a dedup
+    * pipeline: verified near-dup pairs (from any of the pair extractors:
+    * MinHash→Jaccard, SimHash, embedding cosine) become an undirected
+    * graph, transitively closed with the shuffle CC operator, and each
+    * cluster keeps one survivor. The large/small-star CC converges to
+    * min-id-rooted stars, so the component label IS the min-id survivor
+    * — no extra aggregation pass. Docs in no pair are their own
+    * singleton cluster. At 100 TB the pair graph is sparse (clusters
+    * are small), so CC rounds stay logarithmic in the largest cluster's
+    * diameter and every shuffle is keyed on doc id.
+    */
+  def nearDupCollapse(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(
+      col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val nodes = ids.select(col(idCol).cast("long").as("nid"))
+    val labels = graft.graph.ConnectedComponents.labelsWithSingletons(edges, nodes)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("nid").as(idCol), col("comp").as("survivor"),
+        col("cluster_size"),
+        when(col("nid") === col("comp"), 1L).otherwise(0L).as("is_survivor"))
+  }
+
   def embedNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       tauE6: Long = 990000L, bits: Int = 8, maxBucket: Long = 100000L): DataFrame = {

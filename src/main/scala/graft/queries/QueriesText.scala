@@ -119,24 +119,16 @@ object QueriesText {
     // exact n-gram Jaccard verification of the LSH candidate pairs —
     // the LSH→verify stage of the near-dup pipeline (3-shingle md5
     // hash sets, the same shingle space the banding quantizes)
-    "q59_jaccard_verify" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      // the candidate set is the small side (bucket-capped banding), so
-      // it broadcasts against the big documents table twice and the
-      // full table never shuffles; if candidates ever outgrow the
-      // broadcast limit, drop the hints and AQE picks a shuffle join
-      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-      val withA = docs
-        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
-        .join(broadcast(cand), Seq("id_a"))
-      docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-        .join(broadcast(withA), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          floor(Dedup.ngramJaccard(col("text_a"), col("text_b")) *
-            lit(1000000.0) + lit(0.5)).cast("long").as("j_e6"))
-        .withColumn("is_dup",
-          when(col("j_e6") >= 500000L, 1L).otherwise(0L))
-    }),
+    "q59_jaccard_verify" -> ((s, d) => jaccardVerifiedPairs(s, d)),
+
+    // near-dup CLUSTER COLLAPSE — the final dedup stage: q59's verified
+    // pairs transitively closed with the shuffle CC operator, min-id
+    // survivor per cluster, singletons survive themselves
+    "q64_dedup_collapse" -> ((s, d) =>
+      Dedup.nearDupCollapse(
+        jaccardVerifiedPairs(s, d).filter(col("is_dup") === 1L)
+          .select("id_a", "id_b"),
+        t(s, d, "documents").select("doc_id"), "doc_id")),
 
     // SimHash near-dup PAIRS — the banding+verify stage over q33's
     // per-doc simhash: 16-bit-chunk buckets (pigeonhole: Hamming ≤ 3
@@ -223,6 +215,27 @@ object QueriesText {
     * 3-shingle Jaccard per pair — distinct md5h32 shingle-hash sets on
     * each side, |A∩B| / (|A|+|B|−|A∩B|), e6-floored like the engine.
     */
+  /** q59 body, shared with q64: exact n-gram Jaccard over the MinHash-LSH
+    * candidate pairs. The candidate set is the small side (bucket-capped
+    * banding), so it broadcasts against the big documents table twice and
+    * the full table never shuffles; if candidates ever outgrow the
+    * broadcast limit, drop the hints and AQE picks a shuffle join.
+    */
+  private def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val withA = docs
+      .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      .join(broadcast(cand), Seq("id_a"))
+    docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      .join(broadcast(withA), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(Dedup.ngramJaccard(col("text_a"), col("text_b")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("j_e6"))
+      .withColumn("is_dup",
+        when(col("j_e6") >= 500000L, 1L).otherwise(0L))
+  }
+
   private def jaccardVerifyOracle: String = {
     val w = 3
     s"""WITH cand AS (
@@ -254,6 +267,35 @@ object QueriesText {
        |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM jj""".stripMargin
   }
+
+  /** q64 oracle: q59's full verify pipeline as a CTE, then recursive
+    * min-label connected components over the `is_dup` pairs (the q13
+    * CTE pattern), survivor = component min id, singletons from a left
+    * join against the full documents table.
+    */
+  private def dedupCollapseOracle: String =
+    s"""WITH RECURSIVE jv AS (
+       |$jaccardVerifyOracle
+       |),
+       |dup AS (SELECT id_a, id_b FROM jv WHERE is_dup = 1),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |        UNION SELECT id_b, id_a FROM dup),
+       |r AS (
+       |  SELECT src AS nid, src AS label FROM sym
+       |  UNION
+       |  SELECT s.dst AS nid, r.label FROM r JOIN sym s ON s.src = r.nid
+       |  WHERE r.label < s.dst
+       |),
+       |cc AS (SELECT nid, MIN(label) AS comp FROM r GROUP BY nid),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS survivor
+       |  FROM documents d LEFT JOIN cc ON cc.nid = d.doc_id),
+       |sz AS (SELECT survivor, COUNT(*) AS cluster_size
+       |       FROM asg GROUP BY survivor)
+       |SELECT a.doc_id, a.survivor, z.cluster_size,
+       |  CAST(CASE WHEN a.doc_id = a.survivor THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_survivor
+       |FROM asg a JOIN sz z ON z.survivor = a.survivor""".stripMargin
 
   /** q61 oracle: q33's simhash SQL as a CTE, then the banding self-join
     * with the same 2..maxBucket bucket cap and the exact Hamming verify.
@@ -427,6 +469,7 @@ object QueriesText {
     "q50_ann_topk" -> annTopKOracle,
     "q56_ivf_topk" -> ivfTopKOracle,
     "q63_embed_neardup" -> embedNearDupOracle,
+    "q64_dedup_collapse" -> dedupCollapseOracle,
 
     // same pretokenizer pattern; '' escapes the leading quote in SQL
     "q57_bpe_tokens" ->

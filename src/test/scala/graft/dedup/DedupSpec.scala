@@ -130,6 +130,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
   }
 
+  test("nearDupCollapse: transitive clusters, min-id survivor, singletons") {
+    // chain 1-2, 2-3 plus pair 10-11; 20 is in no pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val got = Dedup.nearDupCollapse(pairs, ids, "doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 0L),
+      (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L),
+      (20L, 20L, 1L, 1L)))
+  }
+
   test("tokens/quality/fingerprint primitives") {
     val df = Seq(Tuple1("  the  quick   fox  ")).toDF("text")
     val n = df.select(TextOps.tokenCount(col("text"))).head().getInt(0)
