@@ -155,6 +155,52 @@ object QueriesText {
       Dedup.embedNearDupPairs(base.unionByName(planted), "vec_id", "v")
     }),
 
+    // end-to-end corpus curation — the training-data pipeline composed:
+    // quality gate (not-short) + language gate (marker argmax != 'und')
+    // → exact dedup (min-id keeper per byte-identical text) → near-dup
+    // collapse (q64 CC over q59's verified pairs, restricted to exact
+    // keepers) → per-language surviving-corpus stats. Every stage is a
+    // keyed shuffle or a broadcast; nothing here is new machinery, which
+    // is the point: the operators compose into a curation pipeline.
+    "q65_curation" -> ((s, d) => {
+      val langs = TextOps.markers.keys.toSeq.sorted
+      val qual = TextOps.qualityColumns(col("text")).toMap
+      val scored = t(s, d, "documents").select(
+        (Seq(col("doc_id"), col("text"),
+          qual("n_tokens").as("n_tokens"), qual("is_short").as("is_short")) ++
+          langs.map(l =>
+            TextOps.markerHits(col("text"), l).cast("long").as(s"h_$l"))): _*)
+        .withColumn("guess", expr(markerCaseSql(l => s"h_$l")))
+      val kept = scored
+        .filter(col("is_short") === 0L && col("guess") =!= "und")
+      val keepers = kept
+        .groupBy(md5(col("text")).as("m")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val pairs = jaccardVerifiedPairs(s, d).filter(col("is_dup") === 1L)
+        .join(keepers.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(keepers.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_semi")
+        .select("id_a", "id_b")
+      val survivors = Dedup.nearDupCollapse(pairs, keepers, "doc_id")
+        .filter(col("is_survivor") === 1L).select("doc_id")
+      // per-language stage funnel: every stage's cardinality is pinned,
+      // not just the final corpus size
+      scored
+        .withColumn("keptf",
+          (col("is_short") === 0L && col("guess") =!= "und").cast("long"))
+        .join(keepers.withColumn("keeperf", lit(1L)), Seq("doc_id"), "left")
+        .join(survivors.withColumn("survf", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("guess")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("keptf").as("n_kept"),
+          sum(coalesce(col("keeperf"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("survf"), lit(0L))).as("n_surv"),
+          sum(when(col("survf") === 1L, col("n_tokens")).otherwise(0L))
+            .as("surv_tokens"))
+        .withColumnRenamed("guess", "lang")
+    }),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -296,6 +342,61 @@ object QueriesText {
        |  CAST(CASE WHEN a.doc_id = a.survivor THEN 1 ELSE 0 END AS BIGINT)
        |    AS is_survivor
        |FROM asg a JOIN sz z ON z.survivor = a.survivor""".stripMargin
+
+  /** q65 oracle: the whole curation pipeline in SQL — q28/q29's scoring
+    * expressions, the exact-dedup keeper set, q59's verified pairs
+    * restricted to keepers, the recursive CC collapse, then per-language
+    * stats over the survivors (SUM cast to BIGINT — DuckDB sums to
+    * HUGEINT otherwise and the schema gate fails).
+    */
+  private def curationOracle: String = {
+    def hitsExpr(l: String): String = {
+      val ms = TextOps.markers(l).map(m => s"x = '$m'").mkString(" OR ")
+      s"CAST(len(list_filter($duckTokens, x -> $ms)) AS BIGINT)"
+    }
+    s"""WITH RECURSIVE jv AS (
+       |$jaccardVerifyOracle
+       |),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+       |    CASE WHEN length(text) < 100 THEN 1 ELSE 0 END AS is_short,
+       |    ${markerCaseSql(hitsExpr)} AS guess
+       |  FROM documents),
+       |kept AS (SELECT * FROM scored WHERE is_short = 0 AND guess <> 'und'),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |dup AS (
+       |  SELECT id_a, id_b FROM jv
+       |  WHERE is_dup = 1
+       |    AND id_a IN (SELECT doc_id FROM ex)
+       |    AND id_b IN (SELECT doc_id FROM ex)),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |        UNION SELECT id_b, id_a FROM dup),
+       |r AS (
+       |  SELECT src AS nid, src AS label FROM sym
+       |  UNION
+       |  SELECT s.dst AS nid, r.label FROM r JOIN sym s ON s.src = r.nid
+       |  WHERE r.label < s.dst
+       |),
+       |cc AS (SELECT nid, MIN(label) AS comp FROM r GROUP BY nid),
+       |surv AS (
+       |  SELECT e.doc_id FROM ex e LEFT JOIN cc ON cc.nid = e.doc_id
+       |  WHERE e.doc_id = COALESCE(cc.comp, e.doc_id))
+       |SELECT s.guess AS lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN s.is_short = 0 AND s.guess <> 'und'
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_surv,
+       |  CAST(SUM(CASE WHEN v.doc_id IS NOT NULL THEN s.n_tokens ELSE 0 END)
+       |    AS BIGINT) AS surv_tokens
+       |FROM scored s
+       |LEFT JOIN ex e ON e.doc_id = s.doc_id
+       |LEFT JOIN surv v ON v.doc_id = s.doc_id
+       |GROUP BY s.guess""".stripMargin
+  }
 
   /** q61 oracle: q33's simhash SQL as a CTE, then the banding self-join
     * with the same 2..maxBucket bucket cap and the exact Hamming verify.
@@ -470,6 +571,7 @@ object QueriesText {
     "q56_ivf_topk" -> ivfTopKOracle,
     "q63_embed_neardup" -> embedNearDupOracle,
     "q64_dedup_collapse" -> dedupCollapseOracle,
+    "q65_curation" -> curationOracle,
 
     // same pretokenizer pattern; '' escapes the leading quote in SQL
     "q57_bpe_tokens" ->
