@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("MB_ROWS", "20000000").toLong
-    for (cpus <- Seq(8, 32)) {
+    val cpuList = sys.env.getOrElse("MB_CPUS", "8,32").split(",").toSeq.map(_.trim.toInt)
+    for (cpus <- cpuList) {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -25,6 +26,9 @@ object MicroBench {
       }
       val base = spark.range(n).selectExpr("id", "(id * 2654435761) % 100000000 AS k")
         .localCheckpoint(true)
+      time("md5-map")(
+        base.select(sum(length(md5(concat_ws("_", col("id"), col("k"))))).as("s"))
+          .head().getLong(0))
       time("groupBy-highcard")(
         base.groupBy("k").agg(count(lit(1))).count())
       time("sort-merge-join")(
