@@ -108,9 +108,22 @@ object Dedup {
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesFromHashes(
+      docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hs")),
+      numHashes, bands, maxBucket)
+
+  /** [[minhashCandidates]] over a pre-staged `(id, hs)` frame — the hot
+    * path when the caller also needs the hash sets for exact
+    * verification: stage [[distinctShingleHashes]] ONCE (signatures are
+    * identical on the distinct set — a per-hash min is
+    * duplicate-insensitive) and feed it to both stages instead of
+    * re-hashing the text.
+    */
+  def minhashCandidatesFromHashes(
+      idHs: DataFrame,
       numHashes: Int = 64, bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hs"))
+    val withSig = idHs
       .select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
     val buckets = withSig
       .select(col("id"), explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
@@ -209,9 +222,22 @@ object Dedup {
   /** Exact n-gram Jaccard between explicit shingle sets (for verification
     * of LSH candidates): |A ∩ B| / |A ∪ B| over distinct shingle hashes.
     */
-  def ngramJaccard(textA: Column, textB: Column, w: Int = 3): Column = {
-    val ha = array_distinct(transform(shingles(textA, w), s => md5h32(s)))
-    val hb = array_distinct(transform(shingles(textB, w), s => md5h32(s)))
+  def ngramJaccard(textA: Column, textB: Column, w: Int = 3): Column =
+    jaccardByHashSets(
+      array_distinct(transform(shingles(textA, w), s => md5h32(s))),
+      array_distinct(transform(shingles(textB, w), s => md5h32(s))))
+
+  /** Distinct shingle-hash set — stage ONCE per doc and reuse for both
+    * LSH banding and exact verification. Re-hashing raw text per
+    * candidate pair costs (|pairs|·2/|docs|)× the whole corpus's hash
+    * work: measured 48 s of a 140 s 500k-doc pipeline before this
+    * staging existed (BENCH.md round 4).
+    */
+  def distinctShingleHashes(text: Column, w: Int = 3): Column =
+    array_distinct(shingleHashes(text, w))
+
+  /** Exact Jaccard from two pre-staged distinct hash sets. */
+  def jaccardByHashSets(ha: Column, hb: Column): Column = {
     val inter = size(array_intersect(ha, hb)).cast("double")
     inter / (size(ha) + size(hb) - inter)
   }

@@ -268,15 +268,20 @@ object QueriesText {
     * broadcast limit, drop the hints and AQE picks a shuffle join.
     */
   private def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-    val withA = docs
-      .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    // the distinct shingle-hash set is staged ONCE per doc and feeds
+    // both the banding and the exact verify (signatures are identical
+    // on the distinct set); re-hashing text per candidate pair was 48 s
+    // of a 140 s 500k-doc pipeline (BENCH.md round 4)
+    val sets = t(s, d, "documents").select(col("doc_id").as("id"),
+      Dedup.distinctShingleHashes(col("text")).as("hs"))
+    val cand = Dedup.minhashCandidatesFromHashes(sets)
+    val withA = sets
+      .select(col("id").as("id_a"), col("hs").as("hs_a"))
       .join(broadcast(cand), Seq("id_a"))
-    docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
       .join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        floor(Dedup.ngramJaccard(col("text_a"), col("text_b")) *
+        floor(Dedup.jaccardByHashSets(col("hs_a"), col("hs_b")) *
           lit(1000000.0) + lit(0.5)).cast("long").as("j_e6"))
       .withColumn("is_dup",
         when(col("j_e6") >= 500000L, 1L).otherwise(0L))

@@ -58,17 +58,22 @@ object DedupAtScale {
     try {
       val docs = documents(spark, n).localCheckpoint(true)
       val t0 = System.nanoTime()
-      // no broadcast hints here (unlike the sf0.01 query path): at this
-      // scale the candidate set is ~1.5n rows and AQE should pick the
-      // join strategy from runtime sizes
-      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-      val withA = docs
-        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      // the distinct shingle-hash set is staged+checkpointed ONCE and
+      // feeds both banding and exact verify; no broadcast hints (unlike
+      // the sf0.01 query path): at this scale the candidate set is
+      // ~1.5n rows and AQE should pick the join strategy from runtime
+      // sizes
+      val sets = docs.select(col("doc_id").as("id"),
+        Dedup.distinctShingleHashes(col("text")).as("hs"))
+        .localCheckpoint(true)
+      val cand = Dedup.minhashCandidatesFromHashes(sets)
+      val withA = sets
+        .select(col("id").as("id_a"), col("hs").as("hs_a"))
         .join(cand, Seq("id_a"))
-      val pairs = docs
-        .select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      val pairs = sets
+        .select(col("id").as("id_b"), col("hs").as("hs_b"))
         .join(withA, Seq("id_b"))
-        .filter(Dedup.ngramJaccard(col("text_a"), col("text_b")) >= 0.5)
+        .filter(Dedup.jaccardByHashSets(col("hs_a"), col("hs_b")) >= 0.5)
         .select("id_a", "id_b")
       val collapsed = Dedup.nearDupCollapse(pairs, docs.select("doc_id"), "doc_id")
       val agg = collapsed.agg(

@@ -130,6 +130,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
   }
 
+  test("staged hash-set path ≡ text path (jaccard + candidates)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    // pairwise jaccard from staged sets equals the from-text form
+    val sets = docs.select(col("doc_id"), Dedup.distinctShingleHashes(col("text")).as("hs"))
+    val both = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .join(sets.select(col("doc_id").as("ida"), col("hs").as("ha")), col("a.doc_id") === col("ida"))
+      .join(sets.select(col("doc_id").as("idb"), col("hs").as("hb")), col("b.doc_id") === col("idb"))
+      .select(
+        Dedup.ngramJaccard(col("a.text"), col("b.text")).as("jt"),
+        Dedup.jaccardByHashSets(col("ha"), col("hb")).as("jh"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // candidates over the distinct set equal candidates from text
+    // (per-hash min is duplicate-insensitive)
+    val fromText = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromSets = Dedup.minhashCandidatesFromHashes(
+      sets.withColumnRenamed("doc_id", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromText === fromSets)
+    assert(fromText.nonEmpty)
+  }
+
   test("nearDupCollapse: transitive clusters, min-id survivor, singletons") {
     // chain 1-2, 2-3 plus pair 10-11; 20 is in no pair
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
