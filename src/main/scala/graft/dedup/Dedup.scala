@@ -72,9 +72,27 @@ object Dedup {
     transform(shingles(text, w), s => md5h32(s))
 
   /** MinHash signature (array<long>, length numHashes) from a
-    * pre-materialised shingle-hash column.
+    * pre-materialised shingle-hash column. A native Catalyst expression
+    * (graft.functions.MinHashSig): ONE codegen'd pass over the hash array
+    * computing all numHashes minima — the HOF form it replaces
+    * ([[minhashSignatureFromHashesHof]]) is numHashes interpreted
+    * `transform`+`array_min` traversals (Spark HOFs are CodegenFallback),
+    * each allocating an intermediate array per row. Bit-identical output
+    * (DedupSpec pins it), so every MinHash oracle is unchanged.
     */
   def minhashSignatureFromHashes(hs: Column, numHashes: Int = 64): Column = {
+    val (as, bs) = hashParams(numHashes).unzip
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(hs), as, bs))
+  }
+
+  /** The higher-order-function formulation of [[minhashSignatureFromHashes]]
+    * — kept as the spec's equivalence oracle (DedupSpec proves the native
+    * expression bit-equal to this on randomized inputs).
+    */
+  private[graft] def minhashSignatureFromHashesHof(
+      hs: Column, numHashes: Int = 64): Column = {
     val cols = hashParams(numHashes).map { case (a, b) =>
       array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
     }
@@ -159,8 +177,23 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(TextOps.tokens(text), t => md5h63(t)))
 
-  /** SimHash from a pre-materialised token-hash array column. */
-  def simhashFromHashes(hs: Column): Column = {
+  /** SimHash from a pre-materialised token-hash array column. A native
+    * Catalyst expression (graft.functions.SimHash63): one codegen'd pass
+    * with a primitive vote accumulator — the HOF form it replaces
+    * ([[simhashFromHashesHof]]) is 63 interpreted `aggregate` folds.
+    * Bit-identical on non-null input (DedupSpec); null token arrays
+    * (which no query produces) yield null instead of the HOF's
+    * null-as-false 0.
+    */
+  def simhashFromHashes(hs: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SimHash63(
+        org.apache.spark.sql.GraftColumnBridge.expression(hs), SimhashBits))
+
+  /** The higher-order-function formulation of [[simhashFromHashes]] —
+    * kept as the spec's equivalence oracle.
+    */
+  private[graft] def simhashFromHashesHof(hs: Column): Column = {
     val bitCols = (0 until SimhashBits).map { i =>
       val votes = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
