@@ -66,10 +66,31 @@ object Dedup {
 
   /** Shingle-hash array — materialise this ONCE per row (a projection
     * column) before fanning out into the signature: referencing the raw
-    * text expression 64× re-tokenises 64× per row.
+    * text expression 64× re-tokenises 64× per row. A fused native
+    * expression (graft.functions.ShingleHashes): the HOF form
+    * ([[shingleHashesHof]]) is five nested interpreted higher-order
+    * functions allocating a shingle string per window; the native one
+    * tokenizes the UTF-8 bytes once and streams each window into the
+    * digest. Bit-identical (TextHashExprsSpec), oracles unchanged.
     */
   def shingleHashes(text: Column, w: Int = 3): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), w,
+        distinct = false))
+
+  /** HOF formulation of [[shingleHashes]] — the spec's equivalence oracle. */
+  private[graft] def shingleHashesHof(text: Column, w: Int = 3): Column =
     transform(shingles(text, w), s => md5h32(s))
+
+  /** Per-token md5h63 hash array (the SimHash staging column) — fused
+    * native pass; order-preserving, duplicates kept (votes count every
+    * occurrence).
+    */
+  def tokenHashes63(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TokenHashes63(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** MinHash signature (array<long>, length numHashes) from a
     * pre-materialised shingle-hash column. A native Catalyst expression
@@ -106,14 +127,21 @@ object Dedup {
     minhashSignatureFromHashes(shingleHashes(text, w), numHashes)
 
   /** LSH band keys: split the signature into `bands` rows of
-    * numHashes/bands values; each band hashes to one bucket key
-    * (md5 hex string — engine-portable, fixed 32 bytes).
+    * numHashes/bands values; each band hashes to one bucket key — the
+    * 63-bit md5 prefix ([[md5h63]]) of the comma-joined values. A LONG
+    * key (engine-portable like the md5 hex string it replaced, and the
+    * DuckDB oracle replays the same math) so the exploded
+    * docs×bands bucket frame shuffles 8-byte keys instead of 32-char
+    * strings — at 10⁹ docs × 16 bands that is hundreds of GB less
+    * shuffle. A 63-bit collision fuses two buckets (odds ≈ b²/2⁶⁴);
+    * candidates are exact-verified downstream, and the oracle mirrors
+    * the same keys.
     */
   def lshBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
     val r = numHashes / bands
     val cols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",",
+        md5h63(concat_ws(",",
           transform(slice(sig, b * r + 1, r), _.cast("string")))).as("key"))
     }
     array(cols: _*)
@@ -175,7 +203,7 @@ object Dedup {
     * sum over tokens of ±1 (per token-hash bit i) is positive.
     */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(TextOps.tokens(text), t => md5h63(t)))
+    simhashFromHashes(tokenHashes63(text))
 
   /** SimHash from a pre-materialised token-hash array column. A native
     * Catalyst expression (graft.functions.SimHash63): one codegen'd pass
@@ -223,8 +251,7 @@ object Dedup {
     // (id, sh) so the banding projection's five references to `sh`
     // (4 band keys + the carried column) read a column, not the tree
     val sh = docs
-      .select(col(idCol).as("id"),
-        transform(TextOps.tokens(col(textCol)), t => md5h63(t)).as("hs"))
+      .select(col(idCol).as("id"), tokenHashes63(col(textCol)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("sh"))
       .localCheckpoint(true)
     val keyCols = (0 until bands).map { b =>
@@ -257,8 +284,7 @@ object Dedup {
     */
   def ngramJaccard(textA: Column, textB: Column, w: Int = 3): Column =
     jaccardByHashSets(
-      array_distinct(transform(shingles(textA, w), s => md5h32(s))),
-      array_distinct(transform(shingles(textB, w), s => md5h32(s))))
+      distinctShingleHashes(textA, w), distinctShingleHashes(textB, w))
 
   /** Distinct shingle-hash set — stage ONCE per doc and reuse for both
     * LSH banding and exact verification. Re-hashing raw text per
@@ -267,7 +293,10 @@ object Dedup {
     * staging existed (BENCH.md round 4).
     */
   def distinctShingleHashes(text: Column, w: Int = 3): Column =
-    array_distinct(shingleHashes(text, w))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), w,
+        distinct = true))
 
   /** Exact Jaccard from two pre-staged distinct hash sets. */
   def jaccardByHashSets(ha: Column, hb: Column): Column = {

@@ -33,5 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_simhash63 takes exactly one array<bigint> argument")
         SimHash63(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_shingle_hashes(text): distinct 3-shingle md5h32 set")
+        ShingleHashes(args.head, w = 3, distinct = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_hashes63"),
+      new ExpressionInfo(classOf[TokenHashes63].getName, "graft_token_hashes63"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_hashes63(text): per-token md5h63 array")
+        TokenHashes63(args.head)
+      }))
   }
 }

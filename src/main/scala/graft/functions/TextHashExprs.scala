@@ -1,0 +1,178 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused text→hash-array expressions for the dedup pipelines.
+  *
+  * The HOF formulation of shingle hashing —
+  * `array_distinct(transform(shingles(text), s => md5h32(s)))` where
+  * `shingles` is itself `transform(sequence(...), concat_ws(slice(...)))`
+  * over `filter(split(text))` — evaluates five nested interpreted
+  * higher-order functions per row, allocating a token array, a shingle
+  * STRING per window (the concat), and three intermediate arrays, before
+  * the md5 work even starts. These expressions tokenize the UTF-8 bytes
+  * once and hash each window directly from the token byte ranges (the
+  * single-space join is streamed into the digest, no shingle string is
+  * ever materialised).
+  *
+  * Hash semantics are bit-identical to `Dedup.md5h32`/`md5h63` (the first
+  * 8 / first 16 hex digits of md5 as BIGINT — i.e. the leading digest
+  * bytes read big-endian), so every DuckDB oracle that replays the md5
+  * math is untouched; TextHashExprsSpec pins equivalence with the HOF
+  * forms on adversarial inputs (unicode, repeated/leading/trailing
+  * spaces, < w tokens, empty strings).
+  */
+object TextHashExprs {
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Token byte ranges: flat array of (start, end) offsets into `bytes`,
+    * splitting on ASCII 0x20 and dropping empty tokens — exactly
+    * `filter(split(text, " ", -1), t => t =!= "")` (space is ASCII, so
+    * byte-splitting UTF-8 is safe).
+    */
+  private[functions] def tokenRanges(bytes: Array[Byte]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { out += start; out += i }
+        start = i + 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** md5 of the w tokens starting at window index `from`, joined by a
+    * single space, streamed into the digest.
+    */
+  private def digestWindow(
+      md: MessageDigest, bytes: Array[Byte], ranges: Array[Int],
+      from: Int, w: Int): Array[Byte] = {
+    md.reset()
+    var t = 0
+    while (t < w) {
+      if (t > 0) md.update(' '.toByte)
+      val s = ranges(2 * (from + t))
+      val e = ranges(2 * (from + t) + 1)
+      md.update(bytes, s, e - s)
+      t += 1
+    }
+    md.digest()
+  }
+
+  /** First 8 md5 hex digits as BIGINT = first 4 digest bytes big-endian. */
+  private def h32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
+  /** `Dedup.md5h63`: (h32 & 0x7FFFFFFF) * 2^32 + next 4 digest bytes. */
+  private def h63(d: Array[Byte]): Long =
+    (h32(d) & 0x7FFFFFFFL) * 4294967296L +
+      (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL))
+
+  /** Shingle-hash array for one text value. `distinct` keeps the first
+    * occurrence of each hash (= `array_distinct`). With fewer than `w`
+    * tokens the whole token list is one shingle (md5 of "" for empty
+    * texts) — the `shingles()` fallback branch.
+    */
+  def shingleHashArray(s: UTF8String, w: Int, distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val ranges = tokenRanges(bytes)
+    val nTok = ranges.length / 2
+    val md = md5Local.get()
+    val n = if (nTok >= w) nTok - w + 1 else 1
+    val shingleW = if (nTok >= w) w else nTok
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = h32(digestWindow(md, bytes, ranges, i, shingleW))
+      i += 1
+    }
+    val vals =
+      if (!distinct) out
+      else {
+        val seen = new java.util.HashSet[Long](n * 2)
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        var j = 0
+        while (j < n) {
+          if (seen.add(out(j))) b += out(j)
+          j += 1
+        }
+        b.result()
+      }
+    UnsafeArrayData.fromPrimitiveArray(vals)
+  }
+
+  /** Per-token md5h63 hash array (order-preserving, duplicates kept —
+    * SimHash votes count every occurrence); empty/whitespace-only text
+    * gives an empty array, matching `transform(tokens(text), md5h63)`.
+    */
+  def tokenHash63Array(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val ranges = tokenRanges(bytes)
+    val nTok = ranges.length / 2
+    val md = md5Local.get()
+    val out = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      out(i) = h63(digestWindow(md, bytes, ranges, i, 1))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+private[functions] trait TextToLongArrayExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** `Dedup.shingleHashes` / `distinctShingleHashes` as one fused pass. */
+case class ShingleHashes(child: Expression, w: Int, distinct: Boolean)
+    extends TextToLongArrayExpr {
+  require(w >= 1, s"shingle width must be >= 1; got $w")
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashExprs.shingleHashArray(input.asInstanceOf[UTF8String], w, distinct)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""${ev.value} = graft.functions.TextHashExprs.shingleHashArray(
+         |  $str, $w, $distinct);""".stripMargin
+    })
+}
+
+/** The staged SimHash token-hash array (`transform(tokens, md5h63)`). */
+case class TokenHashes63(child: Expression) extends TextToLongArrayExpr {
+  override def prettyName: String = "graft_token_hashes63"
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes63 =
+    copy(child = newChild)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashExprs.tokenHash63Array(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"${ev.value} = graft.functions.TextHashExprs.tokenHash63Array($str);"
+    })
+}

@@ -204,8 +204,7 @@ object QueriesText {
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"),
-          transform(TextOps.tokens(col("text")), tk => Dedup.md5h63(tk)).as("hs"))
+        .select(col("doc_id"), Dedup.tokenHashes63(col("text")).as("hs"))
         .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))))
 
   /** q32 oracle: the full MinHash+LSH pipeline in DuckDB SQL — shingles,
@@ -220,9 +219,10 @@ object QueriesText {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
     }.mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
+      val joined = s"array_to_string(list_transform(" +
+        s"list_slice(sig, ${b * r + 1}, ${b * r + r}), x -> CAST(x AS VARCHAR)), ',')"
       s"""SELECT doc_id, $b AS band,
-         |  md5(array_to_string(list_transform(
-         |    list_slice(sig, ${b * r + 1}, ${b * r + r}), x -> CAST(x AS VARCHAR)), ',')) AS key
+         |  ${Dedup.md5h63Sql(joined)} AS key
          |FROM sig""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH toks AS (

@@ -107,6 +107,17 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getSeq[Long](0) == expectSig)
       // votes: bit0 of {5,4,5} = {1,0,1} → +1; bit2 = {1,1,1} → +3 → sh = 5
       assert(r.getLong(1) == 5L)
+      // the text-hash functions resolve too, and match the Scala API
+      val r2 = s2.sql(
+        "SELECT graft_shingle_hashes('a b c d'), graft_token_hashes63('a b c d')")
+        .collect().head
+      val viaApi = Seq(("a b c d"))
+        .toDF("t").select(
+          Dedup.distinctShingleHashes(col("t")).as("sh"),
+          Dedup.tokenHashes63(col("t")).as("th"))
+        .collect().head
+      assert(r2.getSeq[Long](0) == viaApi.getSeq[Long](0))
+      assert(r2.getSeq[Long](1) == viaApi.getSeq[Long](1))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
