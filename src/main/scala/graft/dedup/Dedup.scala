@@ -313,7 +313,21 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Cosine similarity — a native one-pass expression
+    * (graft.functions.CosineSimF). The HOF form ([[cosineHof]]) walked
+    * three interpreted zip_with+aggregate trees per PAIR — the hot
+    * expression of the ANN candidate-verify joins. Bit-identical
+    * (VectorExprsSpec): same left-to-right double accumulation, null
+    * poisoning, and null-on-zero-norm as the fold + Spark Divide.
+    */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CosineSimF(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** HOF formulation of [[cosine]] — the spec's equivalence oracle. */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Cosine top-k per query vector. Routes by reference-set size:
@@ -392,9 +406,20 @@ object Dedup {
     s"((((($j) * 2654435761 + ($i) * 40503) % 1000003) / 1000003.0) * 2.0 - 1.0)"
 
   /** Sign-LSH bucket id over `bits` deterministic hyperplanes: bit j is 1
-    * iff dot(v, h_j) > 0. Bucket count = 2^bits.
+    * iff dot(v, h_j) > 0. Bucket count = 2^bits. One native pass
+    * (graft.functions.SignLshBucket) accumulating every bit's dot — the
+    * HOF form ([[lshBucketHof]]) was `bits` interpreted
+    * zip_with+aggregate walks per vector. Bit-identical
+    * (VectorExprsSpec); the DuckDB oracle replays the same hyperplane
+    * math.
     */
-  def lshBucket(vec: Column, bits: Int): Column = {
+  def lshBucket(vec: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SignLshBucket(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), bits))
+
+  /** HOF formulation of [[lshBucket]] — the spec's equivalence oracle. */
+  private[graft] def lshBucketHof(vec: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
       val dotj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -21,7 +21,6 @@ object DownOps {
     * @param nodes (nid, lat, lon)
     */
   def edgeLengths(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    def pt(pts: Column, i: Column) = element_at(pts, i.cast("int"))
     edges
       // content key, NOT monotonically_increasing_id: stable if the frame
       // is re-evaluated across actions without a checkpoint. Duplicate
@@ -35,17 +34,14 @@ object DownOps {
       .groupBy("eid", "src", "dst")
       .agg(sort_array(collect_list(struct(col("pos"), col("lat"), col("lon"))))
         .as("pts"))
-      // guard: a chain with <2 surviving points has no pair to sum —
-      // sequence(2, 1) would be DESCENDING and element_at(pts, 0) throws
+      // native one-pass chain sum (graft.functions.ChainHaversineM):
+      // bit-equal to the aggregate() HOF fold it replaced (GeoExprsSpec),
+      // including the <2-point → 0.0 guard, without the interpreted
+      // per-point element_at + trig tree walk
       .withColumn("len",
-        when(size(col("pts")) >= 2,
-          aggregate(sequence(lit(2), size(col("pts"))), lit(0.0),
-            (acc, i) => acc + Geo.haversineM(
-              pt(col("pts"), i - 1).getField("lat"),
-              pt(col("pts"), i - 1).getField("lon"),
-              pt(col("pts"), i).getField("lat"),
-              pt(col("pts"), i).getField("lon"))))
-          .otherwise(lit(0.0)))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.ChainHaversineM(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("pts")))))
       .select("src", "dst", "len")
   }
 

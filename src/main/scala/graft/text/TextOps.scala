@@ -16,7 +16,20 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " ", -1), t => t =!= "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** struct(n_tokens, tok_len_sum) in ONE native pass over the text
+    * (graft.functions.TokenStats) — the HOF walks (`filter(split)` plus
+    * an `aggregate` over token lengths) are interpreted per row.
+    */
+  def tokenStats(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TokenStats(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  def tokenCount(text: Column): Column =
+    tokenStats(text).getField("n_tokens").cast("int")
+
+  /** HOF formulation of [[tokenCount]] — the spec's equivalence oracle. */
+  private[graft] def tokenCountHof(text: Column): Column = size(tokens(text))
 
   /** Stopword-hit language ID: count whole-token hits of per-language
     * marker sets; guess = argmax language with ≥1 hit, else 'und'.
@@ -31,11 +44,24 @@ object TextOps {
     size(filter(tokens(text), t => markers(lang).map(m => t === m).reduce(_ || _)))
 
   /** Deterministic language guess from marker hits (ties: lexicographic
-    * language order wins via the comparison chain).
+    * language order wins). One native pass
+    * (graft.functions.LangGuessExpr) — the HOF argmax fold
+    * ([[langGuessHof]]) re-evaluated `filter(split(text))` + a
+    * marker-membership filter ~2× per language per row. Null text is
+    * null (the HOF form collapsed null to 'und' through `when`'s
+    * null-as-false; no query feeds null text).
     */
   def langGuess(text: Column): Column = {
     val langs = markers.keys.toSeq.sorted
-    val hits = langs.map(l => markerHits(text, l).as(s"h_$l"))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.LangGuessExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        langs, langs.map(markers)))
+  }
+
+  /** HOF formulation of [[langGuess]] — the spec's equivalence oracle. */
+  private[graft] def langGuessHof(text: Column): Column = {
+    val langs = markers.keys.toSeq.sorted
     // argmax with first-wins tie-break over sorted language order
     val best = langs.foldLeft((lit(0), lit("und"))) { case ((bh, bl), l) =>
       val h = markerHits(text, l)
@@ -48,6 +74,22 @@ object TextOps {
     * (floored), uppercase-start ratio proxy, short-doc flag.
     */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val stats = tokenStats(text)
+    val nTok = stats.getField("n_tokens")
+    val nChar = length(text)
+    Seq(
+      "n_chars" -> nChar.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "mean_tok_len_c" ->
+        // same Column-level double division + floor as the HOF form
+        when(nTok > 0,
+          floor(stats.getField("tok_len_sum") * 100L / nTok))
+          .otherwise(0L).cast("long"),
+      "is_short" -> (nChar < 100).cast("long"))
+  }
+
+  /** HOF formulation of [[qualityColumns]] — the spec's equivalence oracle. */
+  private[graft] def qualityColumnsHof(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nTok = size(toks)
     val nChar = length(text)
@@ -87,7 +129,18 @@ object TextOps {
       lit(7L),
       (acc, ch) => (acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L))) % FpPrime)
 
+  /** One native pass (graft.functions.RollingFingerprint) — the HOF form
+    * ([[fingerprintHof]]) ran a per-character `aggregate` fold inside a
+    * per-token `aggregate` fold, the most interpreted expression in the
+    * engine.
+    */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.RollingFingerprint(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), FpPrime))
+
+  /** HOF formulation of [[fingerprint]] — the spec's equivalence oracle. */
+  private[graft] def fingerprintHof(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),
