@@ -38,6 +38,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(agree > 20, s"near-dup should agree on many minhashes, got $agree/64")
   }
 
+  test("signature jaccard estimates: 1 for identical docs, low for unrelated") {
+    val est = docs
+      .select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+      .as("l").crossJoin(docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text")).as("sig")).as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        Dedup.signatureJaccard(col("l.sig"), col("r.sig")).as("j"))
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(est((1L, 2L)) == 1.0) // identical docs agree on every hash
+    assert(est((1L, 3L)) > 0.3) // near-dup estimate well above unrelated
+    assert(est((1L, 4L)) < 0.1)
+  }
+
   test("LSH candidates surface exact and near duplicates, not unrelated docs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
