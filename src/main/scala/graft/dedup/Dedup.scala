@@ -681,6 +681,58 @@ object Dedup {
         when(col("nid") === col("comp"), 1L).otherwise(0L).as("is_survivor"))
   }
 
+  /** Non-overlapping `w`-token passages of the token stream:
+    * (idCol, pos, pass, ntok). The distributable granularity for
+    * exact-substring dedup (Lee et al. 2022 run suffix arrays single-node;
+    * at 100 TB the practical shape is fixed-window passage hashing — one
+    * explode, then every downstream op keys on the passage hash).
+    * Empty-token docs produce no rows (posexplode of an empty array),
+    * matching the SQL oracle's `unnest(range(0))`.
+    */
+  def passages(docs: DataFrame, idCol: String, textCol: String, w: Int = 10): DataFrame = {
+    val tk = col("tk")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), posexplode(
+        // sequence(0, -1) is DESCENDING in Spark, so guard empty docs
+        when(size(tk) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              floor((size(tk) + lit(w - 1)) / lit(w)).cast("int") - 1),
+            i => concat_ws(" ", slice(tk, i * w + 1, lit(w)))))))
+      .select(col(idCol), col("pos"),
+        col("col").as("pass"), size(TextOps.tokens(col("col"))).as("ntok"))
+  }
+
+  /** Passage-level exact dedup, per-doc stats: a passage is a duplicate
+    * when its text occurs at more than one (doc, pos) corpus-wide; the
+    * global first occurrence (min (doc, pos)) is the keeper. Returns
+    * (idCol, n_pass, n_dup_pass, n_kept, kept_tokens).
+    *
+    * Scale shape: groupBy on md5(pass) (map-side combinable partial
+    * aggregation — a window over the passage key would shuffle every
+    * passage row AND serialize a hyper-frequent boilerplate passage into
+    * one task), then an equi-join back on the same key (AQE skew-join
+    * splits the boilerplate key).
+    */
+  def passageDedup(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 10): DataFrame = {
+    val p = passages(docs, idCol, textCol, w)
+      .withColumn("m", md5(col("pass")))
+    val firsts = p.groupBy("m").agg(
+      min(struct(col(idCol), col("pos"))).as("first"),
+      count(lit(1)).as("freq"))
+    p.join(firsts, Seq("m"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_pass"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup_pass"),
+        sum(when(col("first") === struct(col(idCol), col("pos")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("first") === struct(col(idCol), col("pos")),
+          col("ntok").cast("long")).otherwise(0L)).as("kept_tokens"))
+  }
+
   def embedNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       tauE6: Long = 990000L, bits: Int = 8, maxBucket: Long = 100000L): DataFrame = {

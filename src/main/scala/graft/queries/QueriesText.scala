@@ -201,6 +201,13 @@ object QueriesText {
         .withColumnRenamed("guess", "lang")
     }),
 
+    // passage-level exact dedup — non-overlapping 10-token windows,
+    // global first-occurrence keeps: the distributable granularity of
+    // exact-substring dedup (suffix arrays don't shard; passage hashing
+    // does). Per-doc funnel stats, fully DuckDB-oracled.
+    "q66_passage_dedup" -> ((s, d) =>
+      Dedup.passageDedup(t(s, d, "documents"), "doc_id", "text")),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -599,6 +606,32 @@ object QueriesText {
          |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), ths),
          |  (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
          |FROM th""".stripMargin,
+    // q66: the oracle recomputes the first-occurrence keep with a window
+    // (fine at oracle scale; the engine side uses the map-combinable
+    // groupBy+join shape). SUMs CAST to BIGINT — DuckDB sums to HUGEINT.
+    "q66_passage_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckTokens AS tk FROM documents),
+         |p AS (
+         |  SELECT doc_id, u.i AS pos,
+         |    array_to_string(list_slice(tk, u.i*10+1, u.i*10+10), ' ') AS pass,
+         |    len(list_slice(tk, u.i*10+1, u.i*10+10)) AS ntok
+         |  FROM toks,
+         |    LATERAL unnest(range(CAST(ceil(len(tk)/10.0) AS BIGINT))) u(i)),
+         |w AS (
+         |  SELECT doc_id, ntok,
+         |    COUNT(*) OVER (PARTITION BY pass) AS freq,
+         |    ROW_NUMBER() OVER (PARTITION BY pass ORDER BY doc_id, pos) AS rn
+         |  FROM p)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_pass,
+         |  CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_pass,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens
+         |FROM w GROUP BY doc_id""".stripMargin,
+
     "q24_tag_filter" ->
       s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders
          |  WHERE $wayFilter)

@@ -25,6 +25,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r == Set((1L, 2L), (3L, 1L), (4L, 1L))) // (keep_id, n_copies)
   }
 
+  test("passage dedup: global first occurrence keeps, partial tail window") {
+    val pd = Seq(
+      (1L, "a b c d e f g"), // [a b c][d e f][g] — all first occurrences
+      (2L, "a b c x y z"),   // [a b c] dups doc 1's; [x y z] unique
+      (3L, ""),              // no tokens → no rows
+      (4L, "a b c")          // [a b c] — duplicate, nothing kept
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageDedup(pd, "doc_id", "text", w = 3)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r == Map(
+      1L -> ((3L, 1L, 3L, 7L)),
+      2L -> ((2L, 1L, 1L, 3L)),
+      4L -> ((1L, 1L, 0L, 0L))))
+    assert(!r.contains(3L)) // empty doc produces no passages
+  }
+
   test("identical texts have identical minhash signatures") {
     val sigs = docs
       .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
