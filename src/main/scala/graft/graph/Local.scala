@@ -11,7 +11,8 @@ object Local {
 
   /** Per-group materialization cap for the local algorithms that must
     * hold one component/group in a single task (D16 line walk, frames,
-    * betweenness, longest source→mouth). Overridable with
+    * betweenness, D17 FEATURES assembly — the D17 basin distances+path
+    * shard via [[DistLongest]] above the hybrid threshold). Overridable with
     * `-Dgraft.maxLocalGroupRows=N` (spark.executor.extraJavaOptions on a
     * cluster). ~20M rows ≈ a few GB of boxed tuples — loud failure
     * comfortably before the executor OOM-kills.

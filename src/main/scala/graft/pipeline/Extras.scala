@@ -258,14 +258,30 @@ object Extras {
     * vertexes; per mouth, Dijkstra flood UPSTREAM (max over shortest-path
     * distances — the reference's exact behaviour, replicated not "fixed"),
     * take the max-distance source and rebuild the path.
+    *
+    * HYBRID (the upstreamFlowHybrid pattern): components ≤ `sizeThreshold`
+    * edges run the exact local flood in one task each; bigger components
+    * take [[graft.graph.DistLongest]] — the distributed topo-DP +
+    * binary-lifting path, identical values (DistLongestSpec pins
+    * local ≡ distributed on braided fixtures), instead of round 4's loud
+    * row-cap guard.
     * @param edges (src, dst, len) DAG
     * @return (mouth, source, dist_m, path)
     */
-  def longestSourceMouth(edges: DataFrame, spark: SparkSession): DataFrame = {
+  def longestSourceMouth(
+      edges: DataFrame, spark: SparkSession,
+      sizeThreshold: Long = 2000000L): DataFrame = {
     import spark.implicits._
-    val weak = ConnectedComponents.run(edges.select("src", "dst")).labels
-    edges
-      .join(weak.withColumnRenamed("nid", "src"), Seq("src"))
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("len").cast("double")).localCheckpoint(true)
+    val weak = ConnectedComponents.run(e0.select("src", "dst")).labels
+    val labelled = e0.join(weak.withColumnRenamed("nid", "src"), Seq("src"))
+    val sizes = labelled.groupBy("comp").agg(count(lit(1)).as("n"))
+    val big = labelled.join(sizes.filter(col("n") > sizeThreshold)
+      .select("comp"), Seq("comp"), "left_semi")
+    val small = labelled.join(sizes.filter(col("n") <= sizeThreshold)
+      .select("comp"), Seq("comp"), "left_semi")
+    val localRes = small
       .select("comp", "src", "dst", "len")
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
@@ -289,5 +305,9 @@ object Extras {
         }
       }
       .toDF("mouth", "source", "dist_m", "path")
+    if (big.isEmpty) localRes
+    else localRes.unionByName(
+      graft.graph.DistLongest.longestSourceMouth(
+        big.select("src", "dst", "len"), spark))
   }
 }
