@@ -201,6 +201,12 @@ object QueriesText {
         .withColumnRenamed("guess", "lang")
     }),
 
+    // Gopher repetition quality signals — top/duplicate n-gram token
+    // fractions per doc (n = 2, 3), the intra-document complement of the
+    // corpus-level dedup family; doc-keyed groupBys only, no corpus key
+    "q67_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
+
     // passage-level exact dedup — non-overlapping 10-token windows,
     // global first-occurrence keeps: the distributable granularity of
     // exact-substring dedup (suffix arrays don't shard; passage hashing
@@ -606,6 +612,41 @@ object QueriesText {
          |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), ths),
          |  (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
          |FROM th""".stripMargin,
+    "q67_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckTokens AS tk FROM documents),
+         |base AS (SELECT doc_id, len(tk) AS n_tokens FROM toks),
+         |g AS (
+         |  SELECT doc_id, 2 AS n,
+         |    array_to_string(list_slice(tk, u.i+1, u.i+2), ' ') AS gr
+         |  FROM toks, LATERAL unnest(range(
+         |    CASE WHEN len(tk) >= 2 THEN len(tk)-1 ELSE 0 END)) u(i)
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n,
+         |    array_to_string(list_slice(tk, u.i+1, u.i+3), ' ')
+         |  FROM toks, LATERAL unnest(range(
+         |    CASE WHEN len(tk) >= 3 THEN len(tk)-2 ELSE 0 END)) u(i)),
+         |c AS (SELECT doc_id, n, gr, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+         |s AS (SELECT doc_id, n, MAX(cnt) AS mx,
+         |        SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dups
+         |      FROM c GROUP BY 1, 2),
+         |p AS (SELECT doc_id,
+         |        MAX(CASE WHEN n = 2 THEN mx END) AS mx2,
+         |        MAX(CASE WHEN n = 2 THEN dups END) AS dups2,
+         |        MAX(CASE WHEN n = 3 THEN mx END) AS mx3,
+         |        MAX(CASE WHEN n = 3 THEN dups END) AS dups3
+         |      FROM s GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(FLOOR(CAST(p.mx2 * 2000000 AS DOUBLE)
+         |    / b.n_tokens + 0.5), 0) AS BIGINT) AS top2_e6,
+         |  CAST(COALESCE(FLOOR(CAST(p.dups2 * 2000000 AS DOUBLE)
+         |    / b.n_tokens + 0.5), 0) AS BIGINT) AS dup2_e6,
+         |  CAST(COALESCE(FLOOR(CAST(p.mx3 * 3000000 AS DOUBLE)
+         |    / b.n_tokens + 0.5), 0) AS BIGINT) AS top3_e6,
+         |  CAST(COALESCE(FLOOR(CAST(p.dups3 * 3000000 AS DOUBLE)
+         |    / b.n_tokens + 0.5), 0) AS BIGINT) AS dup3_e6
+         |FROM base b LEFT JOIN p ON b.doc_id = p.doc_id""".stripMargin,
+
     // q66: the oracle recomputes the first-occurrence keep with a window
     // (fine at oracle scale; the engine side uses the map-combinable
     // groupBy+join shape). SUMs CAST to BIGINT — DuckDB sums to HUGEINT.

@@ -145,4 +145,53 @@ object TextOps {
       tokens(text),
       lit(0L),
       (acc, tok) => (acc * 131L + tokenHash(tok)) % FpPrime)
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021,
+    * appendix A1.1, token-level form): per doc and n ∈ {2, 3}, the token
+    * fraction covered by the most frequent n-gram (`top{n}_e6`) and by
+    * all n-grams occurring more than once (`dup{n}_e6`) — count × n /
+    * n_tokens, ×1e6 floored so the gate compares exact integers.
+    * Overlapping windows are counted as the raw occurrence counts (the
+    * published filters do the same), so dup fractions may exceed 1e6 on
+    * degenerate repetition — that is the signal working.
+    *
+    * 100 TB shape: one explode + two map-combinable groupBys KEYED BY
+    * doc — n-grams never group corpus-wide, so there is no skew key and
+    * no window; docs with no n-grams keep a row via the left join.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = col("tk")
+    def gramStructs(n: Int) =
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(tk, i + 1, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    val base = docs.select(col(idCol), tokenCount(col(textCol)).cast("long")
+      .as("n_tokens"))
+    val perN = docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol),
+        explode(concat(gramStructs(2), gramStructs(3))).as("e"))
+      .groupBy(col(idCol), col("e.n").as("n"), col("e.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n"))
+      .agg(max("cnt").as("mx"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dups"))
+      .groupBy(idCol)
+      .agg(
+        max(when(col("n") === 2, col("mx"))).as("mx2"),
+        max(when(col("n") === 2, col("dups"))).as("dups2"),
+        max(when(col("n") === 3, col("mx"))).as("mx3"),
+        max(when(col("n") === 3, col("dups"))).as("dups3"))
+    def frac(c: Column, mult: Long) =
+      coalesce(floor((c * mult).cast("double") / col("n_tokens") + 0.5), lit(0L))
+        .cast("long")
+    base.join(perN, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        frac(col("mx2"), 2000000L).as("top2_e6"),
+        frac(col("dups2"), 2000000L).as("dup2_e6"),
+        frac(col("mx3"), 3000000L).as("top3_e6"),
+        frac(col("dups3"), 3000000L).as("dup3_e6"))
+  }
 }

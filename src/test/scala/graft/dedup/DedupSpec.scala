@@ -25,6 +25,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r == Set((1L, 2L), (3L, 1L), (4L, 1L))) // (keep_id, n_copies)
   }
 
+  test("repetition stats: top/dup n-gram fractions, hand-computed") {
+    val rd = Seq(
+      (1L, "a b a b a"), // 2-grams: {a b:2, b a:2}; 3-grams: {a b a:2, b a b:1}
+      (2L, "x y z"),     // all unique
+      (3L, "solo"),      // no n-grams
+      (4L, "")           // no tokens
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(rd, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .toMap
+    assert(r(1L) == ((5L, 800000L, 1600000L, 1200000L, 1200000L)))
+    assert(r(2L) == ((3L, 666667L, 0L, 1000000L, 0L)))
+    assert(r(3L) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(r(4L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("passage dedup: global first occurrence keeps, partial tail window") {
     val pd = Seq(
       (1L, "a b c d e f g"), // [a b c][d e f][g] — all first occurrences
