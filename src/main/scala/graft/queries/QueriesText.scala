@@ -31,6 +31,16 @@ object QueriesText {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     s.read.parquet(s"$d/$n.parquet")
 
+  /** q68 per-language keep rates (millionths) + default for the rest. */
+  private val QuotaRates = Map(
+    "en" -> 700000L, "de" -> 400000L, "fr" -> 250000L, "es" -> 100000L)
+  private val QuotaDefaultE6 = 50000L
+
+  private def quotaCaseSql: String =
+    QuotaRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $QuotaDefaultE6 END")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1-F16: compiled tag-filter DSL over the derived tags map
     "q24_tag_filter" -> ((s, d) => {
@@ -206,6 +216,17 @@ object QueriesText {
     // corpus-level dedup family; doc-keyed groupBys only, no corpus key
     "q67_repetition" -> ((s, d) =>
       TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
+
+    // deterministic stratified quota sampling (data mixing) — md5 keep
+    // key, per-language rates in millionths; scan-only, zero shuffles
+    "q68_quota_sample" -> ((s, d) =>
+      TextOps.quotaSample(t(s, d, "documents"), "doc_id", "lang",
+        QuotaRates, QuotaDefaultE6)),
+
+    // corpus-level salient terms: top-3 TF-IDF terms per doc (rational
+    // idf, exact integer scoring — see TextOps.tfidfTopTerms)
+    "q69_tfidf_topk" -> ((s, d) =>
+      TextOps.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)),
 
     // passage-level exact dedup — non-overlapping 10-token windows,
     // global first-occurrence keeps: the distributable granularity of
@@ -646,6 +667,34 @@ object QueriesText {
          |  CAST(COALESCE(FLOOR(CAST(p.dups3 * 3000000 AS DOUBLE)
          |    / b.n_tokens + 0.5), 0) AS BIGINT) AS dup3_e6
          |FROM base b LEFT JOIN p ON b.doc_id = p.doc_id""".stripMargin,
+
+    // q68: md5 keep key is bit-identical in both engines (hex of the
+    // UTF-8 md5, first 8 digits parsed base-16)
+    "q68_quota_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |        AS BIGINT) % 1000000
+         |      < $quotaCaseSql""".stripMargin,
+
+    // q69: all-integer scoring (floor division) — no float idf, so the
+    // rank and score hash exactly; ties broken by term ascending
+    "q69_tfidf_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckTokens) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.term, t.tf, d.df,
+         |    (t.tf * (n.n_docs + 1) * 1000000) // (d.df + 1) AS score_e6
+         |  FROM tf t JOIN dfreq d USING (term), n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rnk
+         |      FROM scored)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, CAST(score_e6 AS BIGINT) AS score_e6,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3""".stripMargin,
 
     // q66: the oracle recomputes the first-occurrence keep with a window
     // (fine at oracle scale; the engine side uses the map-combinable

@@ -194,4 +194,62 @@ object TextOps {
         frac(col("mx3"), 3000000L).as("top3_e6"),
         frac(col("dups3"), 3000000L).as("dup3_e6"))
   }
+
+  /** Deterministic stratified quota sampling — the data-mixing primitive
+    * of a corpus pipeline: keep a per-stratum fraction of documents
+    * (rates in millionths), decided by an md5-derived keep key so the
+    * sample is reproducible across engines, partitions, reruns, and
+    * cluster sizes (no RNG state, no sort).
+    *
+    * 100 TB shape: a scan-only filter — zero shuffles, pushes nothing to
+    * the driver, and composes with partition pruning; the per-stratum
+    * rate table is a compile-time CASE, not a join.
+    */
+  def quotaSample(docs: DataFrame, idCol: String, stratumCol: String,
+                  ratesE6: Map[String, Long], defaultE6: Long): DataFrame = {
+    val keyE6 = graft.dedup.Dedup.md5h32(col(idCol).cast("string")) % 1000000L
+    val rate = ratesE6.toSeq.sortBy(_._1).foldLeft(lit(defaultE6)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(keyE6 < rate).select(col(idCol), col(stratumCol))
+  }
+
+  /** Salient terms per document: top-k terms by a TF-IDF-style weight.
+    * The idf is the RATIONAL form (n_docs+1)/(df+1) and the score is
+    * exact integer floor-division `tf·(n_docs+1)·1e6 div (df+1)` — no
+    * log and no floating point anywhere, so ranking and values are
+    * bit-identical across engines and summation orders (a float idf
+    * can flip ranks across libm implementations at the ulp).
+    *
+    * 100 TB shape: tf is keyed by (doc, term) — map-combinable, no skew
+    * key; df reuses the already-distinct tf frame with one term-keyed
+    * count; the tf⋈df join is term-keyed (left to AQE: a unigram
+    * vocabulary at web scale — URLs, typos — can exceed broadcast size,
+    * so a forced broadcast hint would be wrong); the top-k window
+    * partitions by doc, never corpus-wide. Docs with zero tokens emit
+    * no rows (no terms to rank).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // scalar n_docs as an eager count folded into the plan as a literal:
+    // a lazy crossJoin/constant-key join both plan as
+    // BroadcastNestedLoopJoin (the full-suite plan audit bans it), and
+    // count(*) on parquet is footer-metadata cheap; driver holds one long
+    val nDocs = docs.count()
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("score_e6",
+        expr("tf * (n_docs + 1) * 1000000 DIV (df + 1)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score_e6"), col("rnk"))
+  }
 }

@@ -42,6 +42,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r(4L) == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("quota sample: stratum rates honoured, deterministic across reruns") {
+    val docs = spark.range(0, 2000)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zz' END AS lang")
+    val rates = Map("en" -> 500000L)
+    val r = TextOps.quotaSample(docs, "doc_id", "lang", rates, 0L)
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.forall(_._2 == "en")) // default rate 0 drops every 'zz'
+    // ~half the 1000 'en' docs survive (md5 keep key is uniform-ish)
+    assert(r.length > 350 && r.length < 650)
+    val again = TextOps.quotaSample(docs, "doc_id", "lang", rates, 0L)
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("tfidf top terms: rare terms outrank common ones, exact scores") {
+    val docs = Seq(
+      (1L, "common rare1 common"), // tf(common)=2 df=3; tf(rare1)=1 df=1
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val r = TextOps.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSet
+    // n_docs=3 → idf numerator 4e6: score = tf*4e6 div (df+1)
+    assert(r == Set(
+      (1L, "common", 2L, 3L, 2000000L, 1L), // 2*4e6/4, tie → term asc wins
+      (1L, "rare1", 1L, 1L, 2000000L, 2L),  // 1*4e6/2
+      (2L, "other", 1L, 2L, 1333333L, 1L),  // 1*4e6/3
+      (2L, "common", 1L, 3L, 1000000L, 2L),
+      (3L, "other", 1L, 2L, 1333333L, 1L),
+      (3L, "common", 1L, 3L, 1000000L, 2L)))
+  }
+
   test("passage dedup: global first occurrence keeps, partial tail window") {
     val pd = Seq(
       (1L, "a b c d e f g"), // [a b c][d e f][g] — all first occurrences
