@@ -77,6 +77,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (3L, "common", 1L, 3L, 1000000L, 2L)))
   }
 
+  test("tfidf top terms ≡ brute force on a seeded random corpus") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val corpus = (1L to 60L).map { id =>
+      (id, Seq.fill(1 + rng.nextInt(40))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val k = 3
+    val got = TextOps.tfidfTopTerms(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", k)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSet
+    // brute force: same rational integer scoring, same tie-break
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val n = corpus.size.toLong
+    val dfreq = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val want = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (w, o) =>
+          (w, o.size.toLong, dfreq(w),
+            o.size.toLong * (n + 1) * 1000000L / (dfreq(w) + 1)) }
+        .sortBy { case (w, _, _, sc) => (-sc, w) }
+        .take(k).zipWithIndex
+        .map { case ((w, tf, df, sc), i) => (id, w, tf, df, sc, i + 1L) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("quota sample: empirical keep rate within binomial bounds at 20k") {
+    val docs = spark.range(0, 20000)
+      .selectExpr("id AS doc_id", "'en' AS lang")
+    val n = TextOps.quotaSample(docs, "doc_id", "lang",
+      Map("en" -> 250000L), 0L).count()
+    // p=0.25, n=20k → σ≈61; ±5σ band (md5 keep key must be uniform)
+    assert(n > 4694 && n < 5306, s"kept $n of 20000 at rate 0.25")
+  }
+
   test("passage dedup: global first occurrence keeps, partial tail window") {
     val pd = Seq(
       (1L, "a b c d e f g"), // [a b c][d e f][g] — all first occurrences
