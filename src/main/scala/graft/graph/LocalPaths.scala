@@ -143,6 +143,63 @@ object LocalPaths {
     Local.peelLines(unionEdges.toSeq)
   }
 
+  /** [[frames]] over a chain-CONTRACTED multigraph (the DistContract
+    * scale path): vertexes are pillars, edge weight = the haversine sum
+    * along the contracted chain (≥ the endpoints' straight-line distance,
+    * so the A* heuristic stays admissible), hull nids arrive precomputed
+    * (distributed via DistHull; they are pillars by construction — the
+    * contraction's keep set). Parallel chains keep only the least
+    * (weight, inter) edge for pathfinding — a heavier parallel edge can
+    * never lie on a shortest path — and chosen compressed edges expand to
+    * their original segments before peeling, so the output lines are in
+    * ORIGINAL node ids, same as [[frames]]. On components whose shortest
+    * paths are unique the result is exactly [[frames]]' (spec-pinned);
+    * under ties the A* web may pick a different equal-length route —
+    * within the reference's frames contract either way.
+    *
+    * @param compEdges (src, dst, inter, len) contracted edges
+    * @param hullNids  hull vertexes (pillars)
+    * @param pos       pillar positions
+    */
+  def framesCompressed(
+      compEdges: Seq[(Long, Long, Seq[Long], Double)],
+      hullNids: Seq[Long],
+      pos: Pos): Seq[Seq[Long]] = {
+    val best = mutable.HashMap.empty[(Long, Long), (Double, Seq[Long])]
+    compEdges.foreach { case (a0, b0, inter0, len) =>
+      if (a0 != b0) {
+        val (k, inter) =
+          if (a0 <= b0) ((a0, b0), inter0) else ((b0, a0), inter0.reverse)
+        val better = best.get(k).forall { case (l, iv) =>
+          len < l || (len == l && Ordering.Implicits
+            .seqOrdering[Seq, Long].lt(inter, iv))
+        }
+        if (better) best(k) = (len, inter)
+      }
+    }
+    val adjM = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Double)]]
+    best.foreach { case ((a, b), (len, _)) =>
+      adjM.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, len))
+      adjM.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, len))
+    }
+    val adj = adjM.view.mapValues(_.sortBy(x => (x._2, x._1)).toSeq).toMap
+    val hs = hullNids.distinct.sorted
+    val union = mutable.LinkedHashSet.empty[(Long, Long)]
+    for (i <- hs.indices; j <- (i + 1) until hs.length) {
+      aStar(adj, pos, hs(i), hs(j)).foreach { case (path, _) =>
+        path.sliding(2).foreach {
+          case Seq(a, b) => union += ((math.min(a, b), math.max(a, b)))
+          case _ =>
+        }
+      }
+    }
+    val expanded = union.iterator.flatMap { case (a, b) =>
+      val chain = a +: best((a, b))._2 :+ b
+      chain.sliding(2).map(p => (math.min(p(0), p(1)), math.max(p(0), p(1))))
+    }.toSeq.distinct
+    Local.peelLines(expanded)
+  }
+
   /** P7 — farthest-point sampling, seeded and deterministic (the
     * reference uses an unseeded RNG, undirected_graph.rs:486-550 — we fix
     * the first point as the min nid so runs are reproducible; documented
