@@ -79,32 +79,7 @@ object Extras {
     val contracted = graft.graph.DistContract.contract(
       big.select("comp", "src", "dst"), hull.select("comp", "nid"), spark,
       "P6 frames contraction")
-    // chain weight = haversine along src+inter+dst (the exact full-graph
-    // path length, so compressed shortest paths equal full-graph ones)
-    val keyed = contracted
-      .withColumn("ek", xxhash64(col("comp"), col("src"), col("dst"),
-        col("inter")))
-      .localCheckpoint(true)
-    val lens = keyed
-      .withColumn("chain",
-        concat(array(col("src")), col("inter"), array(col("dst"))))
-      .select(col("ek"), posexplode(col("chain")).as(Seq("pos", "nid")))
-      .join(nodes.select("nid", "lat", "lon"), Seq("nid"))
-      .groupBy("ek")
-      .agg(sort_array(collect_list(struct(col("pos"), col("lat"),
-        col("lon")))).as("pts"))
-      .withColumn("len",
-        org.apache.spark.sql.GraftColumnBridge.column(
-          graft.functions.ChainHaversineM(
-            org.apache.spark.sql.GraftColumnBridge.expression(col("pts")))))
-      .select("ek", "len")
-    val weighted = keyed.join(lens, Seq("ek"))
-      .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
-        col("lon").as("lon1")), Seq("src"))
-      .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
-        col("lon").as("lon2")), Seq("dst"))
-      .select("comp", "src", "dst", "inter", "len",
-        "lat1", "lon1", "lat2", "lon2")
+    val weighted = chainWeighted(contracted, nodes)
       .as[(Long, Long, Long, Seq[Long], Double,
         Double, Double, Double, Double)]
     weighted
@@ -122,6 +97,41 @@ object Extras {
             .zipWithIndex.map { case (line, i) => (comp, i, line) }
       }
       .toDF("comp", "line_idx", "line")
+  }
+
+  /** Per-chain weight and endpoint positions for DistContract output:
+    * (comp, src, dst, inter) → + (len = haversine along src+inter+dst,
+    * summed left-to-right in the canonical orientation — the same op
+    * order as the single-task ports — lat1/lon1/lat2/lon2). Weight
+    * assembly is distributed: one posexplode + nodes join + per-edge
+    * ChainHaversineM, no task holds more than one chain.
+    */
+  private[graft] def chainWeighted(
+      contracted: DataFrame, nodes: DataFrame): DataFrame = {
+    val keyed = contracted
+      .withColumn("ek", xxhash64(col("comp"), col("src"), col("dst"),
+        col("inter")))
+      .localCheckpoint(true)
+    val lens = keyed
+      .withColumn("chain",
+        concat(array(col("src")), col("inter"), array(col("dst"))))
+      .select(col("ek"), posexplode(col("chain")).as(Seq("pos", "nid")))
+      .join(nodes.select("nid", "lat", "lon"), Seq("nid"))
+      .groupBy("ek")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lat"),
+        col("lon")))).as("pts"))
+      .withColumn("len",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.ChainHaversineM(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("pts")))))
+      .select("ek", "len")
+    keyed.join(lens, Seq("ek"))
+      .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
+        col("lon").as("lon1")), Seq("src"))
+      .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
+        col("lon").as("lon2")), Seq("dst"))
+      .select("comp", "src", "dst", "inter", "len",
+        "lat1", "lon1", "lat2", "lon2")
   }
 
   /** P8 — betweenness per component with the reference's pre-pass
@@ -158,10 +168,33 @@ object Extras {
       edges: DataFrame, nodes: DataFrame, spark: SparkSession,
       maxSamples: Int = 2000,
       minValue: Double = 0.0,
-      minFraction: Double = 0.0): DataFrame = {
+      minFraction: Double = 0.0,
+      sizeThreshold: Long = Local.MaxLocalGroupRows): DataFrame = {
     import spark.implicits._
     import graft.geo.Geo
-    edges
+    val e0 = edges.select("comp", "src", "dst").localCheckpoint(true)
+    // HYBRID gate: groups above the threshold whose graph is a TREE
+    // (canon non-self |E| == |V| − 1) take the distributed step-1
+    // contraction — on trees DistContract ≡ the unpinned Local.compress
+    // exactly (DistContractSpec), so the sample universe, pair counts
+    // and denominators are unchanged; big NON-tree groups keep the exact
+    // single-task port (σ counts depend on the reference's merge-order
+    // contraction on diamonds/cycles) and its loud cap.
+    val canonE = e0.select(col("comp"),
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val stats = canonE.groupBy("comp").agg(count(lit(1)).as("ne"))
+      .join(canonE.select(col("comp"), col("a").as("nid"))
+        .unionByName(canonE.select(col("comp"), col("b").as("nid")))
+        .distinct().groupBy("comp").agg(count(lit(1)).as("nv")),
+        Seq("comp"))
+    val bigTrees = stats
+      .filter(col("ne") > sizeThreshold && col("ne") === col("nv") - 1)
+      .select("comp")
+    val localEdges = e0.join(bigTrees, Seq("comp"), "left_anti")
+
+    val localRes = localEdges
       .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
         col("lon").as("lon1")), Seq("src"))
       .join(nodes.select(col("nid").as("dst"), col("lat").as("lat2"),
@@ -180,41 +213,117 @@ object Extras {
         //    vertexes, and each feature is one compressed edge
         val base = Local.compress(
           es.map(e => (e._2, e._3, Seq.empty[Long])), _ => false)
-        val cVerts = base.flatMap(e => Seq(e._1, e._2)).distinct.sorted
-        // 2. sample ≤ maxSamples from the compressed vertex universe
-        val samples = LocalPaths.farthestPointSample(
-          cVerts, pos, math.min(maxSamples, cVerts.length))
-        val keep = samples.toSet
-        // 3. betweenness pre-pass: spikes off, further compression —
-        //    samples pinned (main.rs:1056-1096)
-        val interOf = base.map { case (a, b, iv) => ((a, b), iv) }.toMap
-        val despiked = Local.removeSpikes(base.map(e => (e._1, e._2)), keep.contains)
-        val compressed = Local.compress(
-          despiked.map { case (a, b) => (a, b, interOf((a, b))) }, keep.contains)
-        val chains = compressed.map { case (a, b, inter) =>
-          val c = a +: inter :+ b
-          ((math.min(a, b), math.max(a, b)), if (a <= b) c else c.reverse)
-        }.toMap
-        val adj = compressed
-          .flatMap { case (a, b, inter) =>
-            val chain = a +: inter :+ b
-            val w = chain.sliding(2).map { case Seq(x, y) =>
-              Geo.haversineM(pos(x)._1, pos(x)._2, pos(y)._1, pos(y)._2)
-            }.sum
-            Seq(a -> (b, w), b -> (a, w))
+        // weight = one sliding pass over the FINAL chain (the port's
+        // original op order — byte parity with the pinned specs)
+        betweennessOnBase(comp, base, pos,
+          chain => chain.sliding(2).map { case Seq(x, y) =>
+            Geo.haversineM(pos(x)._1, pos(x)._2, pos(y)._1, pos(y)._2)
+          }.sum,
+          maxSamples, minValue, minFraction)
+      }
+      .toDF("comp", "src", "dst", "chain", "value", "value_fraction",
+        "value_fraction_max", "comp_max_value")
+
+    if (bigTrees.isEmpty) localRes
+    else localRes.unionByName(betweennessTreesAtScale(
+      e0.join(bigTrees, Seq("comp"), "left_semi"), nodes, spark,
+      maxSamples, minValue, minFraction))
+  }
+
+  /** Steps 2-5 of the reference betweenness pipeline over an already
+    * step-1-compressed way group: sample → despike+compress preserving
+    * samples → weighted Brandes (pairs counted once, zero edges seeded)
+    * → cutoffs. `chainWeight` abstracts the weight op order: the local
+    * port sums segment haversines along the final chain; the scale path
+    * sums the precomputed per-base-chain weights (fp association differs
+    * at the ulp — no pinned fixture crosses the size gate).
+    */
+  private def betweennessOnBase(
+      comp: Long,
+      base: Seq[(Long, Long, Seq[Long])],
+      pos: LocalPaths.Pos,
+      chainWeight: Seq[Long] => Double,
+      maxSamples: Int, minValue: Double, minFraction: Double)
+      : Iterator[(Long, Long, Long, Seq[Long], Double, Double, Double, Double)] = {
+    val cVerts = base.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    // 2. sample ≤ maxSamples from the compressed vertex universe
+    val samples = LocalPaths.farthestPointSample(
+      cVerts, pos, math.min(maxSamples, cVerts.length))
+    val keep = samples.toSet
+    // 3. betweenness pre-pass: spikes off, further compression —
+    //    samples pinned (main.rs:1056-1096)
+    val interOf = base.map { case (a, b, iv) => ((a, b), iv) }.toMap
+    val despiked = Local.removeSpikes(base.map(e => (e._1, e._2)), keep.contains)
+    val compressed = Local.compress(
+      despiked.map { case (a, b) => (a, b, interOf((a, b))) }, keep.contains)
+    val chains = compressed.map { case (a, b, inter) =>
+      val c = a +: inter :+ b
+      ((math.min(a, b), math.max(a, b)), if (a <= b) c else c.reverse)
+    }.toMap
+    val adj = compressed
+      .flatMap { case (a, b, inter) =>
+        val w = chainWeight(a +: inter :+ b)
+        Seq(a -> (b, w), b -> (a, w))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(x => (x._2, x._1))).toMap
+    val b = LocalPaths.betweennessWeighted(adj, samples.filter(adj.contains))
+    val maxV = if (b.isEmpty) 1.0 else math.max(b.values.max, 1e-12)
+    val maxPossible =
+      math.max(samples.length.toLong * (samples.length - 1) / 2.0, 1.0)
+    b.toSeq.sortBy(_._1)
+      .filter { case (_, v) => v >= minValue && v / maxV >= minFraction }
+      .map { case ((a, c), v) =>
+        (comp, a, c, chains.getOrElse((a, c), Seq(a, c)),
+          v, v / maxV, v / maxPossible, maxV)
+      }
+      .iterator
+  }
+
+  /** The betweenness scale path for big TREE way groups: distributed
+    * step-1 contraction (exactly the unpinned compress on trees) +
+    * distributed chain weights; the per-group task then holds the PILLAR
+    * graph (O(contracted), loudly guarded), not the raw component —
+    * BetweennessAtScaleSpec pins scale ≡ local topology/chains exactly
+    * and values to 1e-9 relative.
+    */
+  private def betweennessTreesAtScale(
+      big: DataFrame, nodes: DataFrame, spark: SparkSession,
+      maxSamples: Int, minValue: Double, minFraction: Double): DataFrame = {
+    import spark.implicits._
+    val contracted = graft.graph.DistContract.contract(
+      big, Seq.empty[(Long, Long)].toDF("comp", "nid"), spark,
+      "P8 betweenness contraction")
+    chainWeighted(contracted, nodes)
+      .as[(Long, Long, Long, Seq[Long], Double,
+        Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (comp, rows) =>
+        val es = Local.boundedSeq(rows,
+          s"P8 betweenness compressed (group $comp)")
+        val base = es.map(e => (e._2, e._3, e._4))
+        val baseVerts = base.flatMap(e => Seq(e._1, e._2)).toSet
+        val wOf = es.map(e => ((math.min(e._2, e._3), math.max(e._2, e._3)),
+          e._5)).toMap
+        val pos: LocalPaths.Pos =
+          (es.map(e => e._2 -> (e._6, e._7)) ++
+            es.map(e => e._3 -> (e._8, e._9))).toMap
+        // merged-chain weight = Σ of the constituent base-chain weights
+        // (runs split at base vertexes; trees have no parallel base
+        // edges, so the canon key is unambiguous)
+        def chainWeight(chain: Seq[Long]): Double = {
+          var tot = 0.0
+          var runStart = chain.head
+          chain.tail.foreach { n =>
+            if (baseVerts(n)) {
+              tot += wOf((math.min(runStart, n), math.max(runStart, n)))
+              runStart = n
+            }
           }
-          .groupBy(_._1).view
-          .mapValues(_.map(_._2).sortBy(x => (x._2, x._1))).toMap
-        val b = LocalPaths.betweennessWeighted(adj, samples.filter(adj.contains))
-        val maxV = if (b.isEmpty) 1.0 else math.max(b.values.max, 1e-12)
-        val maxPossible =
-          math.max(samples.length.toLong * (samples.length - 1) / 2.0, 1.0)
-        b.toSeq.sortBy(_._1)
-          .filter { case (_, v) => v >= minValue && v / maxV >= minFraction }
-          .map { case ((a, c), v) =>
-            (comp, a, c, chains.getOrElse((a, c), Seq(a, c)),
-              v, v / maxV, v / maxPossible, maxV)
-          }
+          tot
+        }
+        betweennessOnBase(comp, base, pos, chainWeight,
+          maxSamples, minValue, minFraction)
       }
       .toDF("comp", "src", "dst", "chain", "value", "value_fraction",
         "value_fraction_max", "comp_max_value")
