@@ -274,6 +274,21 @@ object WaterwayFeatures {
     * @param lens (src, dst, len)
     * @param flows (src, dst, flow_m) — per-edge upstream
     * @param nodes (nid, lat, lon)
+    * @param sizeThreshold HYBRID gate (the frames pattern): groups ≤ this
+    *        many edges run the exact single-task walk (byte parity with
+    *        the pinned fixtures); bigger groups take the scale path —
+    *        directed chain contraction ([[DistContractDir]]) → pillar
+    *        replay of the line walk (decisions only happen at junctions,
+    *        so the replay visits constituent edges in the identical
+    *        order) → distributed chain expansion and per-line rendering.
+    *        The default is the old loud row cap, so behaviour changes
+    *        ONLY where the old code failed. On the scale path the group
+    *        task holds O(pillar graph) + O(feature string bytes) — the
+    *        string is the output row itself, the irreducible floor for a
+    *        one-feature-per-group sink — instead of O(edges) of boxed
+    *        tuples, hash maps and walk state. Scalar stats move from
+    *        seq-order to shuffle-order summation (fp associativity only;
+    *        rounded at 0.1 m — D16AtScaleSpec pins byte parity).
     * @return (gkey, feature) one pre-serialized Feature per tag group,
     *         minus groups dropped by `minLengthM`
     */
@@ -283,7 +298,8 @@ object WaterwayFeatures {
       flows: DataFrame,
       nodes: DataFrame,
       minLengthM: Option[Double] = None,
-      precomputed: Option[(DataFrame, GroupBundle, DataFrame)] = None)
+      precomputed: Option[(DataFrame, GroupBundle, DataFrame)] = None,
+      sizeThreshold: Long = Local.MaxLocalGroupRows)
       : DataFrame = {
     val spark = tagGrouped.sparkSession
     import spark.implicits._
@@ -327,8 +343,14 @@ object WaterwayFeatures {
     val bProps = spark.sparkContext.broadcast(propsByKey)
     val minLen = minLengthM
 
+    // hybrid gate: group edge counts route small → exact single-task
+    // walk, big → the contraction scale path
+    val sizes = e.groupBy("gkey").agg(count(lit(1)).as("n"))
+    val bigKeys = sizes.filter(col("n") > sizeThreshold).select("gkey")
+    val small = e.join(bigKeys, Seq("gkey"), "left_anti")
+
     // ---- distributed per-group geometry + local stats ------------------
-    e.join(n1, Seq("src")).join(n2, Seq("dst"))
+    val localRes = small.join(n1, Seq("src")).join(n2, Seq("dst"))
       .select(col("gkey"), col("src"), col("dst"), col("flow"), col("len"),
         col("slat"), col("slon"), col("dlat"), col("dlon"))
       .as[(String, Long, Long, Double, Double, Double, Double, Double, Double)]
@@ -406,6 +428,208 @@ object WaterwayFeatures {
               GeoJson.propsJson(props), GeoJson.multiLineString(coords))))
           }
         }
+      }
+      .toDF("gkey", "feature")
+
+    if (bigKeys.isEmpty) localRes
+    else localRes.unionByName(groupedFeaturesAtScale(
+      e.join(bigKeys, Seq("gkey"), "left_semi")
+        .select("gkey", "src", "dst", "len", "flow"),
+      nodes, bProps, minLen, spark))
+  }
+
+  /** One macro edge of the contracted pillar multigraph, as the replay
+    * walk sees it: `lastFlow`/`lastSrc` are the chain's final constituent
+    * edge's attributes — the only ones the walk's junction decisions read.
+    */
+  private final case class PillarEdge(
+      id: Int, src: Long, dst: Long, len: Double,
+      lastFlow: Double, lastSrc: Long, cyc: Boolean)
+
+  /** D16 scale path for groups above the hybrid gate: directed chain
+    * contraction → per-group pillar replay of the reference's line walk
+    * (identical constituent-edge order: interior chain nodes have exactly
+    * one in-edge, so every decision happens at a pillar) → distributed
+    * chain expansion, per-line coordinate rendering, and one final
+    * concat per group whose task memory is the feature string itself.
+    *
+    * @param bigE (gkey, src, dst, len, flow) — edges of the big groups
+    */
+  private[graft] def groupedFeaturesAtScale(
+      bigE: DataFrame,
+      nodes: DataFrame,
+      bProps: org.apache.spark.broadcast.Broadcast[Map[String, Map[String, String]]],
+      minLen: Option[Double],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    // dense long id per big group — only groups above the cap land here,
+    // so this driver set is tiny by construction
+    val gkeys = bigE.select("gkey").distinct()
+      .collect().map(_.getString(0)).sorted
+    val gidF = gkeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toSeq.toDF("gkey", "g")
+    val bRev = spark.sparkContext.broadcast(
+      gkeys.zipWithIndex.map { case (k, i) => i.toLong -> k }.toMap)
+
+    val e = bigE.join(broadcast(gidF), Seq("gkey"))
+      .select(col("g"), col("src"), col("dst"), col("len"), col("flow"))
+      .localCheckpoint(true)
+
+    // per-group scalar stats, distributed (fp: shuffle-order sums)
+    val stats = e.groupBy("g").agg(
+      sum("len").as("cum"), min("flow").as("mnf"), max("flow").as("mxf"),
+      sum("flow").as("sf"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val passCum = minLen.map(m => stats.filter(col("cum") >= m)).getOrElse(stats)
+    val eKept = e.join(passCum.select("g"), Seq("g"), "left_semi")
+
+    val contracted = DistContractDir.contract(eKept, spark, "D16 contraction")
+      .localCheckpoint(true)
+
+    // pillar replay per group: the walk + through-path over macro edges
+    // only — NO `inter` arrays in this task
+    val rep = contracted
+      .select(col("g"), col("src"), col("dst"), col("len"),
+        col("last_flow"), col("last_src"), col("is_cycle"))
+      .as[(Long, Long, Long, Double, Double, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val ms = Local.boundedSeq(it, s"D16 pillar replay (group $g)")
+          .zipWithIndex
+          .map { case ((_, s, d, l, f, ls, cyc), i) =>
+            PillarEdge(i, s, d, l, f, ls, cyc) }
+        val walkable = ms.filterNot(_.cyc)
+        val srcSet = walkable.map(_.src).toSet
+        val byDst = walkable.groupBy(_.dst)
+        val used = scala.collection.mutable.HashSet.empty[Int]
+        val stack = scala.collection.mutable.Stack.empty[PillarEdge]
+        // end segments = macros whose dst has no out-edge, by the flat
+        // walk's (edge src, edge dst) = (lastSrc, dst) sort
+        stack.pushAll(walkable.filterNot(m => srcSet.contains(m.dst))
+          .sortBy(m => (m.lastSrc, m.dst)).reverse)
+        val lines = scala.collection.mutable.ArrayBuffer.empty[Seq[PillarEdge]]
+        while (stack.nonEmpty) {
+          var seg = stack.pop()
+          if (!used(seg.id)) {
+            val line = scala.collection.mutable.ArrayBuffer.empty[PillarEdge]
+            var continue = true
+            while (continue) {
+              if (used(seg.id)) continue = false
+              else {
+                line += seg
+                used += seg.id
+                val ins = byDst.getOrElse(seg.src, Seq.empty)
+                  .filterNot(m => used(m.id))
+                  .sortBy(m => (-m.lastFlow, m.lastSrc))
+                if (ins.isEmpty) continue = false
+                else {
+                  stack.pushAll(ins.drop(1).reverse)
+                  seg = ins.head
+                }
+              }
+            }
+            if (line.nonEmpty) lines += line.reverse.toSeq
+          }
+        }
+        val leftovers = ms.filter(m => m.cyc || !used(m.id))
+        val dstSet = ms.map(_.dst).toSet
+        val allSrc = ms.map(_.src).toSet
+        val msrcs = ms.map(_.src).distinct.filterNot(dstSet)
+        val msinks = ms.map(_.dst).distinct.filterNot(allSrc)
+        val through = DownOps.throughPathLength(
+          ms.map(m => (m.src, m.dst, m.len)), msrcs, msinks)
+        lines.iterator.zipWithIndex.flatMap { case (line, li) =>
+          line.iterator.zipWithIndex.map { case (m, si) =>
+            (g, 0, li.toLong, si, m.lastSrc, m.dst, 0.0) }
+        } ++
+          leftovers.iterator.map(m => (g, 1, 0L, 0, m.lastSrc, m.dst, 0.0)) ++
+          Iterator((g, 2, lines.length.toLong, 0, 0L, 0L, through))
+      }
+      .toDF("g", "kind", "li", "si", "lsrc", "mdst", "thr")
+      .localCheckpoint(true)
+
+    val passThr0 = rep.filter(col("kind") === 2)
+      .select(col("g"), col("li").as("nwalk"), col("thr"))
+    val passThr = minLen.map(m => passThr0.filter(col("thr") >= m))
+      .getOrElse(passThr0)
+      .join(stats, Seq("g"))
+      .localCheckpoint(true)
+
+    // macro lookup keyed by the chain's FINAL constituent edge — a real
+    // graph edge owned by exactly one macro, hence a unique content key
+    val macroF = contracted.select(col("g"), col("last_src").as("lsrc"),
+      col("dst").as("mdst"), col("src").as("msrc"), col("inter"))
+
+    // walk lines → per-macro nid slices, exploded (tasks hold one row)
+    val walkNids = rep.filter(col("kind") === 0)
+      .join(passThr.select("g"), Seq("g"), "left_semi")
+      .join(macroF, Seq("g", "lsrc", "mdst"))
+      .withColumn("nids", when(col("si") === 0,
+          concat(array(col("msrc")), col("inter"), array(col("mdst"))))
+        .otherwise(concat(col("inter"), array(col("mdst")))))
+      .select(col("g"), col("li"), col("si"),
+        posexplode(col("nids")).as(Seq("k", "nid")))
+
+    // leftover (cycle-fallback) macros expand to constituent edges; flat
+    // parity: one 2-point line per edge, per-group (src, dst) order,
+    // line indexes after the walk lines
+    val loEdges = rep.filter(col("kind") === 1)
+      .join(passThr.select("g", "nwalk"), Seq("g"))
+      .join(macroF, Seq("g", "lsrc", "mdst"))
+      .withColumn("path",
+        concat(array(col("msrc")), col("inter"), array(col("mdst"))))
+      .withColumn("p", explode(expr(
+        "transform(sequence(1, size(path) - 1), " +
+          "i -> struct(element_at(path, i) as esrc, element_at(path, i + 1) as edst))")))
+      .select(col("g"), col("nwalk"), col("p.esrc"), col("p.edst"))
+    val loNids = loEdges
+      .withColumn("li", col("nwalk") +
+        row_number().over(Window.partitionBy("g").orderBy("esrc", "edst")) - 1)
+      .withColumn("kn", explode(array(
+        struct(lit(0).as("k"), col("esrc").as("nid")),
+        struct(lit(1).as("k"), col("edst").as("nid")))))
+      .select(col("g"), col("li"), lit(0).as("si"),
+        col("kn.k").as("k"), col("kn.nid").as("nid"))
+
+    // per-line coordinate rendering: task memory O(line)
+    val lineJson = walkNids.unionByName(loNids)
+      .join(nodes.select("nid", "lat", "lon"), Seq("nid"))
+      .select(col("g"), col("li").cast("long"), col("si").cast("int"),
+        col("k").cast("int"), col("lon"), col("lat"))
+      .as[(Long, Long, Int, Int, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key, it) =>
+        val pts = it.toSeq.sortBy(r => (r._3, r._4))
+        (key._1, key._2,
+          pts.map(p => GeoJson.fmtCoord(p._5, p._6)).mkString("[", ",", "]"))
+      }
+
+    // feature assembly: one concat per group — memory is the output
+    // string itself, the floor for a one-feature-per-group sink
+    val featStr = lineJson
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        (g, it.toSeq.sortBy(_._2).map(_._3).mkString(","))
+      }
+      .toDF("g", "coords")
+
+    featStr.join(passThr, Seq("g"))
+      .select(col("g"), col("coords"), col("thr"), col("cum"),
+        col("mnf"), col("mxf"), col("sf"), col("cnt"))
+      .as[(Long, String, Double, Double, Double, Double, Double, Long)]
+      .map { case (g, coords, thr, cum, mnf, mxf, sf, cnt) =>
+        val gkey = bRev.value(g)
+        val statsProps = Seq(
+          "cum_length_m" -> num(cum, 1),
+          "length_m" -> num(thr, 1),
+          "min_upstream_m" -> num(mnf, 1),
+          "max_upstream_m" -> num(mxf, 1),
+          "mean_upstream_m" -> num(sf / cnt, 1))
+        val props = bProps.value.getOrElse(gkey, Map.empty) ++ statsProps
+        (gkey, GeoJson.feature(GeoJson.propsJson(props),
+          s"""{"coordinates":[$coords],"type":"MultiLineString"}"""))
       }
       .toDF("gkey", "feature")
   }
