@@ -678,8 +678,12 @@ object DownOps {
         val es = rows.toSeq
         val cum = es.map(_._5).sum
         val ups = es.map(_._6)
-        val srcs = es.map(_._3).distinct.filterNot(n => es.exists(_._4 == n))
-        val sinks = es.map(_._4).distinct.filterNot(n => es.exists(_._3 == n))
+        // set membership, not es.exists — the linear scan per node is
+        // O(V·E) on big groups
+        val srcSet = es.iterator.map(_._3).toSet
+        val dstSet = es.iterator.map(_._4).toSet
+        val srcs = es.map(_._3).distinct.filterNot(dstSet.contains)
+        val sinks = es.map(_._4).distinct.filterNot(srcSet.contains)
         // longest through-path: max over (source, sink) of the shortest
         // path (down/main.rs:2231-2263). One Dijkstra per endpoint on the
         // SMALLER side (flooding reversed edges from sinks is equivalent

@@ -408,9 +408,11 @@ object WaterwayFeatures {
           val lensMap = es.map(x => ((x._2, x._3), x._5)).toMap
           val ups = es.map(_._4)
           // through-path: max over sources of shortest dist to a sink
-          // (floods from the smaller endpoint side)
-          val srcs = es.map(_._2).distinct.filterNot(n => es.exists(_._3 == n))
-          val sinks = es.map(_._3).distinct.filterNot(n => es.exists(_._2 == n))
+          // (floods from the smaller endpoint side). Set membership, not
+          // es.exists — the linear scan per node is O(V·E) on big groups.
+          val dstSet = es.iterator.map(_._3).toSet
+          val srcs = es.map(_._2).distinct.filterNot(dstSet.contains)
+          val sinks = es.map(_._3).distinct.filterNot(srcSet.contains)
           val through = DownOps.throughPathLength(
             es.map(x => (x._2, x._3, x._5)), srcs, sinks)
           if (minLen.exists(through < _)) Iterator.empty

@@ -483,13 +483,18 @@ object Extras {
       .flatMapGroups { (_, rows) =>
         val es = Local.boundedSeq(rows, "D17 longest source-mouth")
         val outs = es.map(e => (e._2, e._3)).toSet
-        val mouths = es.map(_._3).distinct.filterNot(n => es.exists(_._2 == n))
+        // set membership, not es.exists — the linear scan per node is
+        // O(V·E) on big components (and O(mouths·V·E) for the candidate
+        // filter below)
+        val srcSet = es.iterator.map(_._2).toSet
+        val dstSet = es.iterator.map(_._3).toSet
+        val mouths = es.map(_._3).distinct.filterNot(srcSet.contains)
         // reversed adjacency for the upstream flood
         val radj = es.groupBy(_._3).view
           .mapValues(_.map(e => (e._2, e._4)).sortBy(x => (x._2, x._1))).toMap
         mouths.sorted.iterator.map { mouth =>
           val (dist, parent) = Local.dijkstra(radj, mouth)
-          val candidates = dist.filter { case (n, _) => !es.exists(_._3 == n) }
+          val candidates = dist.filter { case (n, _) => !dstSet.contains(n) }
           if (candidates.isEmpty) (mouth, mouth, 0.0, Seq(mouth))
           else {
             val (source, d) = candidates.maxBy { case (n, dd) => (dd, -n) }
