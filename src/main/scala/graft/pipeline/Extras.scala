@@ -402,12 +402,15 @@ object Extras {
               }.toSeq
               val chunks = scala.collection.mutable.ArrayBuffer
                 .empty[(String, Option[String], Long, Seq[Long], Double)]
+              // Vector, not List: `:+` on a List re-copies the whole run
+              // per appended node — quadratic on a mega-river whose path
+              // is one long same-group chunk
               for ((a, b, (len, tag, gkey, gid)) <- segs) {
                 if (chunks.nonEmpty && chunks.last._1 == gkey) {
                   val c = chunks.last
                   chunks(chunks.length - 1) =
                     (c._1, c._2, c._3, c._4 :+ b, c._5 + len)
-                } else chunks += ((gkey, tag, gid, Seq(a, b), len))
+                } else chunks += ((gkey, tag, gid, Vector(a, b), len))
               }
               val numParts = chunks.length
               val names = chunks.map(c => c._2.getOrElse(unnamedString))
