@@ -23,14 +23,14 @@ import Derived._
   *    arithmetic hull divergence or a frame missing a hull vertex now
   *    fails as a row/hash mismatch on a specific nid instead of being
   *    self-certified behind an aggregate count.
-  *  - q45 projects the betweenness edges of TREE components (the vast
-  *    majority; #edges = #nodes − 1, no duplicate positions): one row
-  *    per COMPRESSED edge, whose exact closed form value = a·(n−a)
-  *    (each unordered pair once, undirected_graph.rs:584) over
-  *    compressed (pillar) vertex counts is recomputed in SQL from
-  *    interior-chain contraction + subtree sizes; non-tree components
-  *    stay pinned by LocalPathsSpec fixtures (their compressed edge
-  *    sets depend on merge order).
+  *  - q45 projects one row per COMPRESSED edge for EVERY component class
+  *    the oracle can replay: tree components via the exact closed form
+  *    a·(n−a) (each unordered pair once, undirected_graph.rs:584) over
+  *    SQL-recomputed chain contraction + subtree sizes, non-tree
+  *    components via a full SQL shortest-path replay (σ-weighted pair
+  *    dependencies over the contracted graph). Only merge-order-dependent
+  *    contractions (duplicate-edge/self-loop skips) are excluded and stay
+  *    pinned by LocalPathsSpec fixtures — see the q45 entry comment.
   *
   * The longest source→mouth (q46) gets a recursive-CTE oracle.
   */
