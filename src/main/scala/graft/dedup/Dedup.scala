@@ -733,6 +733,35 @@ object Dedup {
           col("ntok").cast("long")).otherwise(0L)).as("kept_tokens"))
   }
 
+  /** Benchmark decontamination — the GPT-3/Gopher-style train-test
+    * overlap filter: flag every training doc sharing at least one
+    * distinct word w-gram (default 13-gram) with the benchmark corpus.
+    *
+    * Scale shape: the benchmark side is SMALL by definition (benchmark
+    * suites are 10^5-10^6 items against 10^12 training rows), so its
+    * distinct shingle-hash set is broadcast; the training side stages its
+    * distinct hash set once per doc ([[distinctShingleHashes]], the same
+    * native pass the LSH pipeline uses) and the hit count is a map-side
+    * hash-join + per-doc partial count — the only shuffle over the corpus
+    * is the final doc-keyed count merge.
+    */
+  def benchmarkContamination(
+      docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, w: Int = 13): DataFrame = {
+    val bh = bench
+      .select(explode(distinctShingleHashes(col(textCol), w)).as("h"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol), explode(distinctShingleHashes(col(textCol), w)).as("h"))
+      .join(broadcast(bh), Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("hit_n"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hit_n"), lit(0L)).as("n_hits"),
+        (coalesce(col("hit_n"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
   def embedNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       tauE6: Long = 990000L, bits: Int = 8, maxBucket: Long = 100000L): DataFrame = {

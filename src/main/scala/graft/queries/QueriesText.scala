@@ -235,6 +235,18 @@ object QueriesText {
     "q66_passage_dedup" -> ((s, d) =>
       Dedup.passageDedup(t(s, d, "documents"), "doc_id", "text")),
 
+    // benchmark decontamination — 13-gram overlap against a held-out
+    // benchmark subset (doc_id % 40 = 7 stands in for the eval suite):
+    // per-doc distinct-hit count + contaminated flag over the REST of
+    // the corpus. Benchmark hash set broadcasts; fully DuckDB-oracled.
+    "q70_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.benchmarkContamination(
+        docs.filter(col("doc_id") % 40 =!= 7),
+        docs.filter(col("doc_id") % 40 === 7),
+        "doc_id", "text")
+    }),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -721,6 +733,39 @@ object QueriesText {
          |  CAST(SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT)
          |    AS kept_tokens
          |FROM w GROUP BY doc_id""".stripMargin,
+
+    // q70: the same distinct 13-gram md5h32 hash sets on both sides
+    // (proven ≡ the native ShingleHashes pass by the q59 oracle), hit
+    // count = distinct shared hashes per candidate doc
+    "q70_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckTokens AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 13
+         |      THEN list_transform(range(len(tk) - 12),
+         |             i -> array_to_string(list_slice(tk, i + 1, i + 13), ' '))
+         |      ELSE [array_to_string(tk, ' ')] END AS sg
+         |  FROM toks),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(sg, s -> ${Dedup.md5h32Sql("s")})) AS hs
+         |  FROM sh),
+         |bh AS (
+         |  SELECT DISTINCT u.h FROM hsh, LATERAL unnest(hs) u(h)
+         |  WHERE doc_id % 40 = 7),
+         |cand AS (
+         |  SELECT doc_id, u.h AS h FROM hsh, LATERAL unnest(hs) u(h)
+         |  WHERE doc_id % 40 <> 7),
+         |hits AS (
+         |  SELECT c.doc_id, COUNT(*) AS n FROM cand c JOIN bh USING (h)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 40 <> 7""".stripMargin,
 
     "q24_tag_filter" ->
       s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders

@@ -296,6 +296,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (20L, 20L, 1L, 1L)))
   }
 
+  test("benchmarkContamination: planted 13-gram overlap flags exactly its doc") {
+    val gram = (1 to 13).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, s"benchmark preamble $gram benchmark suffix"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"clean prefix then $gram and a tail of words"), // 1 shared 13-gram window set
+      (2L, "totally unrelated training document with no overlap at all " * 3),
+      (3L, (1 to 12).map(i => s"w$i").mkString(" "))) // 12-token doc: one short-shingle, no match
+      .toDF("doc_id", "text")
+    val got = Dedup.benchmarkContamination(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hit1 = got.find(_._1 == 1L).get
+    assert(hit1._2 >= 1L && hit1._3 == 1L)
+    assert(got.find(_._1 == 2L).get == ((2L, 0L, 0L)))
+    assert(got.find(_._1 == 3L).get == ((3L, 0L, 0L)))
+  }
+
   test("tokens/quality/fingerprint primitives") {
     val df = Seq(Tuple1("  the  quick   fox  ")).toDF("text")
     val n = df.select(TextOps.tokenCount(col("text"))).head().getInt(0)
