@@ -41,6 +41,28 @@ object QueriesText {
       .map { case (l, r) => s"WHEN '$l' THEN $r" }
       .mkString("CASE lang ", " ", s" ELSE $QuotaDefaultE6 END")
 
+  /** q71's deterministic PII injection (email + IP always, phone on
+    * doc_id % 3 != 0 so counts vary) — mirrored verbatim by
+    * [[piiInjectSql]]; no external data, no RNG.
+    */
+  private def piiInjected: org.apache.spark.sql.Column = concat(
+    col("text"), lit(" contact u"), col("doc_id").cast("string"), lit("@ex"),
+    (col("doc_id") % 7).cast("string"), lit(".org from 10."),
+    (col("doc_id") % 256).cast("string"), lit("."),
+    (col("doc_id") % 13).cast("string"), lit(".9"),
+    when(col("doc_id") % 3 =!= 0,
+      concat(lit(" tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  private val piiInjectSql: String =
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.org from 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '.9' || " +
+      "CASE WHEN doc_id % 3 <> 0 THEN ' tel 555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1-F16: compiled tag-filter DSL over the derived tags map
     "q24_tag_filter" -> ((s, d) => {
@@ -246,6 +268,31 @@ object QueriesText {
         docs.filter(col("doc_id") % 40 === 7),
         "doc_id", "text")
     }),
+
+    // PII scrubbing — deterministic PII spans (email / dotted-quad IP /
+    // 555-phone, derived from doc_id so the fixture needs no external
+    // data) injected then redacted by TextOps.piiRedact; per-doc counts
+    // + md5 of the redacted text. Scan-only codegen'd regexes, zero
+    // shuffles; fully DuckDB-oracled (RE2/Java common-subset patterns).
+    "q71_pii_scrub" -> ((s, d) => {
+      val r = TextOps.piiRedact(piiInjected)
+      t(s, d, "documents")
+        .select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_email").as("n_email"),
+          col("r.n_ip").as("n_ip"),
+          col("r.n_phone").as("n_phone"),
+          length(col("r.clean")).cast("long").as("clean_len"),
+          md5(col("r.clean")).as("clean_md5"))
+    }),
+
+    // domain mixing weights — sqrt-smoothed token-mass weights per
+    // source (UniMax/GPT-3-style small-domain upweighting), ppm-of-max
+    // integerisation so the float path is two correctly-rounded ops on
+    // exact integers (no cross-engine float-sum order hazard)
+    "q72_domain_mix" -> ((s, d) =>
+      TextOps.domainMixWeights(t(s, d, "documents"), "source", "text",
+        100000L)),
 
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
@@ -766,6 +813,53 @@ object QueriesText {
          |    AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 40 <> 7""".stripMargin,
+
+    // q71: same injection expression, same RE2/Java common-subset
+    // patterns, same three-stage count-then-replace order; the md5 of
+    // the redacted text pins replacement positions, not just counts
+    "q71_pii_scrub" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id, $piiInjectSql AS s FROM documents),
+         |s1 AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(s, '${TextOps.PiiEmail}')) AS BIGINT)
+         |      AS n_email,
+         |    regexp_replace(s, '${TextOps.PiiEmail}', '<EMAIL>', 'g') AS c1
+         |  FROM pii),
+         |s2 AS (SELECT doc_id, n_email,
+         |    CAST(len(regexp_extract_all(c1, '${TextOps.PiiIp}')) AS BIGINT)
+         |      AS n_ip,
+         |    regexp_replace(c1, '${TextOps.PiiIp}', '<IP>', 'g') AS c2
+         |  FROM s1),
+         |s3 AS (SELECT doc_id, n_email, n_ip,
+         |    CAST(len(regexp_extract_all(c2, '${TextOps.PiiPhone}')) AS BIGINT)
+         |      AS n_phone,
+         |    regexp_replace(c2, '${TextOps.PiiPhone}', '<PHONE>', 'g') AS clean
+         |  FROM s2)
+         |SELECT doc_id, n_email, n_ip, n_phone,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_md5
+         |FROM s3""".stripMargin,
+
+    // q72: sqrt and / are single correctly-rounded IEEE ops on exact
+    // integer inputs — the ppm-of-max form avoids any float SUM whose
+    // accumulation order could differ between engines
+    "q72_domain_mix" ->
+      s"""WITH tok AS (
+         |  SELECT source, len($duckTokens) AS ntok FROM documents),
+         |agg AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(ntok) AS BIGINT) AS tok_mass
+         |  FROM tok GROUP BY 1),
+         |mx AS (SELECT MAX(tok_mass) AS m FROM agg),
+         |w AS (
+         |  SELECT source, n_docs, tok_mass,
+         |    CAST(FLOOR(1000000.0 * sqrt(CAST(tok_mass AS DOUBLE))
+         |      / sqrt(CAST(m AS DOUBLE)) + 0.5) AS BIGINT) AS weight_ppm
+         |  FROM agg, mx)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tok_mass,
+         |  weight_ppm,
+         |  CAST(FLOOR((100000 * weight_ppm) / 1000000.0) AS BIGINT) AS alloc
+         |FROM w""".stripMargin,
 
     "q24_tag_filter" ->
       s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders

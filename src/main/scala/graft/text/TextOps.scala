@@ -252,4 +252,66 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("score_e6"), col("rnk"))
   }
+
+  /** PII patterns — the RE2/Java-regex common subset (ASCII classes +
+    * `\b` word boundaries only; no lookaround, which RE2 lacks), shared
+    * verbatim with the DuckDB oracle SQL.
+    */
+  val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiPhone = "\\b555-[0-9]{4}\\b"
+
+  /** PII redaction: struct(n_email, n_ip, n_phone, clean) where `clean`
+    * is the text with emails → `<EMAIL>`, then dotted quads → `<IP>`,
+    * then 555-prefix phones → `<PHONE>`. Each count is taken on the text
+    * AT ITS replacement stage (emails first — their local parts contain
+    * dots and digits that the later patterns would otherwise see), so
+    * counts + clean are a well-defined function of the input regardless
+    * of pattern overlap.
+    *
+    * 100 TB shape: pure codegen'd column expressions over one string —
+    * scan-only, zero shuffles, composes with predicate pushdown.
+    */
+  def piiRedact(text: Column): Column = {
+    val s1 = regexp_replace(text, PiiEmail, "<EMAIL>")
+    val s2 = regexp_replace(s1, PiiIp, "<IP>")
+    val s3 = regexp_replace(s2, PiiPhone, "<PHONE>")
+    struct(
+      size(regexp_extract_all(text, lit(PiiEmail), lit(0))).cast("long")
+        .as("n_email"),
+      size(regexp_extract_all(s1, lit(PiiIp), lit(0))).cast("long")
+        .as("n_ip"),
+      size(regexp_extract_all(s2, lit(PiiPhone), lit(0))).cast("long")
+        .as("n_phone"),
+      s3.as("clean"))
+  }
+
+  /** Domain-mixing weights: per `domainCol`, token mass and a
+    * sqrt-smoothed sampling weight (UniMax/GPT-3-style upweighting of
+    * small domains), integerised as parts-per-million OF THE LARGEST
+    * domain so the float math is cross-engine exact: `sqrt` and `/` are
+    * IEEE correctly-rounded single operations on exact integer inputs —
+    * no float SUM whose order could differ between engines. `alloc` =
+    * the document budget each domain would receive at those weights.
+    *
+    * 100 TB shape: one map-combinable groupBy on the domain key; the
+    * max-token scalar is an O(#domains) driver aggregate folded back as
+    * a literal (a scalar crossJoin would plan as the banned
+    * BroadcastNestedLoopJoin).
+    */
+  def domainMixWeights(docs: DataFrame, domainCol: String, textCol: String,
+                       budget: Long): DataFrame = {
+    val agg = docs
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("tok_mass"))
+    val maxTok = agg.agg(max(col("tok_mass"))).head.getLong(0)
+    agg
+      .withColumn("weight_ppm",
+        floor(lit(1000000.0) * sqrt(col("tok_mass").cast("double")) /
+          sqrt(lit(maxTok.toDouble)) + lit(0.5)).cast("long"))
+      .withColumn("alloc",
+        floor((lit(budget) * col("weight_ppm")) / lit(1000000.0))
+          .cast("long"))
+  }
 }
