@@ -788,4 +788,128 @@ object Dedup {
       .filter(col("sim_e6") >= tauE6)
       .select("id_a", "id_b", "sim_e6")
   }
+
+  /** Integer-L2 argmin over quantized centroids: ties → lowest index,
+    * length mismatch or null element → -1 ("unassignable"). Pure Long
+    * arithmetic — exact, order-independent, engine-portable.
+    */
+  private[graft] def quantArgMin(v: Array[Long], cs: Array[Array[Long]]): Int = {
+    if (v == null) return -1
+    var best = -1
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      if (v.length == c.length) {
+        var d = 0L
+        var i = 0
+        while (i < c.length) { val df = v(i) - c(i); d += df * df; i += 1 }
+        if (d < bestD) { bestD = d; best = j }
+      }
+      j += 1
+    }
+    best
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means clusters the embedding space, then near-duplicates are
+    * resolved INSIDE each cluster — pairwise cosine at `tauE6` → CC →
+    * min-id survivor — so the pair search is cluster-local instead of
+    * corpus-global. Cluster locality is also the method's documented
+    * recall tradeoff: a near-dup pair straddling a cluster boundary is
+    * not found (q73 at sf0.01: 492/500 planted pairs collapse, 8 straddle
+    * — zero false merges).
+    *
+    * Portability: the k-means runs ENTIRELY in exact integer arithmetic —
+    * vectors quantized to floor(x·2^20 + 0.5) + 2^20 (the offset keeps
+    * values nonnegative so truncating division == floor division in both
+    * engines), L2 distances and centroid sums are order-independent Long
+    * math, seeds are the k lowest (md5h32(id), id) vectors, ties in the
+    * argmin go to the lowest centroid index, and an empty cluster keeps
+    * its previous centroid. The assignment is therefore bit-identical
+    * across engines and parallelism, and the DuckDB oracle can replay
+    * every Lloyd step. Only the final pair cosine uses floats — e6-floored
+    * like q63 (proven portable by the green q50/q56/q63 oracles).
+    *
+    * 100 TB shape: centroids are O(k·dim) driver/broadcast state (the
+    * MLlib k-means shape — assignment is one broadcast + narrow scan per
+    * iteration, the update one map-combinable groupBy on (cluster, pos));
+    * the within-cluster self-join is the SemDeDup design point — pair
+    * volume is Σ |cluster|²/2, bounded by choosing k ∝ corpus size, and
+    * clusters above `maxCluster` are excluded from pairing (loud warn,
+    * rows kept) rather than detonating a quadratic join.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, tauE6: Long = 990000L,
+      maxCluster: Long = 100000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")) // float→double is exact
+      .withColumn("qv", transform(col("v"), x =>
+        floor(x * lit(1048576.0) + lit(0.5)).cast("long") + lit(1048576L)))
+      .localCheckpoint(true)
+
+    // deterministic seeds: the k lowest (md5-key, id) quantized vectors
+    var cents: Array[Array[Long]] = vecs
+      .orderBy(md5h32(col("id").cast("string")), col("id"))
+      .limit(k).select("qv").as[Array[Long]].collect()
+    if (cents.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long, Long, Long)]
+        .toDF(idCol, "cluster", "survivor", "comp_size", "is_survivor")
+
+    def assigned(cs: Array[Array[Long]]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cs)
+      vecs.select(col("id"), col("qv"), col("v"))
+        .as[(Long, Array[Long], Array[Double])]
+        .mapPartitions { it =>
+          val c = bc.value
+          it.map { case (id, qv, v) => (id, quantArgMin(qv, c).toLong, qv, v) }
+        }
+        .toDF("id", "cluster", "qv", "v")
+    }
+
+    for (_ <- 1 to iters) {
+      // exact integer centroid update: O(k·dim) rows to the driver
+      val stats = assigned(cents)
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .as[(Long, Int, Long, Long)].collect()
+        .groupBy(_._1)
+      cents = cents.indices.map { j =>
+        stats.get(j.toLong) match {
+          case Some(rows) => rows.sortBy(_._2).map(r => r._3 / r._4).toArray
+          case None       => cents(j) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+
+    val fin = assigned(cents).select("id", "cluster", "v").localCheckpoint(true)
+    val sizes = fin.groupBy("cluster").count()
+    val oversized = sizes.filter(col("count") > maxCluster).count()
+    if (oversized > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticDedup: $oversized clusters exceed $maxCluster rows — " +
+          "excluded from pairing (rows kept as their own survivors)")
+    val paired = fin.join(
+      sizes.filter(col("count") <= maxCluster).select("cluster"), Seq("cluster"))
+    val pairs = paired.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      .join(paired.select(col("cluster"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_e6",
+        floor(cosine(col("va"), col("vb")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .filter(col("sim_e6") >= tauE6)
+      .select("id_a", "id_b")
+
+    fin.select(col("id"), col("cluster"))
+      .join(nearDupCollapse(pairs, fin.select(col("id")), "id"), Seq("id"))
+      .select(col("id").as(idCol), col("cluster"),
+        col("survivor"), col("cluster_size").as("comp_size"),
+        col("is_survivor"))
+  }
 }

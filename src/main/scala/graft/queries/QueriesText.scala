@@ -294,6 +294,22 @@ object QueriesText {
       TextOps.domainMixWeights(t(s, d, "documents"), "source", "text",
         100000L)),
 
+    // SemDeDup semantic dedup — integer-exact k-means (md5-seeded, two
+    // Lloyd steps, 2^20-quantized L2) over the q63 dup-planted embedding
+    // table, then within-cluster cosine edges at τ=0.99 → CC collapse
+    // with min-id survivors. The clusters localise the pair search; the
+    // planted copy must land with its original and collapse onto it.
+    "q73_semantic_dedup" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val planted = t(s, d, "embeddings")
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
+            "((vec_id * 31 + i) % 7 - 3) * 0.002)").as("v"))
+      Dedup.semanticDedup(base.unionByName(planted), "vec_id", "v")
+    }),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -410,6 +426,96 @@ object QueriesText {
        |  CAST(CASE WHEN FLOOR(jac * 1000000 + 0.5) >= 500000
        |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM jj""".stripMargin
+  }
+
+  /** q73 oracle: the whole SemDeDup pipeline replayed in SQL — q63's
+    * dup-planted derivation, 2^20-quantized (+offset) vectors, md5-seeded
+    * k-means with TWO unrolled Lloyd steps in exact integer arithmetic
+    * (`//` == truncating == floor on the nonneg offsets; empty clusters
+    * COALESCE to their previous centroid; argmin ties → lowest j), the
+    * within-cluster e6-floored cosine pairs, and the q64 recursive-CTE
+    * min-label CC collapse with singleton survivors.
+    */
+  private def semanticDedupOracle: String = {
+    val (k, tauE6, maxCluster) = (8, 990000L, 100000L)
+    def distCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT t.id, t.qv, t.v, c.j,
+         |    list_sum(list_transform(range(len(t.qv)),
+         |      i -> (t.qv[i+1] - c.cv[i+1]) * (t.qv[i+1] - c.cv[i+1])))
+         |      AS dist
+         |  FROM q t, $cents c)""".stripMargin
+    def assignCte(name: String, dists: String): String =
+      s"""$name AS (
+         |  SELECT id, qv, v, j AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY id ORDER BY dist ASC, j ASC) AS rn FROM $dists)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(uName: String, cName: String, assigned: String,
+                  prevCents: String): String =
+      s"""$uName AS (
+         |  SELECT cluster AS j, u.i AS pos,
+         |    SUM(qv[u.i + 1]) AS sm, COUNT(*) AS n
+         |  FROM $assigned, LATERAL unnest(range(len(qv))) u(i)
+         |  GROUP BY 1, 2),
+         |$cName AS (
+         |  SELECT p.j, COALESCE(nc.cv, p.cv) AS cv
+         |  FROM $prevCents p LEFT JOIN (
+         |    SELECT j, list(sm // n ORDER BY pos) AS cv FROM $uName
+         |    GROUP BY j) nc USING (j))""".stripMargin
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ve AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 1000000000, list_transform(v,
+       |    (x, i) -> x + ((id * 31 + (i - 1)) % 7 - 3) * 0.002)
+       |  FROM base),
+       |q AS (
+       |  SELECT id, v, list_transform(v,
+       |    x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS qv
+       |  FROM ve),
+       |seeds AS (
+       |  SELECT j, qv AS cv FROM (
+       |    SELECT ROW_NUMBER() OVER (
+       |      ORDER BY ${Dedup.md5h32Sql("CAST(id AS VARCHAR)")}, id) - 1
+       |      AS j, qv
+       |    FROM q) WHERE j < $k),
+       |${distCte("d0", "seeds")},
+       |${assignCte("a0", "d0")},
+       |${updateCte("u1", "c1", "a0", "seeds")},
+       |${distCte("d1", "c1")},
+       |${assignCte("a1", "d1")},
+       |${updateCte("u2", "c2", "a1", "c1")},
+       |${distCte("d2", "c2")},
+       |${assignCte("a2", "d2")},
+       |sz AS (SELECT cluster, COUNT(*) AS c FROM a2 GROUP BY 1),
+       |pr AS (
+       |  SELECT a.cluster, a.id, a.v FROM a2 a
+       |  JOIN sz ON sz.cluster = a.cluster WHERE sz.c <= $maxCluster),
+       |pairs AS (
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM pr x JOIN pr y ON y.cluster = x.cluster AND x.id < y.id
+       |  WHERE CAST(FLOOR(list_cosine_similarity(x.v, y.v) * 1000000 + 0.5)
+       |    AS BIGINT) >= $tauE6),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |r AS (
+       |  SELECT src AS nid, src AS label FROM sym
+       |  UNION
+       |  SELECT s2.dst AS nid, r.label FROM r JOIN sym s2 ON s2.src = r.nid
+       |  WHERE r.label < s2.dst),
+       |cc AS (SELECT nid, MIN(label) AS comp FROM r GROUP BY nid),
+       |asg AS (
+       |  SELECT a.id, a.cluster, COALESCE(cc.comp, a.id) AS survivor
+       |  FROM a2 a LEFT JOIN cc ON cc.nid = a.id),
+       |csz AS (SELECT survivor, COUNT(*) AS comp_size FROM asg GROUP BY 1)
+       |SELECT g.id AS vec_id, g.cluster, g.survivor,
+       |  CAST(z.comp_size AS BIGINT) AS comp_size,
+       |  CAST(CASE WHEN g.id = g.survivor THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_survivor
+       |FROM asg g JOIN csz z ON z.survivor = g.survivor""".stripMargin
   }
 
   /** q64 oracle: q59's full verify pipeline as a CTE, then recursive
@@ -860,6 +966,8 @@ object QueriesText {
          |  weight_ppm,
          |  CAST(FLOOR((100000 * weight_ppm) / 1000000.0) AS BIGINT) AS alloc
          |FROM w""".stripMargin,
+
+    "q73_semantic_dedup" -> semanticDedupOracle,
 
     "q24_tag_filter" ->
       s"""WITH w1 AS (SELECT ${wayStage1.mkString(", ")} FROM orders
