@@ -789,27 +789,13 @@ object Dedup {
       .select("id_a", "id_b", "sim_e6")
   }
 
-  /** Integer-L2 argmin over quantized centroids: ties → lowest index,
-    * length mismatch or null element → -1 ("unassignable"). Pure Long
-    * arithmetic — exact, order-independent, engine-portable.
+  /** Spec-visible mirror of the codegen'd assignment worker
+    * ([[graft.functions.QuantArgMin]]): integer-L2 argmin, ties → lowest
+    * index, length mismatch or null element → -1.
     */
-  private[graft] def quantArgMin(v: Array[Long], cs: Array[Array[Long]]): Int = {
-    if (v == null) return -1
-    var best = -1
-    var bestD = Long.MaxValue
-    var j = 0
-    while (j < cs.length) {
-      val c = cs(j)
-      if (v.length == c.length) {
-        var d = 0L
-        var i = 0
-        while (i < c.length) { val df = v(i) - c(i); d += df * df; i += 1 }
-        if (d < bestD) { bestD = d; best = j }
-      }
-      j += 1
-    }
-    best
-  }
+  private[graft] def quantArgMin(v: Array[Long], cs: Array[Array[Long]]): Int =
+    graft.functions.QuantArgMin.assign(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v), cs).toInt
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means clusters the embedding space, then near-duplicates are
@@ -860,16 +846,16 @@ object Dedup {
       return spark.emptyDataset[(Long, Long, Long, Long, Long)]
         .toDF(idCol, "cluster", "survivor", "comp_size", "is_survivor")
 
-    def assigned(cs: Array[Array[Long]]): DataFrame = {
-      val bc = spark.sparkContext.broadcast(cs)
-      vecs.select(col("id"), col("qv"), col("v"))
-        .as[(Long, Array[Long], Array[Double])]
-        .mapPartitions { it =>
-          val c = bc.value
-          it.map { case (id, qv, v) => (id, quantArgMin(qv, c).toLong, qv, v) }
-        }
-        .toDF("id", "cluster", "qv", "v")
-    }
+    // assignment is ONE codegen'd column expression — no typed
+    // encode/decode (a mapPartitions closure spent the clustering stage
+    // deserializing rows to object arrays; see QuantArgMin scaladoc),
+    // centroids ride as an O(k·dim) plan reference object
+    def assigned(cs: Array[Array[Long]]): DataFrame =
+      vecs.withColumn("cluster",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.QuantArgMin(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("qv")),
+            cs)))
 
     for (_ <- 1 to iters) {
       // exact integer centroid update: O(k·dim) rows to the driver

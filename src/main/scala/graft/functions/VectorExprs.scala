@@ -174,3 +174,60 @@ case class CosineSimF(left: Expression, right: Expression)
     })
   }
 }
+
+/** Integer-L2 k-means assignment: argmin over quantized centroids in ONE
+  * codegen'd pass (exact Long arithmetic, ties → lowest index; length
+  * mismatch or null element → -1 "unassignable"). Replaces the typed
+  * mapPartitions closure that deserialized every row to Scala object
+  * arrays — the encode/decode churn dominated the clustering stage of
+  * `Dedup.semanticDedup` at scale (SemDedupAtScale: 113.8 s of 118.3 s)
+  * and broke whole-stage codegen. The centroid matrix rides along as a
+  * codegen reference object (O(k·dim), broadcast with the plan).
+  */
+case class QuantArgMin(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "QuantArgMin needs at least one centroid")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_quant_argmin"
+
+  override protected def withNewChildInternal(newChild: Expression): QuantArgMin =
+    copy(child = newChild)
+
+  protected override def nullSafeEval(input: Any): Any =
+    QuantArgMin.assign(input.asInstanceOf[ArrayData], centroids)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.QuantArgMin.assign($v, $ref);")
+  }
+}
+
+object QuantArgMin {
+  /** static worker shared by eval and codegen — zero allocation */
+  def assign(v: ArrayData, cs: Array[Array[Long]]): Long = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return -1L; i += 1 }
+    var best = -1L
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      if (c.length == n) {
+        var d = 0L
+        var k = 0
+        while (k < n) { val df = v.getLong(k) - c(k); d += df * df; k += 1 }
+        if (d < bestD) { bestD = d; best = j }
+      }
+      j += 1
+    }
+    best
+  }
+}
