@@ -762,6 +762,36 @@ object Dedup {
         (coalesce(col("hit_n"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Overlapping duplicate-span detection — the stride-1 complement of
+    * [[passageDedup]]'s non-overlapping windows: a span is every
+    * `w`-token window of the doc (distinct per doc), and a span is a
+    * duplicate when it occurs in more than one document. Catches
+    * boilerplate shared at ANY alignment, which fixed passages miss when
+    * the copy is offset by a non-multiple of `w`. Returns per-doc
+    * (idCol, n_spans, n_dup_spans, max_span_docs).
+    *
+    * Scale shape: one explode of the per-doc distinct window-hash set
+    * (the same native [[distinctShingleHashes]] pass the LSH and
+    * decontamination pipelines stage), a hash-keyed count (map-side
+    * combinable; per-doc-distinct input makes count(*) = doc frequency),
+    * then an equi-join back on the hash and a doc-keyed re-aggregation.
+    * The exploded frame is recomputed on the join's probe side rather
+    * than checkpointed — it is a narrow codegen'd map over the scan,
+    * cheaper at 100 TB than materializing |docs|·|windows| rows.
+    */
+  def duplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String, w: Int = 10): DataFrame = {
+    val h = docs.select(
+      col(idCol), explode(distinctShingleHashes(col(textCol), w)).as("h"))
+    val freq = h.groupBy("h").agg(count(lit(1)).as("nd"))
+    h.join(freq, Seq("h"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        max(col("nd")).as("max_span_docs"))
+  }
+
   def embedNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       tauE6: Long = 990000L, bits: Int = 8, maxBucket: Long = 100000L): DataFrame = {

@@ -310,6 +310,13 @@ object QueriesText {
       Dedup.semanticDedup(base.unionByName(planted), "vec_id", "v")
     }),
 
+    // overlapping duplicate-span detection — stride-1 10-token windows
+    // (q66's non-overlapping passages miss copies offset by a
+    // non-multiple of w); per-doc span counts + corpus doc-frequency of
+    // the hottest span. One explode + hash-keyed count; DuckDB-oracled.
+    "q75_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text")),
+
     // SimHash per document (md5-derived 63-bit; DuckDB-oracled)
     "q33_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -886,6 +893,32 @@ object QueriesText {
          |  CAST(SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT)
          |    AS kept_tokens
          |FROM w GROUP BY doc_id""".stripMargin,
+
+    // q75: same distinct-window machinery as q70 at w=10 over the whole
+    // corpus; per-doc-distinct hashes make COUNT(*) per hash = doc freq
+    "q75_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckTokens AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 10
+         |      THEN list_transform(range(len(tk) - 9),
+         |             i -> array_to_string(list_slice(tk, i + 1, i + 10), ' '))
+         |      ELSE [array_to_string(tk, ' ')] END AS sg
+         |  FROM toks),
+         |e AS (
+         |  SELECT doc_id, u.h FROM (
+         |    SELECT doc_id,
+         |      list_distinct(list_transform(sg, s -> ${Dedup.md5h32Sql("s")}))
+         |        AS hs
+         |    FROM sh) x, LATERAL unnest(hs) u(h)),
+         |m AS (SELECT h, COUNT(*) AS nd FROM e GROUP BY 1)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_spans,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  CAST(MAX(nd) AS BIGINT) AS max_span_docs
+         |FROM e JOIN m USING (h) GROUP BY doc_id""".stripMargin,
 
     // q70: the same distinct 13-gram md5h32 hash sets on both sides
     // (proven ≡ the native ShingleHashes pass by the q59 oracle), hit

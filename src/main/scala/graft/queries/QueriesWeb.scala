@@ -30,7 +30,48 @@ object QueriesWeb {
     "q37_pages_text_identity" -> ((s, d) => {
       val pages = Pages.geocode(Pages.synthesizeFromDocuments(s, d))
       Pages.textChecksums(pages)
+    }),
+
+    // URL canonicalization + dedup-by-URL — messy crawl URLs synthesized
+    // deterministically from doc_id (scheme/WWW/port/tracking-param/
+    // fragment variants), canonicalized by graft.web.Urls (scan-only
+    // codegen'd regex/split/sort columns), then first-occurrence keeper
+    // per canonical key via one min-window shuffle. The residue classes
+    // guarantee collisions at every SF, so is_keeper is non-trivial.
+    "q74_url_canon" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val canon = s.read.parquet(s"$d/documents.parquet")
+        .selectExpr("doc_id", s"${rawUrlSql("STRING")} AS raw_url")
+        .select(col("doc_id"),
+          graft.web.Urls.canonicalize(col("raw_url")).as("canon_url"))
+        .withColumn("host", graft.web.Urls.canonicalHost(col("canon_url")))
+      canon.select(col("doc_id"), col("canon_url"), col("host"),
+        (col("doc_id") ===
+          min("doc_id").over(Window.partitionBy("canon_url")))
+          .cast("long").as("is_keeper"))
     }))
+
+  /** Deterministic messy-URL synthesis, identical modulo the cast type
+    * (`STRING` for Spark, `VARCHAR` for DuckDB). The variants exercise
+    * every canonicalization rule: upper-cased scheme/host, `www.`,
+    * default vs non-default ports, trailing slash, tracking params,
+    * unsorted params, fragments.
+    */
+  private def rawUrlSql(strTy: String): String =
+    s"""concat(
+       |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+       |  CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+       |  'Host', CAST(doc_id % 7 AS $strTy), '.Example.COM',
+       |  CASE WHEN doc_id % 5 = 0 THEN
+       |      CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END
+       |    WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
+       |  '/p/', CAST(doc_id % 10 AS $strTy),
+       |  CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END,
+       |  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+       |    WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+       |    WHEN doc_id % 4 = 2 THEN '?fbclid=XYZ' ELSE '' END,
+       |  CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END)"""
+      .stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
     "q36_pages_knn" ->
@@ -53,5 +94,49 @@ object QueriesWeb {
     "q37_pages_text_identity" ->
       """SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
         |  md5(text) AS text_md5
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // q74: the same synthesis (VARCHAR cast) and the same six
+    // canonicalization rules replayed in DuckDB SQL — every regex is
+    // anchored or unique-match, so replace-first (DuckDB) ≡ replace-all
+    // (Spark); param sort is binary-collation on ASCII on both sides
+    "q74_url_canon" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, ${rawUrlSql("VARCHAR")} AS raw_url FROM documents),
+         |nf AS (
+         |  SELECT doc_id, regexp_replace(raw_url, '#.*$$', '') AS u FROM raw),
+         |p AS (SELECT doc_id,
+         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         |      AS scheme,
+         |    regexp_replace(lower(regexp_extract(u,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')
+         |      AS auth1,
+         |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+         |      AS rest
+         |  FROM nf),
+         |q AS (SELECT doc_id, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
+         |         ELSE auth1 END AS auth,
+         |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         |    regexp_extract(rest, '\\?(.*)$$', 1) AS query0
+         |  FROM p),
+         |r AS (SELECT doc_id, scheme, auth,
+         |    CASE WHEN length(path0) > 1
+         |      THEN regexp_replace(path0, '/$$', '') ELSE path0 END AS pth,
+         |    COALESCE(array_to_string(
+         |      list_sort(list_filter(string_split(query0, '&'),
+         |        x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+         |          AND NOT regexp_matches(x, '^fbclid='))), '&'), '') AS qry
+         |  FROM q),
+         |c AS (SELECT doc_id,
+         |    concat(scheme, '://', auth, pth,
+         |      CASE WHEN qry = '' THEN '' ELSE concat('?', qry) END)
+         |      AS canon_url,
+         |    regexp_replace(auth, ':[0-9]+$$', '') AS host
+         |  FROM r)
+         |SELECT doc_id, canon_url, host,
+         |  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+         |FROM c""".stripMargin)
 }
