@@ -25,7 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated subset for local iteration (the driver
+    // runs the full suite: env unset → all queries)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = names.map(n =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val repTotals = (1 to reps).map { r =>

@@ -49,6 +49,17 @@ object QueriesWeb {
         (col("doc_id") ===
           min("doc_id").over(Window.partitionBy("canon_url")))
           .cast("long").as("is_keeper"))
+    }),
+
+    // link-graph centrality for crawl prioritization — 5 exact-integer
+    // PageRank rounds (ppb ranks, floor divisions, damping as
+    // (85·s) div 100) over a deterministic synthetic link set; the
+    // oracle replays every round as an unrolled CTE chain bit-for-bit
+    "q76_pagerank" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      val n = docs.count()
+      graft.web.LinkGraph.pagerank(
+        docs, graft.web.LinkGraph.syntheticEdges(docs, n), n)
     }))
 
   /** Deterministic messy-URL synthesis, identical modulo the cast type
@@ -138,5 +149,42 @@ object QueriesWeb {
          |SELECT doc_id, canon_url, host,
          |  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+
+    "q76_pagerank" -> pagerankOracle(5))
+
+  /** q76: the 5 PageRank rounds unrolled as CTEs — same integer floor
+    * divisions (`//`), same synthetic edge rule, same teleport/damping
+    * integerisation as [[graft.web.LinkGraph]]. DuckDB SUM yields
+    * HUGEINT, so the final rank is CAST back to BIGINT.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """WITH nodes AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id*31 + 17*i.i + 7) % (SELECT n FROM nn) AS dst
+        |  FROM documents, LATERAL unnest([0,1,2]) i(i)),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (
+        |  SELECT doc_id, 1000000000 // (SELECT n FROM nn) AS r
+        |  FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, SUM(r.r // od.outdeg) AS s
+         |  FROM e JOIN od USING (src) JOIN r${k - 1} r ON r.doc_id = e.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT nodes.doc_id,
+         |    150000000 // (SELECT n FROM nn)
+         |      + (85 * COALESCE(c$k.s, 0)) // 100 AS r
+         |  FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r$iters"""
+      .stripMargin
+  }
 }
