@@ -34,7 +34,8 @@ object SparkEntry {
       QueriesText.queries ++
       QueriesWeb.queries ++
       QueriesMedia.queries ++
-      QueriesStream.queries
+      QueriesStream.queries ++
+      QueriesTemporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — EVERY query key has one. q44 (frames) and
@@ -54,5 +55,6 @@ object SparkEntry {
       QueriesText.oracles ++
       QueriesWeb.oracles ++
       QueriesMedia.oracles ++
-      QueriesStream.oracles
+      QueriesStream.oracles ++
+      QueriesTemporal.oracles
 }
