@@ -126,12 +126,14 @@ object TemporalJoins {
     require(lenUs <= bucketUs,
       s"interval length $lenUs exceeds bucket width $bucketUs: a left " +
         "interval must overlap at most 2 buckets (widen bucketUs)")
+    // integer DIV, not floor(double /): epoch micros sit near 2^53 where
+    // double division would round the cell id
     val lB = left.withColumn(
       "__cell",
       explode(sequence(
-        floor(col(leftStartUs) / bucketUs),
-        floor((col(leftStartUs) + lit(lenUs - 1)) / bucketUs))))
-    val rB = right.withColumn("__cell", floor(col(rightTsUs) / bucketUs))
+        expr(s"$leftStartUs DIV ${bucketUs}L"),
+        expr(s"($leftStartUs + ${lenUs - 1}L) DIV ${bucketUs}L"))))
+    val rB = right.withColumn("__cell", expr(s"$rightTsUs DIV ${bucketUs}L"))
     lB.join(rB,
         lB(leftKey) === rB(rightKey) && lB("__cell") === rB("__cell") &&
           rB(rightTsUs) >= lB(leftStartUs) &&
