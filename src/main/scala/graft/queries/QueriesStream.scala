@@ -195,9 +195,74 @@ object QueriesStream {
       q.processAllAvailable()
       q.stop()
       s.table(sinkName).localCheckpoint(true)
+    }),
+
+    // stream-stream INTERVAL JOIN with watermarks on both sides — the
+    // remaining core Structured Streaming shape beside windows (q34/q62),
+    // dedup (q60) and custom state (q53): view→purchase attribution,
+    // each view joined to same-user purchases within the following day.
+    // Inner-join output is emitted as soon as both rows arrive (the
+    // watermark only drives STATE EVICTION), and the time-quartile file
+    // order guarantees no still-matchable row is ever evicted first
+    // (a view is dropped only once the watermark — max ts seen − 1 day —
+    // passes view_ts + 1 day; later batches hold only purchases > that
+    // watermark, outside the join range), so the bounded-stream output
+    // equals the batch interval join exactly.
+    "q79_stream_join" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .localCheckpoint(true)
+      val dir = stageQuartileFiles(ev, "q79")
+      counter += 1
+      val sinkName = s"q79_sink_$counter"
+      val src = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          col("event_id").as("view_event_id"),
+          timestamp_micros(col("tus")).as("v_ts"))
+        .withWatermark("v_ts", "1 day")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"),
+          col("event_id").as("purchase_event_id"),
+          timestamp_micros(col("tus")).as("b_ts"))
+        .withWatermark("b_ts", "1 day")
+      val q = views.join(buys,
+          col("v_user") === col("b_user") &&
+            col("b_ts") >= col("v_ts") &&
+            col("b_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+        .select(col("v_user").as("user_id"),
+          col("view_event_id"), col("purchase_event_id"),
+          unix_micros(col("v_ts")).as("view_ts_us"),
+          unix_micros(col("b_ts")).as("purchase_ts_us"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sinkName).localCheckpoint(true)
     }))
 
   val oracles: Map[String, String] = Map(
+    // bounded stream + inner interval join ⇒ exactly the batch join
+    "q79_stream_join" ->
+      """SELECT CAST(a.user_id AS BIGINT) AS user_id,
+        |       CAST(a.event_id AS BIGINT) AS view_event_id,
+        |       CAST(b.event_id AS BIGINT) AS purchase_event_id,
+        |       epoch_us(a.ts) AS view_ts_us,
+        |       epoch_us(b.ts) AS purchase_ts_us
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY""".stripMargin,
+
     // append-mode watermarked windows: the batch agg restricted to
     // buckets the FINAL watermark (max ts − 10 min) has closed; the
     // still-open tail buckets died in state when the stream ended.
