@@ -35,7 +35,8 @@ object SparkEntry {
       QueriesWeb.queries ++
       QueriesMedia.queries ++
       QueriesStream.queries ++
-      QueriesTemporal.queries
+      QueriesTemporal.queries ++
+      QueriesPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — EVERY query key has one. q44 (frames) and
@@ -56,5 +57,6 @@ object SparkEntry {
       QueriesWeb.oracles ++
       QueriesMedia.oracles ++
       QueriesStream.oracles ++
-      QueriesTemporal.oracles
+      QueriesTemporal.oracles ++
+      QueriesPack.oracles
 }

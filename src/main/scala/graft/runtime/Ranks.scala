@@ -74,6 +74,34 @@ object Ranks {
       .drop("__pid", "__lcs")
   }
 
+  /** Exact-integer sibling of [[withGlobalCumsum]]: running sum of a
+    * LONG `value` in `order`, inclusive of the current row. Same
+    * two-phase shape (range exchange + partition-local window +
+    * collected per-partition offsets); exact at any magnitude a long
+    * holds, so downstream integer arithmetic (token packing bins) is
+    * order-independent.
+    */
+  def withGlobalCumsumLong(
+      df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
+    val local = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcs",
+        sum(value.cast("long")).over(
+          Window.partitionBy("__pid").orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val sums = local.groupBy("__pid").agg(sum(value.cast("long")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val offsets: Map[Int, Long] = sums.map { case (p, s) =>
+      val o = p -> cum; cum += s; o
+    }.toMap
+    if (offsets.isEmpty) df.withColumn(out, lit(0L)).limit(0)
+    else local
+      .withColumn(out, col("__lcs") + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid", "__lcs")
+  }
+
   /** Dense ids (0, 1, …) for a TINY distinct set (group keys, tag ids):
     * an explicit repartition(1) + in-partition sort + monotonic id —
     * intentionally single-partition (the input is a handful of rows) and
