@@ -16,6 +16,22 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup for a continuously-growing corpus: from a
+    * NEW batch, keep the min-id first occurrence of each text that does
+    * not already exist in the accumulated snapshot. All-equi shapes
+    * (anti join on the content hash + hash groupBy) — at 10^12 rows the
+    * snapshot side is the big one, which is exactly what a shuffled hash
+    * anti-join partitions; no broadcast assumption.
+    */
+  def incremental(
+      snapshot: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    batch.select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .join(snapshot.select(md5(col(textCol)).as("text_md5")),
+        Seq("text_md5"), "left_anti")
+      .groupBy("text_md5")
+      .agg(min(col(idCol)).as("keep_id"))
+
   // ---- Engine-portable hash primitives ------------------------------------
   // md5 is bit-identical in Spark and DuckDB, so hashes derived from its hex
   // digits make MinHash/SimHash fully oracle-able (round-1 q32/q33 were

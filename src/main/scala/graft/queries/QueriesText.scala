@@ -83,6 +83,17 @@ object QueriesText {
     "q26_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
 
+    // incremental exact dedup: even doc_ids play the accumulated
+    // snapshot, odd doc_ids the newly-crawled batch; keep the min-id
+    // first occurrence of each batch text absent from the snapshot
+    "q82_incr_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
+
     // token counting
     "q27_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -1022,6 +1033,15 @@ object QueriesText {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q82_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+        |snap AS (SELECT DISTINCT text_md5 FROM d WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM d WHERE doc_id % 2 = 1)
+        |SELECT text_md5, MIN(doc_id) AS keep_id
+        |FROM batch
+        |WHERE text_md5 NOT IN (SELECT text_md5 FROM snap)
+        |GROUP BY text_md5""".stripMargin,
 
     "q27_token_count" ->
       s"""SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
