@@ -40,6 +40,31 @@ object QueriesStream {
     dir.toString
   }
 
+  /** Start-and-drain a bounded stateful stream with a SMALL
+    * state-partition count and a tmpfs checkpoint, then return the
+    * materialized memory-sink table. Stateful operators commit
+    * shufflePartitions × store-instances files every micro-batch, so the
+    * session default (32) is pure overhead on these bounded small-state
+    * replays — q79 measured 20.9 s → 6.6 s min-of-2 at sf0.1 from this
+    * alone. `build` receives the checkpoint dir and must `.start()` the
+    * query inside the callback (partition count is captured at start).
+    */
+  private def runSmallStateStream(s: SparkSession, sinkName: String)(
+      build: String => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), s"${sinkName}_ckpt").toString
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = build(ckpt)
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    s.table(sinkName).localCheckpoint(true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_stream_window" -> ((s, d) => {
       val path = s"$d/events.parquet"
@@ -88,24 +113,24 @@ object QueriesStream {
       val dir = stageQuartileFiles(ev, "q62")
       counter += 1
       val sinkName = s"q62_sink_$counter"
-      val q = s.readStream
-        .schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-        .withColumn("ets", timestamp_micros(col("tus")))
-        .withWatermark("ets", "10 minutes")
-        .groupBy(window(col("ets"), "300 seconds"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-        .select(unix_micros(col("window.start")).as("bucket_us"),
-          col("event_type"), col("n"), col("sum_cents"))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sinkName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(sinkName).localCheckpoint(true)
+      runSmallStateStream(s, sinkName) { ckpt =>
+        s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          .withColumn("ets", timestamp_micros(col("tus")))
+          .withWatermark("ets", "10 minutes")
+          .groupBy(window(col("ets"), "300 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .select(unix_micros(col("window.start")).as("bucket_us"),
+            col("event_type"), col("n"), col("sum_cents"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .queryName(sinkName)
+          .start()
+      }
     }),
 
     // stateful streaming dedup: dropDuplicates across micro-batches —
@@ -218,50 +243,36 @@ object QueriesStream {
       val dir = stageQuartileFiles(ev, "q79")
       counter += 1
       val sinkName = s"q79_sink_$counter"
-      // stream-stream join state = shufflePartitions × 4 store instances,
-      // each committing every micro-batch: pin a small partition count
-      // for this bounded small-state replay and keep the checkpoint on
-      // tmpfs (measured: 20.9 s → 6.6 s min-of-2 at sf0.1; the session
-      // default 32 partitions paid 128 per-batch store commits to /tmp)
-      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val ckpt = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(
-          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"),
-        "q79_ckpt").toString
-      val src = s.readStream
-        .schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-      val views = src.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"),
-          col("event_id").as("view_event_id"),
-          timestamp_micros(col("tus")).as("v_ts"))
-        .withWatermark("v_ts", "1 day")
-      val buys = src.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("b_user"),
-          col("event_id").as("purchase_event_id"),
-          timestamp_micros(col("tus")).as("b_ts"))
-        .withWatermark("b_ts", "1 day")
-      val q = views.join(buys,
-          col("v_user") === col("b_user") &&
-            col("b_ts") >= col("v_ts") &&
-            col("b_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
-        .select(col("v_user").as("user_id"),
-          col("view_event_id"), col("purchase_event_id"),
-          unix_micros(col("v_ts")).as("view_ts_us"),
-          unix_micros(col("b_ts")).as("purchase_ts_us"))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .option("checkpointLocation", ckpt)
-        .queryName(sinkName)
-        .start()
-      try {
-        q.processAllAvailable()
-        q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
-      s.table(sinkName).localCheckpoint(true)
+      runSmallStateStream(s, sinkName) { ckpt =>
+        val src = s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"),
+            col("event_id").as("view_event_id"),
+            timestamp_micros(col("tus")).as("v_ts"))
+          .withWatermark("v_ts", "1 day")
+        val buys = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"),
+            col("event_id").as("purchase_event_id"),
+            timestamp_micros(col("tus")).as("b_ts"))
+          .withWatermark("b_ts", "1 day")
+        views.join(buys,
+            col("v_user") === col("b_user") &&
+              col("b_ts") >= col("v_ts") &&
+              col("b_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+          .select(col("v_user").as("user_id"),
+            col("view_event_id"), col("purchase_event_id"),
+            unix_micros(col("v_ts")).as("view_ts_us"),
+            unix_micros(col("b_ts")).as("purchase_ts_us"))
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .queryName(sinkName)
+          .start()
+      }
     }))
 
   val oracles: Map[String, String] = Map(
