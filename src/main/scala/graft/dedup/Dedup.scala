@@ -32,6 +32,58 @@ object Dedup {
       .groupBy("text_md5")
       .agg(min(col(idCol)).as("keep_id"))
 
+  /** [[incremental]] with a Bloom-prefiltered snapshot scan — the shape
+    * a daily-crawl dedup actually runs at 10^12 rows. The batch (new
+    * crawl) is orders of magnitude smaller than the accumulated
+    * snapshot, so shuffling the full snapshot into the anti-join every
+    * day is the dominant cost. Instead:
+    *
+    *  1. build a Bloom filter over the BATCH content hashes with one
+    *     distributed partial-aggregate pass
+    *     (`catalyst.expressions.aggregate.BloomFilterAggregate` — the
+    *     sketch Spark's own runtime row-level filtering injects; the
+    *     driver holds one merged `numBits/8`-byte sketch);
+    *  2. prefilter the snapshot SCAN with `BloomFilterMightContain` —
+    *     only snapshot rows whose hash possibly occurs in the batch
+    *     survive into the exchange, so anti-join shuffle traffic is
+    *     O(|batch| + false-positives), not O(|snapshot|);
+    *  3. the exact anti-join on the survivors gives a result identical
+    *     to [[incremental]]: Bloom filters have no false negatives, and
+    *     false positives only add non-matching rows the anti-join
+    *     discards. Correctness never depends on the sketch parameters.
+    *
+    * `estimatedItems`/`numBits` size the sketch (fixed defaults here —
+    * deterministic, no extra pass; a production job sizes them from
+    * crawl-batch telemetry).
+    */
+  def incrementalBloom(snapshot: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       estimatedItems: Long = 1L << 20,
+                       numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val batchKeys = batch
+      .select(col(idCol).as("bid"), md5(col(textCol)).as("text_md5"))
+    val bloomAgg = column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(expression(col("text_md5")))),
+        Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+    val bloom = batchKeys.select(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+
+    val snapKeys = snapshot.select(md5(col(textCol)).as("text_md5"))
+    val snapHits =
+      if (bloom == null) snapKeys.limit(0) // empty batch: nothing can match
+      else snapKeys.filter(column(BloomFilterMightContain(
+        Literal(bloom),
+        new XxHash64(Seq(expression(col("text_md5")))))))
+
+    batchKeys.join(snapHits, Seq("text_md5"), "left_anti")
+      .groupBy("text_md5")
+      .agg(min(col("bid")).as("keep_id"))
+  }
+
   // ---- Engine-portable hash primitives ------------------------------------
   // md5 is bit-identical in Spark and DuckDB, so hashes derived from its hex
   // digits make MinHash/SimHash fully oracle-able (round-1 q32/q33 were

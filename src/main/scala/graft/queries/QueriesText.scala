@@ -94,6 +94,30 @@ object QueriesText {
         "doc_id", "text")
     }),
 
+    // incremental dedup at crawl scale: Bloom built over the (small)
+    // batch prefilters the (huge) snapshot scan before the anti-join —
+    // exact result regardless of sketch parameters (no false negatives)
+    "q83_bloom_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalBloom(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+    }),
+
+    // deterministic stratified train/valid/test split (content+id hash)
+    "q84_split" -> ((s, d) =>
+      TextOps.stratifiedSplit(t(s, d, "documents"), "doc_id", "text")),
+
+    // unigram corpus-frequency mass (exact-integer LM quality signal)
+    "q85_zipf_mass" -> ((s, d) =>
+      TextOps.zipfMass(t(s, d, "documents"), "doc_id", "text")),
+
+    // per-source repeated-5-gram boilerplate fractions
+    "q86_boilerplate" -> ((s, d) =>
+      TextOps.boilerplateStats(t(s, d, "documents"), "doc_id", "source",
+        "text")),
+
     // token counting
     "q27_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -1042,6 +1066,77 @@ object QueriesText {
         |FROM batch
         |WHERE text_md5 NOT IN (SELECT text_md5 FROM snap)
         |GROUP BY text_md5""".stripMargin,
+
+    // q83: the Bloom prefilter is exactness-neutral (no false
+    // negatives; the anti-join discards false positives), so the oracle
+    // is the plain set-difference dedup on the q83 snapshot/batch split
+    "q83_bloom_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+        |snap AS (SELECT DISTINCT text_md5 FROM d WHERE doc_id % 3 = 0),
+        |batch AS (SELECT * FROM d WHERE doc_id % 3 <> 0)
+        |SELECT text_md5, MIN(doc_id) AS keep_id
+        |FROM batch
+        |WHERE text_md5 NOT IN (SELECT text_md5 FROM snap)
+        |GROUP BY text_md5""".stripMargin,
+
+    // q84: same md5h32(id ':' text) bucket arithmetic, same thresholds
+    "q84_split" -> {
+      val b = Dedup.md5h32Sql("CAST(doc_id AS VARCHAR) || ':' || text")
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 980 THEN 'train'
+         |       WHEN bucket < 990 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $b % 1000 AS bucket FROM documents)""".stripMargin
+    },
+
+    // q85: bitlen(c) = length(bin(c)) is exact integer in both engines
+    // — no float log-prob sum whose order could differ
+    "q85_zipf_mass" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, u.term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x,
+         |    LATERAL unnest(tk) u(term)
+         |  GROUP BY 1, 2),
+         |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf
+         |  GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_terms,
+         |    CAST(SUM(tf * length(bin(c))) AS BIGINT) AS zipf_bits
+         |  FROM tf JOIN cnt USING (term) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.n_terms, 0) AS n_terms,
+         |  COALESCE(p.zipf_bits, 0) AS zipf_bits
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // q86: q75's distinct-window machinery at w=5, doc frequency keyed
+    // by (source, gram); ppm = exact integer division
+    "q86_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $duckTokens AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(tk) >= 5
+         |      THEN list_transform(range(len(tk) - 4),
+         |             i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))
+         |      ELSE [array_to_string(tk, ' ')] END AS sg
+         |  FROM toks),
+         |e AS (
+         |  SELECT doc_id, source, u.h FROM (
+         |    SELECT doc_id, source,
+         |      list_distinct(list_transform(sg, s -> ${Dedup.md5h32Sql("s")}))
+         |        AS hs
+         |    FROM sh) x, LATERAL unnest(hs) u(h)),
+         |m AS (SELECT source, h, COUNT(*) AS nd FROM e GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  (CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // COUNT(*) AS boiler_ppm
+         |FROM e JOIN m USING (source, h) GROUP BY doc_id""".stripMargin,
 
     "q27_token_count" ->
       s"""SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens

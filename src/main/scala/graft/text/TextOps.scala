@@ -299,6 +299,104 @@ object TextOps {
     * a literal (a scalar crossJoin would plan as the banned
     * BroadcastNestedLoopJoin).
     */
+  /** Deterministic stratified train/valid/test split: bucket =
+    * md5h32(id ':' text) mod 1000 → train < `trainPerMille`, valid <
+    * `validPerMille`, else test. Content+id hashing (no RNG, no sort,
+    * no state) makes the assignment a pure function of the row — stable
+    * across engines, partitionings, reruns and cluster sizes, and
+    * byte-identical copies of a text under the same id always land in
+    * the same split (no train/test leakage through re-ingestion).
+    *
+    * 100 TB shape: scan-only projection — zero shuffles, composes with
+    * pushdown; the per-stratum proportions are verified downstream by
+    * any groupBy the caller wants, not enforced by a shuffle here.
+    */
+  def stratifiedSplit(docs: DataFrame, idCol: String, textCol: String,
+                      trainPerMille: Int = 980,
+                      validPerMille: Int = 990): DataFrame = {
+    val bucket = graft.dedup.Dedup.md5h32(
+      concat(col(idCol).cast("string"), lit(":"), col(textCol))) % 1000L
+    docs.select(
+      col(idCol),
+      bucket.as("bucket"),
+      when(bucket < trainPerMille, "train")
+        .when(bucket < validPerMille, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  /** Corpus-frequency mass per document — a unigram-LM quality signal
+    * with exact integer arithmetic: for each token occurrence add
+    * bitlen(corpus_count(token)) = floor(log2 c)+1 (`length(bin(c))` —
+    * an exact integer in any engine, unlike a float log-prob SUM whose
+    * accumulation order breaks cross-engine equality at the ulp).
+    * High `zipf_bits`/`n_tokens` ⇒ the document is made of common
+    * tokens; garbage/rare-token documents score low. Emits one row per
+    * document (zero-token docs get zeros).
+    *
+    * 100 TB shape: tf is (doc, term)-keyed — map-combinable, no skew;
+    * the term-count join is THE skewed join of any unigram pipeline
+    * (Zipf: 'the' joins everywhere), so it is split two-path — the
+    * `headK` most frequent terms broadcast (tiny: K rows) and hit most
+    * of the mass, the long tail shuffles WITHOUT its head keys (the
+    * anti-join removed them), so no hot partition remains. The final
+    * agg is doc-keyed.
+    */
+  def zipfMass(docs: DataFrame, idCol: String, textCol: String,
+               headK: Int = 1024): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("c"))
+    val head = cnt.orderBy(col("c").desc, col("term").asc).limit(headK)
+    val scoredHead = tf.join(broadcast(head), Seq("term"))
+    val scoredTail = tf
+      .join(broadcast(head.select("term")), Seq("term"), "left_anti")
+      .join(cnt, Seq("term"))
+    val perDoc = scoredHead.unionByName(scoredTail)
+      .groupBy("id")
+      .agg(sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("tf") * length(bin(col("c")))).as("zipf_bits"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("zipf_bits"), lit(0L)).as("zipf_bits"))
+  }
+
+  /** Per-domain boilerplate detection (the CCNet/Trafilatura idea on a
+    * corpus with no line structure): a `w`-gram is boilerplate within a
+    * domain when it occurs in ≥ `minDocs` distinct documents of that
+    * domain (nav bars, footers, cookie banners repeat across a site's
+    * pages; real prose doesn't). Emits per document the distinct-gram
+    * count, how many are boilerplate, and the boilerplate fraction in
+    * ppm (exact integer division).
+    *
+    * 100 TB shape: per-doc-DISTINCT gram hashes (one fused native
+    * ShingleHashes pass) make the (domain, gram) count a plain
+    * map-combinable groupBy = document frequency; the flag join is
+    * (domain, gram)-keyed — co-partitioned with the count it consumes,
+    * and domain-local so no corpus-wide hot key; the final agg is
+    * doc-keyed. Nothing touches the driver.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, domainCol: String,
+                       textCol: String, w: Int = 5,
+                       minDocs: Int = 3): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("id"), col(domainCol).as("dom"),
+      explode(graft.dedup.Dedup.distinctShingleHashes(col(textCol), w))
+        .as("h"))
+    val freq = grams.groupBy("dom", "h").agg(count(lit(1)).as("nd"))
+    grams.join(freq, Seq("dom", "h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm", expr("n_boiler * 1000000 DIV n_grams"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_boiler"),
+        col("boiler_ppm"))
+  }
+
   def domainMixWeights(docs: DataFrame, domainCol: String, textCol: String,
                        budget: Long): DataFrame = {
     val agg = docs
