@@ -60,28 +60,42 @@ object Dedup {
                        idCol: String, textCol: String,
                        estimatedItems: Long = 1L << 20,
                        numBits: Long = 1L << 23): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-
     val batchKeys = batch
       .select(col(idCol).as("bid"), md5(col(textCol)).as("text_md5"))
-    val bloomAgg = column(
-      new BloomFilterAggregate(
-        new XxHash64(Seq(expression(col("text_md5")))),
-        Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
-    val bloom = batchKeys.select(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
-
+    val bloom = bloomOver(batchKeys, "text_md5", estimatedItems, numBits)
     val snapKeys = snapshot.select(md5(col(textCol)).as("text_md5"))
     val snapHits =
       if (bloom == null) snapKeys.limit(0) // empty batch: nothing can match
-      else snapKeys.filter(column(BloomFilterMightContain(
-        Literal(bloom),
-        new XxHash64(Seq(expression(col("text_md5")))))))
+      else snapKeys.filter(mightContain(bloom, col("text_md5")))
 
     batchKeys.join(snapHits, Seq("text_md5"), "left_anti")
       .groupBy("text_md5")
       .agg(min(col("bid")).as("keep_id"))
+  }
+
+  /** One distributed partial-aggregate pass building a Bloom sketch over
+    * a string column (null when the frame is empty). Driver holds one
+    * merged numBits/8-byte array.
+    */
+  private[graft] def bloomOver(df: DataFrame, c: String,
+                               estimatedItems: Long,
+                               numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(expression(col(c)))),
+        Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+    df.select(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** Codegen'd Bloom membership probe over a string column. */
+  private[graft] def mightContain(bloom: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal}
+    column(BloomFilterMightContain(
+      Literal(bloom), new XxHash64(Seq(expression(c)))))
   }
 
   // ---- Engine-portable hash primitives ------------------------------------
