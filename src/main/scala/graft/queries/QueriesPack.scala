@@ -32,6 +32,7 @@ object QueriesPack {
   private val ChunkW = 128L  // window tokens
   private val ChunkS = 96L   // stride tokens (overlap = 32)
   private val SeqLen = 256L  // packed training-sequence length
+  private val ShardSize = 1000L  // q88 docs per training shard
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_chunk_windows" -> ((s, d) =>
@@ -59,7 +60,14 @@ object QueriesPack {
           (greatest(col("g"), col("seq_id") * SeqLen) - col("g")).as("doc_off"),
           (least(col("c"), (col("seq_id") + 1L) * SeqLen) -
             greatest(col("g"), col("seq_id") * SeqLen)).as("n_tok"))
-    }))
+    }),
+
+    // q88 deterministic global shuffle → fixed-size shards: content-hash
+    // order (pure function of the data, no RNG), two-phase global
+    // row_number — never a single-partition Window
+    "q88_shuffle_shards" -> ((s, d) =>
+      TextOps.shuffleShards(t(s, d, "documents"), "doc_id", "text",
+        ShardSize)))
 
   val oracles: Map[String, String] = Map(
     "q80_chunk_windows" ->
@@ -98,5 +106,21 @@ object QueriesPack {
          |SELECT doc_id, seq_id,
          |  GREATEST(g, seq_id * $SeqLen) - g AS doc_off,
          |  LEAST(c, (seq_id + 1) * $SeqLen) - GREATEST(g, seq_id * $SeqLen) AS n_tok
-         |FROM x""".stripMargin)
+         |FROM x""".stripMargin,
+
+    // q88: same md5h32(id ':' text) hash; (h, doc_id) is a total order
+    // so ROW_NUMBER is unambiguous in both engines
+    "q88_shuffle_shards" -> {
+      val h = graft.dedup.Dedup.md5h32Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || text")
+      s"""WITH h AS (SELECT doc_id, $h AS h FROM documents),
+         |r AS (
+         |  SELECT doc_id, h,
+         |    ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn
+         |  FROM h)
+         |SELECT doc_id, h,
+         |  (rn - 1) // $ShardSize AS shard,
+         |  (rn - 1) % $ShardSize AS pos
+         |FROM r""".stripMargin
+    })
 }

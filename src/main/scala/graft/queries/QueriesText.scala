@@ -118,6 +118,13 @@ object QueriesText {
       TextOps.boilerplateStats(t(s, d, "documents"), "doc_id", "source",
         "text")),
 
+    // DSIR importance weights: hashed-unigram log-ratio bits vs a
+    // deterministic target sample (doc_id % 5 = 0 stands in for the
+    // trusted-domain subset)
+    "q87_dsir_weights" -> ((s, d) =>
+      TextOps.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+        col("doc_id") % 5 === 0)),
+
     // token counting
     "q27_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -1137,6 +1144,32 @@ object QueriesText {
          |  (CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
          |    * 1000000) // COUNT(*) AS boiler_ppm
          |FROM e JOIN m USING (source, h) GROUP BY doc_id""".stripMargin,
+
+    // q87: same md5h32 bucket arithmetic; bitlen(c+1) = length(bin(c+1))
+    // is exact integer in both engines (no float log-ratio sum)
+    "q87_dsir_weights" -> {
+      val b = Dedup.md5h32Sql("term")
+      s"""WITH tf AS (
+         |  SELECT doc_id, $b % 4096 AS b, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x,
+         |    LATERAL unnest(tk) u(term)
+         |  GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT b, CAST(SUM(tf) AS BIGINT) AS cr,
+         |    CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN tf ELSE 0 END)
+         |      AS BIGINT) AS ct
+         |  FROM tf GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(tf * (length(bin(ct + 1)) - length(bin(cr + 1))))
+         |      AS BIGINT) AS dsir_bits
+         |  FROM tf JOIN dist USING (b) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.dsir_bits, 0) AS dsir_bits
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+    },
 
     "q27_token_count" ->
       s"""SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens

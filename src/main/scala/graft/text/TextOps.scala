@@ -343,9 +343,13 @@ object TextOps {
     */
   def zipfMass(docs: DataFrame, idCol: String, textCol: String,
                headK: Int = 1024): DataFrame = {
+    // tf feeds the term-count agg, the head join AND the tail anti-join
+    // — stage it once (tokenize + groupBy is the expensive pass; without
+    // the checkpoint Catalyst plans three full corpus scans)
     val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cnt = tf.groupBy("term").agg(sum("tf").as("c"))
     val head = cnt.orderBy(col("c").desc, col("term").asc).limit(headK)
     val scoredHead = tf.join(broadcast(head), Seq("term"))
@@ -383,10 +387,14 @@ object TextOps {
   def boilerplateStats(docs: DataFrame, idCol: String, domainCol: String,
                        textCol: String, w: Int = 5,
                        minDocs: Int = 3): DataFrame = {
+    // grams feeds BOTH the doc-frequency agg and the flag join — stage
+    // it once (shingle + md5 + explode is the expensive pass; without
+    // the checkpoint Catalyst plans two full corpus scans)
     val grams = docs.select(
       col(idCol).as("id"), col(domainCol).as("dom"),
       explode(graft.dedup.Dedup.distinctShingleHashes(col(textCol), w))
         .as("h"))
+      .localCheckpoint(true)
     val freq = grams.groupBy("dom", "h").agg(count(lit(1)).as("nd"))
     grams.join(freq, Seq("dom", "h"))
       .groupBy("id")
@@ -395,6 +403,78 @@ object TextOps {
       .withColumn("boiler_ppm", expr("n_boiler * 1000000 DIV n_grams"))
       .select(col("id").as(idCol), col("n_grams"), col("n_boiler"),
         col("boiler_ppm"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed unigram
+    * features in `buckets` buckets; each document scores
+    * Σ_b tf_b · (bitlen(target_count_b + 1) − bitlen(raw_count_b + 1)) —
+    * the exact-integer analogue of the paper's Σ log p_target(f)/p_raw(f)
+    * (bitlen = floor(log2)+1, so the score is a log-ratio in bits,
+    * reproducible bit-for-bit in any engine, unlike a float log sum).
+    * `isTarget` marks the trusted-domain sample rows. High `dsir_bits`
+    * ⇒ the document's hashed-feature profile looks like the target
+    * distribution. One row per document (zero-token docs get zeros).
+    *
+    * 100 TB shape: the per-doc tf agg is (doc, bucket)-keyed —
+    * map-combinable, ≤ `buckets` distinct hash values per doc; BOTH
+    * distribution tables are bounded at `buckets` rows regardless of
+    * corpus size, so the score join is a broadcast of a few-KB table —
+    * no corpus-sized shuffle beyond the one tf groupBy, no Zipf hot key
+    * (buckets spread the head terms by construction).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 4096): DataFrame = {
+    // tf feeds BOTH the distribution agg and the score join — stage it
+    // once (tokenize + md5 + groupBy is the expensive pass; without the
+    // checkpoint Catalyst plans two full corpus scans)
+    val tf = docs
+      .select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(tokens(col(textCol))).as("term"))
+      .withColumn("b", graft.dedup.Dedup.md5h32(col("term")) % buckets)
+      .groupBy("id", "tgt", "b").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dist = tf.groupBy("b").agg(
+      sum("tf").as("cr"),
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("ct"))
+    val perDoc = tf.join(broadcast(dist), Seq("b"))
+      .groupBy("id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") *
+          (length(bin(col("ct") + 1L)) - length(bin(col("cr") + 1L)))
+            .cast("long")).as("dsir_bits"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
+  }
+
+  /** Deterministic global shuffle → fixed-size training shards: order
+    * the corpus by (md5h32(id ':' text), id) — a content hash, so the
+    * permutation is a pure function of the data (stable across reruns,
+    * partitionings and cluster sizes; no RNG, no seed file) — then cut
+    * every `shardSize` rows. Emits (id, h, shard, pos): the exact shard
+    * file and offset each document lands in, which is what a training
+    * job needs to resume mid-epoch.
+    *
+    * 100 TB shape: the global order comes from
+    * [[graft.runtime.Ranks.withGlobalRowNumber]] — one range exchange +
+    * partition-local row_number + an O(#partitions) offset map; never a
+    * single-partition Window. Hash keys are uniform by construction, so
+    * the range partitions are balanced with no skew handling needed.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, textCol: String,
+                    shardSize: Long = 1000L): DataFrame = {
+    val withH = docs.select(
+      col(idCol),
+      graft.dedup.Dedup.md5h32(
+        concat(col(idCol).cast("string"), lit(":"), col(textCol))).as("h"))
+    graft.runtime.Ranks
+      .withGlobalRowNumber(withH, Seq(col("h"), col(idCol)), "rn")
+      .select(col(idCol), col("h"),
+        expr(s"(rn - 1L) DIV ${shardSize}L").as("shard"),
+        ((col("rn") - 1L) % shardSize).as("pos"))
   }
 
   def domainMixWeights(docs: DataFrame, domainCol: String, textCol: String,

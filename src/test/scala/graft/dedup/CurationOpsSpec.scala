@@ -119,4 +119,79 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     // s2 has a single doc: nothing reaches doc-frequency 3
     assert(r(3) == ((4L, 6L, 0L, 0L)))
   }
+
+  test("dsirWeights: hand-computed bit ratios, zeros for empty docs") {
+    // target sample = doc_id % 5 == 0 → docs 0 and 5
+    val docs = Seq(
+      (0L, "tgtword tgtword"), // ct=2 cr=2 → per-occ bitlen(3)-bitlen(3)=0
+      (1L, "rawword"),         // ct=0 cr=1 → bitlen(1)-bitlen(2) = -1
+      (5L, "both"),            // ct=1 cr=2 → bitlen(2)-bitlen(3) = 0
+      (2L, "both"),
+      (3L, "")                 // zero tokens
+    ).toDF("doc_id", "text")
+    // 3 distinct terms in 4096 buckets: no collisions (deterministic
+    // hash — if this assertion holds once it holds always)
+    val nb = docs.select(explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .select((Dedup.md5h32($"t") % 4096).as("b")).distinct.count()
+    assert(nb == 3L)
+    val r = TextOps.dsirWeights(docs, "doc_id", "text", $"doc_id" % 5 === 0)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 0L), (1L, 1L, -1L), (2L, 1L, 0L), (3L, 0L, 0L),
+      (5L, 1L, 0L)))
+  }
+
+  test("dsirWeights: partitioning-independent, raw-only terms score below") {
+    val docs = (0L until 200L).map { i =>
+      val w = if (i % 5 == 0) "trusted clean prose" else "spam junk noise"
+      (i, s"$w shared$i")
+    }.toDF("doc_id", "text")
+    val a = TextOps.dsirWeights(docs, "doc_id", "text", $"doc_id" % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val b = TextOps.dsirWeights(
+      docs.repartition(7), "doc_id", "text", $"doc_id" % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // target docs' vocabulary matches the target distribution: strictly
+    // higher score than the raw-only docs
+    val tgtMin = a.filter(_._1 % 5 == 0).map(_._3).min
+    val rawMax = a.filter(_._1 % 5 != 0).map(_._3).max
+    assert(tgtMin > rawMax)
+  }
+
+  test("shuffleShards: dense (shard,pos), matches independent hash sort") {
+    val docs = (0L until 2500L).map(i => (i, s"payload $i"))
+      .toDF("doc_id", "text")
+    val out = TextOps.shuffleShards(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 2500)
+    // shard sizes 1000/1000/500, every (shard,pos) unique
+    val byShard = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byShard == Map(0L -> 1000, 1L -> 1000, 2L -> 500))
+    assert(out.map(r => (r._3, r._4)).distinct.length == 2500)
+    // global order = sort by (h, doc_id) computed independently
+    val want = docs.select($"doc_id",
+      Dedup.md5h32(concat($"doc_id".cast("string"), lit(":"), $"text"))
+        .as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1))
+      .zipWithIndex
+      .map { case ((id, h), i) => (id, h, i / 1000L, i % 1000L) }
+    assert(out.sortBy(t => (t._3, t._4)).toSeq == want.toSeq)
+  }
+
+  test("shuffleShards: permutation is partitioning-independent") {
+    val docs = (0L until 600L).map(i => (i, s"p $i")).toDF("doc_id", "text")
+    val a = TextOps.shuffleShards(docs, "doc_id", "text", 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val b = TextOps.shuffleShards(docs.repartition(11), "doc_id", "text", 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }
