@@ -474,6 +474,52 @@ object Dedup {
     }.toDF("qid", "nid", "sim", "rank")
   }
 
+  /** Margin-based neighbour mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    * CCMatrix/LASER bitext-mining scorer): a candidate pair survives when
+    * its cosine stands out against BOTH endpoints' neighbourhood density,
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2),
+    * which kills hub vectors that score high against everything.
+    *
+    * Operates on ANY `(qid, nid, sim, rank)` top-k frame — the shared
+    * output schema of [[bruteForceCosineTopK]], [[annCosineTopK]] and
+    * [[ivfCosineTopK]] — so the exact brute-force path and both ANN scale
+    * paths feed the same composition unchanged.
+    *
+    * Exactness: sims are integerised to e6 PER ROW before any
+    * aggregation, and the margin is computed entirely in BIGINT —
+    *   margin_ppm = (2·sim_e6·ka·kb·10⁶) DIV (sa·kb + sb·ka)
+    * (ka/sa = neighbour count / e6-sim sum at the query end; kb/sb at the
+    * neighbour end) — so the result is independent of summation order,
+    * partitioning and engine; a float mean would not be. Rows with a
+    * non-positive denominator (all-negative neighbourhoods) are dropped
+    * in both engines before dividing.
+    *
+    * 100 TB shape: the top-k frame is k·N narrow rows and `sums` is N
+    * rows — both joins are plain equi-joins on the id, no all-pairs
+    * anywhere; the quadratic part lives in the top-k search, which is
+    * exactly what the ANN paths bound. The frame is checkpointed once
+    * because it feeds the pair rows AND both endpoint sums.
+    */
+  def marginMine(topk: DataFrame, minMarginPpm: Long = 1000000L): DataFrame = {
+    val t = topk
+      .select(col("qid"), col("nid"),
+        expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))
+      .localCheckpoint(true)
+    val sums = t.groupBy("qid")
+      .agg(sum("sim_e6").as("s_e6"), count(lit(1)).as("kn"))
+    t.join(sums.select(col("qid"), col("s_e6").as("sa"), col("kn").as("ka")),
+        Seq("qid"))
+      .join(sums.select(col("qid").as("nid"), col("s_e6").as("sb"),
+        col("kn").as("kb")), Seq("nid"))
+      .withColumn("den", col("sa") * col("kb") + col("sb") * col("ka"))
+      .where(col("den") > 0L)
+      .withColumn("margin_ppm",
+        expr("(2 * sim_e6 * ka * kb * 1000000L) DIV den"))
+      .where(col("margin_ppm") >= minMarginPpm)
+      .select("qid", "nid", "sim_e6", "margin_ppm")
+  }
+
   // ---- Sign-LSH approximate nearest neighbours -----------------------------
 
   /** Deterministic pseudo-random hyperplane component h(j, i) ∈ (-1, 1) for

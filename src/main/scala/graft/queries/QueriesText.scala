@@ -167,6 +167,12 @@ object QueriesText {
         .select(col("qid"), col("rank"), col("nid"),
           expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
 
+    // margin-based neighbour mining (CCMatrix scorer) over the exact
+    // top-3 frame; exact-integer margin so the oracle is float-order-proof
+    "q89_margin_mine" -> ((s, d) =>
+      Dedup.marginMine(
+        Dedup.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3))),
+
     // BPE-ish subword pre-token count (GPT-2 pretokenizer regex)
     "q57_bpe_tokens" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -1220,5 +1226,35 @@ object QueriesText {
         |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |) WHERE rank <= 3""".stripMargin)
+        |) WHERE rank <= 3""".stripMargin,
+
+    // q89: same knn CTE as q31 (e6-integerised per row), then the margin
+    // entirely in BIGINT — (2·sim_e6·ka·kb·10⁶) // (sa·kb + sb·ka) —
+    // so both engines agree bit-for-bit regardless of summation order.
+    // den > 0 filters all-negative neighbourhoods before dividing; every
+    // emitted row has a positive numerator, so DuckDB's floor-division
+    // `//` and Spark's truncating DIV coincide.
+    "q89_margin_mine" ->
+      """WITH knn AS (
+        |  SELECT qid, nid, sim_e6 FROM (
+        |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |      CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT)
+        |        AS sim_e6,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id ASC) AS rank
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |  WHERE rank <= 3),
+        |sums AS (
+        |  SELECT qid AS id, CAST(SUM(sim_e6) AS BIGINT) AS s,
+        |    COUNT(*) AS kn
+        |  FROM knn GROUP BY 1)
+        |SELECT qid, nid, sim_e6, margin_ppm FROM (
+        |  SELECT k.qid, k.nid, k.sim_e6,
+        |    (2 * k.sim_e6 * a.kn * b.kn * 1000000) // (a.s * b.kn + b.s * a.kn)
+        |      AS margin_ppm,
+        |    (a.s * b.kn + b.s * a.kn) AS den
+        |  FROM knn k JOIN sums a ON a.id = k.qid JOIN sums b ON b.id = k.nid)
+        |WHERE den > 0 AND margin_ppm >= 1000000""".stripMargin)
 }

@@ -204,6 +204,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // tie between 1 and 2 for query 3 broken by min id
   }
 
+  test("marginMine: integer margins replay exactly; hubs suppressed; " +
+      "partitioning-invariant") {
+    // two tight pairs + one hub vector similar to everything
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (4L, Seq(0.1f, 0.99f, 0.0f)),
+      (5L, Seq(0.6f, 0.6f, 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val topk = Dedup.bruteForceCosineTopK(df, "vec_id", "embedding", 2)
+    // plain-Scala replay of the documented integer formula
+    val e6 = topk.collect().map(r =>
+      (r.getLong(0), r.getLong(1), math.floor(r.getDouble(2) * 1e6 + 0.5).toLong))
+    val sums = e6.groupBy(_._1).map { case (q, xs) =>
+      q -> ((xs.map(_._3).sum, xs.length.toLong)) }
+    val expect = e6.flatMap { case (q, n, s) =>
+      val (sa, ka) = sums(q); val (sb, kb) = sums(n)
+      val den = sa * kb + sb * ka
+      if (den > 0) Some((q, n, s, 2L * s * ka * kb * 1000000L / den)) else None
+    }.toSet
+    def run(t: org.apache.spark.sql.DataFrame) =
+      Dedup.marginMine(t, Long.MinValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = run(topk)
+    assert(got == expect)
+    // the close pairs clear margin 1.0; the hub never does as a query
+    val kept = Dedup.marginMine(topk).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.contains((1L, 2L)) && kept.contains((3L, 4L)))
+    assert(!kept.exists(_._1 == 5L))
+    // integer math + per-row integerisation ⇒ partitioning-invariant
+    assert(run(topk.repartition(7)) == got)
+  }
+
   test("ANN sign-LSH: exact-duplicate vectors always land together; " +
       "recall vs brute force is high on clustered data") {
     // 40 vectors in 4 tight clusters of 10 (deterministic jitter)
