@@ -269,6 +269,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Edit-distance verification of MinHash-LSH candidate pairs — the
+    * character-level analogue of the shingle-Jaccard verify stage:
+    * candidates come from the same banded buckets (no all-pairs join at
+    * any scale) and each pair is scored with the exact Levenshtein
+    * distance normalised to ppm of the longer text,
+    *   ed_ppm = (lev · 10⁶) DIV max(len_a, len_b, 1),
+    * a pure-integer ratio identical in any engine and any partitioning.
+    * `is_dup` marks pairs at or below `maxEdPpm` (default 20 % edits).
+    * Catches shingle-order rewrites that Jaccard scores as identical.
+    *
+    * 100 TB shape: identical to the Jaccard verify — banding bounds the
+    * candidate volume (`maxBucket` cap), texts reach the O(#candidates)
+    * pair list through id equi-joins with the small side broadcast, and
+    * the per-pair O(len²) DP is partition-local compute with no extra
+    * shuffle. Char≡byte exactness holds on ASCII corpora (Spark counts
+    * codepoints, DuckDB bytes); the synthetic corpus is pure ASCII.
+    */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxEdPpm: Long = 200000L): DataFrame = {
+    val txts = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val cand = minhashCandidatesFromHashes(
+      docs.select(col(idCol).as("id"),
+        distinctShingleHashes(col(textCol)).as("hs")))
+      .select("id_a", "id_b")
+    val withA = txts.select(col("id").as("id_a"), col("txt").as("txt_a"))
+      .join(broadcast(cand), Seq("id_a"))
+    txts.select(col("id").as("id_b"), col("txt").as("txt_b"))
+      .join(broadcast(withA), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("txt_a"), col("txt_b")).cast("long").as("lev"),
+        greatest(length(col("txt_a")), length(col("txt_b")), lit(1))
+          .cast("long").as("mlen"))
+      .withColumn("ed_ppm", expr("(lev * 1000000L) DIV mlen"))
+      .withColumn("is_dup",
+        when(col("ed_ppm") <= maxEdPpm, 1L).otherwise(0L))
+      .select("id_a", "id_b", "lev", "ed_ppm", "is_dup")
+  }
+
   /** Estimated Jaccard from two signatures (fraction of agreeing hashes). */
   def signatureJaccard(sigA: Column, sigB: Column): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),

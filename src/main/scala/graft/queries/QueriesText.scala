@@ -201,6 +201,12 @@ object QueriesText {
     // hash sets, the same shingle space the banding quantizes)
     "q59_jaccard_verify" -> ((s, d) => jaccardVerifiedPairs(s, d)),
 
+    // edit-distance verification of the SAME LSH candidates — the
+    // character-level second verifier beside q59's Jaccard (catches
+    // shingle-order rewrites); exact-integer Levenshtein ppm
+    "q90_edit_verify" -> ((s, d) =>
+      Dedup.editVerifiedPairs(t(s, d, "documents"), "doc_id", "text")),
+
     // near-dup CLUSTER COLLAPSE — the final dedup stage: q59's verified
     // pairs transitively closed with the shuffle CC operator, min-id
     // survivor per cluster, singletons survive themselves
@@ -1210,6 +1216,25 @@ object QueriesText {
     "q32_minhash_lsh" -> minhashLshOracle,
 
     "q59_jaccard_verify" -> jaccardVerifyOracle,
+
+    // q90: same banded-candidate CTE as q32, then DuckDB's exact
+    // levenshtein with the integer ppm normalisation; byte≡char on the
+    // ASCII corpus. GREATEST(..., 1) guards the division in both engines.
+    "q90_edit_verify" ->
+      s"""WITH cand AS (
+         |$minhashLshOracle
+         |)
+         |SELECT id_a, id_b, lev, ed_ppm,
+         |  CAST(CASE WHEN ed_ppm <= 200000 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_dup
+         |FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |    (CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000000)
+         |      // GREATEST(len(a.text), len(b.text), 1) AS ed_ppm
+         |  FROM cand c
+         |  JOIN documents a ON a.doc_id = c.id_a
+         |  JOIN documents b ON b.doc_id = c.id_b)""".stripMargin,
 
     "q61_simhash_pairs" -> simhashPairsOracle,
 

@@ -237,6 +237,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(run(topk.repartition(7)) == got)
   }
 
+  test("editVerifiedPairs: exact Levenshtein ppm on LSH candidates only") {
+    val a = "the quick brown fox jumps over the lazy dog and then runs far away"
+    val b = a.replace("runs", "walks") // near-dup: shares almost all shingles
+    val c = Seq.fill(12)("entirely unrelated wording here").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // plain-Scala DP replay of the exact distance
+    def lev(x: String, y: String): Long = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length).toLong
+    }
+    assert(got.contains((1L, 2L)), s"near-dup pair not a candidate: $got")
+    val (l, ppm, dup) = got((1L, 2L))
+    assert(l == lev(a, b))
+    assert(ppm == l * 1000000L / math.max(a.length, b.length))
+    assert(dup == 1L)
+    // the unrelated doc never reaches the verify stage
+    assert(!got.keySet.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
   test("ANN sign-LSH: exact-duplicate vectors always land together; " +
       "recall vs brute force is high on clustered data") {
     // 40 vectors in 4 tight clusters of 10 (deterministic jitter)
