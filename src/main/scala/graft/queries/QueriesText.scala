@@ -201,6 +201,13 @@ object QueriesText {
     // hash sets, the same shingle space the banding quantizes)
     "q59_jaccard_verify" -> ((s, d) => jaccardVerifiedPairs(s, d)),
 
+    // token-budget mixture selection: materialise the training mix that
+    // q72 only prices — per-domain quota, deterministic hash-order
+    // admission, skew-proof two-phase prefix sum (no per-domain window)
+    "q91_mixture_select" -> ((s, d) =>
+      TextOps.mixtureSelect(t(s, d, "documents"), "doc_id", "source",
+        "text", 1000L)),
+
     // edit-distance verification of the SAME LSH candidates — the
     // character-level second verifier beside q59's Jaccard (catches
     // shingle-order rewrites); exact-integer Levenshtein ppm
@@ -1216,6 +1223,39 @@ object QueriesText {
     "q32_minhash_lsh" -> minhashLshOracle,
 
     "q59_jaccard_verify" -> jaccardVerifyOracle,
+
+    // q91: replays q72's alloc arithmetic exactly (same floor/sqrt/ppm
+    // steps), then the per-source running token sum in the same
+    // deterministic (content-hash, id) order the Spark side uses; the
+    // SQL window cumsum equals the engine's two-phase prefix sum.
+    "q91_mixture_select" -> {
+      val h = Dedup.md5h32Sql("CAST(doc_id AS VARCHAR) || ':' || text")
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len($duckTokens) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok_mass
+         |  FROM tok GROUP BY 1),
+         |mx AS (SELECT MAX(tok_mass) AS m FROM agg),
+         |a AS (
+         |  SELECT source,
+         |    CAST(FLOOR((1000 * CAST(FLOOR(1000000.0
+         |        * sqrt(CAST(tok_mass AS DOUBLE)) / sqrt(CAST(m AS DOUBLE))
+         |        + 0.5) AS BIGINT)) / 1000000.0) AS BIGINT) AS alloc
+         |  FROM agg, mx),
+         |hh AS (
+         |  SELECT doc_id, source, n_tokens, $h AS h FROM tok),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM hh)
+         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+         |  CAST(CASE WHEN c.cum_tokens <= a.alloc THEN 1 ELSE 0 END
+         |    AS BIGINT) AS selected
+         |FROM c JOIN a USING (source)""".stripMargin
+    },
 
     // q90: same banded-candidate CTE as q32, then DuckDB's exact
     // levenshtein with the integer ppm normalisation; byte≡char on the

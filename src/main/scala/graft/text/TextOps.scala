@@ -477,6 +477,52 @@ object TextOps {
         ((col("rn") - 1L) % shardSize).as("pos"))
   }
 
+  /** Token-budget mixture selection — materialise the training mix that
+    * [[domainMixWeights]] only prices: each domain gets its `alloc`-token
+    * quota, documents enter in deterministic content-hash order (a pure
+    * function of the data — stable across reruns, partitionings and
+    * cluster sizes), and a document is selected while the domain's
+    * running token sum stays within quota. Emits every document with its
+    * position (`cum_tokens`) and a `selected` flag, so the caller can
+    * audit the cut line per domain.
+    *
+    * 100 TB shape: the per-domain prefix sum is NOT a
+    * `Window.partitionBy(domain)` (one task per domain — a mega-domain
+    * is a straggler); it is the global two-phase range prefix sum
+    * ([[graft.runtime.Ranks.withGlobalCumsumLong]] ordered by
+    * (domain, hash, id)) minus a broadcast per-domain exclusive base —
+    * a huge domain spans MANY range partitions, so there is no
+    * single-task hot spot. Driver state = O(#domains) longs, the same
+    * contract as the weights table itself.
+    */
+  def mixtureSelect(docs: DataFrame, idCol: String, domainCol: String,
+                    textCol: String, budget: Long): DataFrame = {
+    val alloc = domainMixWeights(docs, domainCol, textCol, budget)
+      .select(col(domainCol).as("src"), col("alloc"))
+    val scored = docs.select(col(idCol).as("id"),
+      col(domainCol).as("src"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      graft.dedup.Dedup.md5h32(
+        concat(col(idCol).cast("string"), lit(":"), col(textCol))).as("h"))
+    val cum = graft.runtime.Ranks.withGlobalCumsumLong(
+      scored, Seq(col("src"), col("h"), col("id")), col("n_tokens"), "gcum")
+      .localCheckpoint(true) // feeds the per-domain totals AND the output
+    val totals = cum.groupBy("src").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var run = 0L
+    val baseMap: Map[String, Long] = totals.map { case (s, tm) =>
+      val b = s -> run; run += tm; b
+    }.toMap
+    cum
+      .withColumn("dom_cum",
+        col("gcum") - element_at(typedLit(baseMap), col("src")))
+      .join(broadcast(alloc), Seq("src"))
+      .withColumn("selected",
+        when(col("dom_cum") <= col("alloc"), 1L).otherwise(0L))
+      .select(col("id").as(idCol), col("src").as(domainCol),
+        col("n_tokens"), col("dom_cum").as("cum_tokens"), col("selected"))
+  }
+
   def domainMixWeights(docs: DataFrame, domainCol: String, textCol: String,
                        budget: Long): DataFrame = {
     val agg = docs

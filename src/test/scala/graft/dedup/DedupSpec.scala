@@ -237,6 +237,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(run(topk.repartition(7)) == got)
   }
 
+  test("mixtureSelect: greedy hash-order prefix per domain, exact quota, " +
+      "partitioning-invariant") {
+    import graft.text.TextOps
+    // two domains, ten 4-token docs each → tok_mass 40/40, weights 1.0,
+    // alloc = floor(budget·1e6/1e6) = budget
+    val docs = (0 until 20).map { i =>
+      (i.toLong, if (i < 10) "a" else "b", "w x y z" + i)
+    }.toDF("doc_id", "source", "text")
+    def md5h32(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val budget = 18L // 4 full docs + a 2-token remainder → cut mid-domain
+    val rows = TextOps.mixtureSelect(docs, "doc_id", "source", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 20)
+    for (dom <- Seq("a", "b")) {
+      val inOrder = rows.filter(_._2 == dom)
+        .sortBy { case (id, _, _, _, _) => (md5h32(s"$id:w x y z$id"), id) }
+      // cum_tokens is the running sum in (content-hash, id) order
+      assert(inOrder.map(_._4).toSeq ==
+        inOrder.map(_._3).scanLeft(0L)(_ + _).tail.toSeq)
+      // selected = the exact greedy prefix under the quota
+      assert(inOrder.map(_._5).toSeq ==
+        inOrder.map(t => if (t._4 <= budget) 1L else 0L).toSeq)
+      // budget 18 over 4-token docs → exactly 4 docs make the cut
+      assert(inOrder.count(_._5 == 1L) == 4)
+    }
+    // two-phase prefix sum ⇒ identical output at any input partitioning
+    val rows7 = TextOps.mixtureSelect(docs.repartition(7), "doc_id",
+      "source", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows7.toSet == rows.toSet)
+  }
+
   test("editVerifiedPairs: exact Levenshtein ppm on LSH candidates only") {
     val a = "the quick brown fox jumps over the lazy dog and then runs far away"
     val b = a.replace("runs", "walks") // near-dup: shares almost all shingles
