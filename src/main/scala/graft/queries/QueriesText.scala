@@ -201,6 +201,20 @@ object QueriesText {
     // hash sets, the same shingle space the banding quantizes)
     "q59_jaccard_verify" -> ((s, d) => jaccardVerifiedPairs(s, d)),
 
+    // per-domain quality-percentile gate: keep each domain's top 30 % by
+    // an integer quality score (mean-token-length composite) under an
+    // EXACT per-domain rank — the count-guaranteed sibling of q68's
+    // rate-based quota sampling; skew-proof two-phase rank, no
+    // per-domain window
+    "q92_quality_gate" -> ((s, d) => {
+      val q = TextOps.qualityColumns(col("text")).toMap
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (q("mean_tok_len_c") * lit(100000L) +
+          least(q("n_tokens"), lit(99999L))).as("score"))
+      graft.runtime.Ranks.topFractionPerGroup(scored, "source",
+        Seq(col("score").desc, col("doc_id").asc), 300000L)
+    }),
+
     // token-budget mixture selection: materialise the training mix that
     // q72 only prices — per-domain quota, deterministic hash-order
     // admission, skew-proof two-phase prefix sum (no per-domain window)
@@ -1223,6 +1237,28 @@ object QueriesText {
     "q32_minhash_lsh" -> minhashLshOracle,
 
     "q59_jaccard_verify" -> jaccardVerifyOracle,
+
+    // q92: q29's integer mean-token-length arithmetic composed into the
+    // score, then the per-source rank as a plain SQL window (equal to the
+    // engine's two-phase rank) and the exact integer ceiling for keep_n.
+    "q92_quality_gate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN len(tk) > 0 THEN FLOOR(
+         |      list_sum(list_transform(tk, x -> length(x))) * 100
+         |        / len(tk)) ELSE 0 END AS BIGINT) * 100000
+         |    + LEAST(CAST(len(tk) AS BIGINT), 99999) AS score
+         |  FROM (SELECT doc_id, source, $duckTokens AS tk FROM documents)),
+         |r AS (
+         |  SELECT doc_id, source, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM s)
+         |SELECT doc_id, source, score, rank,
+         |  CAST(CASE WHEN rank <= (n * 300000 + 999999) // 1000000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r""".stripMargin,
 
     // q91: replays q72's alloc arithmetic exactly (same floor/sqrt/ppm
     // steps), then the per-source running token sum in the same

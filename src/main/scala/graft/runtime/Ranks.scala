@@ -102,6 +102,41 @@ object Ranks {
       .drop("__pid", "__lcs")
   }
 
+  /** Keep the top `keepPpm`-millionths of each group's rows under
+    * `order` (the caller appends a unique tie-break column): the
+    * per-group rank is the GLOBAL two-phase row number over
+    * (group, order…) minus each group's min row number — computed from
+    * the frame itself, so no assumption about driver-side vs engine
+    * collation — which lets a mega-group span many range partitions
+    * instead of serialising into one `Window.partitionBy(group)` task.
+    * Emits every row with its per-group `rank` and a `kept` flag
+    * (rank ≤ ceil(n_g · keepPpm / 10⁶), exact integer ceiling). Driver
+    * state = O(#groups) longs, the same contract as a broadcast join.
+    */
+  def topFractionPerGroup(
+      df: DataFrame, grpCol: String, order: Seq[Column], keepPpm: Long,
+      rankOut: String = "rank", keptOut: String = "kept"): DataFrame = {
+    val rn = withGlobalRowNumber(df, col(grpCol).asc +: order, "__grn")
+      .localCheckpoint(true) // feeds the per-group stats AND the output
+    val stats = rn.groupBy(grpCol)
+      .agg((min("__grn") - 1L).as("base"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val baseMap: Map[String, Long] = stats.map(s => s._1 -> s._2).toMap
+    val keepMap: Map[String, Long] = stats.map { case (g, _, n) =>
+      g -> ((n * keepPpm + 999999L) / 1000000L)
+    }.toMap
+    if (baseMap.isEmpty)
+      rn.withColumn(rankOut, lit(1L)).withColumn(keptOut, lit(0L))
+        .drop("__grn").limit(0)
+    else rn
+      .withColumn(rankOut,
+        col("__grn") - element_at(typedLit(baseMap), col(grpCol)))
+      .withColumn(keptOut,
+        when(col(rankOut) <= element_at(typedLit(keepMap), col(grpCol)),
+          1L).otherwise(0L))
+      .drop("__grn")
+  }
+
   /** Dense ids (0, 1, …) for a TINY distinct set (group keys, tag ids):
     * an explicit repartition(1) + in-partition sort + monotonic id —
     * intentionally single-partition (the input is a handful of rows) and

@@ -41,6 +41,36 @@ class PackSpec extends AnyFunSuite with SparkTestBase {
     d
   }
 
+  test("topFractionPerGroup: exact per-group ranks and ceil quota, " +
+      "mega-group safe, partitioning-independent") {
+    // group "big" has 70 rows, "a"/"b" 15 each; score = descending value
+    val rows = (0 until 100).map { i =>
+      val g = if (i < 70) "big" else if (i < 85) "a" else "b"
+      (i.toLong, g, (1000 - i).toLong)
+    }
+    val df = rows.toDF("id", "g", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ranks.topFractionPerGroup(d, "g",
+        Seq(col("score").desc, col("id").asc), 300000L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    val got = run(df)
+    assert(got.length == 100)
+    for ((g, n) <- Seq(("big", 70L), ("a", 15L), ("b", 15L))) {
+      val grp = got.filter(_._2 == g).sortBy(_._4)
+      // ranks are 1..n_g dense, in (score desc, id) order
+      assert(grp.map(_._4).toSeq == (1L to n).toSeq)
+      assert(grp.map(_._3).toSeq == grp.map(_._3).sortBy(-_).toSeq)
+      // kept = exact integer ceiling of 30 %
+      val keepN = (n * 300000L + 999999L) / 1000000L
+      assert(grp.count(_._5 == 1L) == keepN)
+      assert(grp.filter(_._5 == 1L).map(_._4).max == keepN)
+    }
+    // ceil check on the odd sizes: 15 · 0.3 = 4.5 → 5
+    assert(got.filter(r => r._2 == "a" && r._5 == 1L).length == 5)
+    assert(run(df.repartition(7)).toSet == got.toSet)
+  }
+
   test("q80: windows cover every token, stride 96, width <= 128") {
     val rows = QueriesPack.queries("q80_chunk_windows")(spark, dir)
       .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
