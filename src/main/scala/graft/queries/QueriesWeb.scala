@@ -60,6 +60,16 @@ object QueriesWeb {
       val n = docs.count()
       graft.web.LinkGraph.pagerank(
         docs, graft.web.LinkGraph.syntheticEdges(docs, n), n)
+    }),
+
+    // link-graph triangle counts + clustering coefficient — the
+    // link-spam/community-density signal beside q76's centrality;
+    // degree-ordered orientation bounds wedge volume at O(E^1.5)
+    "q93_triangles" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      val n = docs.count()
+      graft.web.LinkGraph.triangleCounts(
+        docs, graft.web.LinkGraph.syntheticEdges(docs, n))
     }))
 
   /** Deterministic messy-URL synthesis, identical modulo the cast type
@@ -151,7 +161,52 @@ object QueriesWeb {
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
          |FROM c""".stripMargin,
 
-    "q76_pagerank" -> pagerankOracle(5))
+    "q76_pagerank" -> pagerankOracle(5),
+
+    // q93: the same synthetic edge rule as q76, then the identical
+    // orientation key (deg·2³² + id) and wedge/closing joins in SQL;
+    // cc_ppm uses the same integer floor division.
+    "q93_triangles" ->
+      """WITH nodes AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id*31 + 17*i.i + 7) % (SELECT n FROM nn) AS dst
+        |  FROM documents, LATERAL unnest([0,1,2]) i(i)),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |  FROM e),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS deg FROM (
+        |    SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |k AS (SELECT x, deg * 4294967296 + x AS k FROM deg),
+        |o AS (
+        |  SELECT CASE WHEN ku.k < kv.k THEN u ELSE v END AS f,
+        |         CASE WHEN ku.k < kv.k THEN v ELSE u END AS t,
+        |         CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS kt
+        |  FROM und JOIN k ku ON ku.x = und.u JOIN k kv ON kv.x = und.v),
+        |tri AS (
+        |  SELECT e1.f AS a, e1.t AS b, e2.t AS c
+        |  FROM o e1
+        |  JOIN o e2 ON e1.f = e2.f AND e1.kt < e2.kt
+        |  JOIN o e3 ON e3.f = e1.t AND e3.t = e2.t),
+        |pn AS (
+        |  SELECT x, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT nodes.doc_id,
+        |  CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+        |  CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN COALESCE(deg.deg, 0) >= 2
+        |    THEN (2 * COALESCE(pn.n_tri, 0) * 1000000)
+        |      // (deg.deg * (deg.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM nodes
+        |LEFT JOIN deg ON deg.x = nodes.doc_id
+        |LEFT JOIN pn ON pn.x = nodes.doc_id""".stripMargin)
 
   /** q76: the 5 PageRank rounds unrolled as CTEs — same integer floor
     * divisions (`//`), same synthetic edge rule, same teleport/damping

@@ -34,6 +34,63 @@ object LinkGraph {
       .where(col("src") =!= col("dst"))
       .distinct()
 
+  /** Degree-ordered triangle counting + local clustering coefficient —
+    * the link-spam / community-density signal over the same link graph
+    * PageRank ranks. Each undirected edge is oriented from its lower
+    * (degree, id) endpoint to the higher (key k = deg·2³² + id, a total
+    * order; ids must fit 32 bits), and wedges are enumerated only at
+    * each edge's LOW-degree end — the classic orientation bound: total
+    * wedge volume is O(E^1.5) regardless of hubs, where a naive
+    * neighbourhood self-join is Σ deg² (a 10⁷-degree hub alone would be
+    * 10¹⁴ wedge rows). Per-node `cc_ppm` = (2·tri·10⁶) div (deg·(deg−1))
+    * — exact integers end to end, so the DuckDB oracle replays it
+    * bit-for-bit.
+    *
+    * Scale shape: three equi-joins (two on node keys, the closing join
+    * on the (b,c) pair) and two groupBys; the oriented edge frame is
+    * checkpointed once and reused by both wedge sides and the closing
+    * join. No node ever materialises its full neighbourhood in one row.
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val k = deg.select(col("x"),
+      (col("deg") * lit(4294967296L) + col("x")).as("k"))
+    val oriented = und
+      .join(k.select(col("x").as("u"), col("k").as("ku")), Seq("u"))
+      .join(k.select(col("x").as("v"), col("k").as("kv")), Seq("v"))
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("f"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("t"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kt"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("f"), col("t").as("b"), col("kt").as("kb"))
+      .join(oriented.select(col("f"), col("t").as("c"), col("kt").as("kc")),
+        Seq("f"))
+      .where(col("kb") < col("kc"))
+    val tri = wedges
+      .join(oriented.select(col("f").as("b"), col("t").as("c")), Seq("b", "c"))
+      .select(col("f").as("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("n_tri"))
+    nodes.select(col("doc_id"))
+      .join(deg.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+      .join(perNode.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm",
+        when(col("deg") >= 2L,
+          expr("(2 * n_tri * 1000000L) DIV (deg * (deg - 1))"))
+          .otherwise(0L))
+  }
+
   /** `iters` exact-integer PageRank rounds; returns (doc_id, rank_ppb). */
   def pagerank(
       nodes: DataFrame, edges: DataFrame, n: Long, iters: Int = 5): DataFrame = {

@@ -10,6 +10,33 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("triangleCounts: K4 + pendant + isolated node, exact counts and cc") {
+    import spark.implicits._
+    // K4 on {0,1,2,3}, pendant 4-0, isolated 5
+    val nodes = (0L to 5L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (4L, 0L)).toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(nodes, edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // node 0: deg 4 (K4 + pendant), 3 triangles, cc = 6/12 = 0.5
+    assert(got(0L) == ((4L, 3L, 500000L)))
+    // nodes 1-3: deg 3, 3 triangles each, cc = 6/6 = 1.0
+    for (v <- 1L to 3L) assert(got(v) == ((3L, 3L, 1000000L)))
+    // pendant: deg 1, no triangle; isolated: all zeros
+    assert(got(4L) == ((1L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L)))
+    // total triangle count: K4 has exactly 4 (each counted at 3 nodes)
+    assert(got.values.map(_._2).sum == 12L)
+    // duplicate + reversed edges collapse to the same undirected graph
+    val noisy = edges.unionAll(
+      Seq((1L, 0L), (3L, 2L), (0L, 1L)).toDF("src", "dst"))
+    val got2 = LinkGraph.triangleCounts(nodes, noisy)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got2 == got)
+  }
+
   test("5 rounds over the synthetic link set match a sequential replay exactly") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
     val n = docs.count()
