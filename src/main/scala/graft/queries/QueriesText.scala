@@ -201,6 +201,12 @@ object QueriesText {
     // hash sets, the same shingle space the banding quantizes)
     "q59_jaccard_verify" -> ((s, d) => jaccardVerifiedPairs(s, d)),
 
+    // CCNet-style perplexity-filter analogue: bigram-LM conditional
+    // log-prob in exact integer bits; both Zipf-headed count joins are
+    // broadcast-head/shuffle-tail split (the q85 treatment)
+    "q94_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLmBits(t(s, d, "documents"), "doc_id", "text")),
+
     // per-domain quality-percentile gate: keep each domain's top 30 % by
     // an integer quality score (mean-token-length composite) under an
     // EXACT per-domain rank — the count-guaranteed sibling of q68's
@@ -1237,6 +1243,37 @@ object QueriesText {
     "q32_minhash_lsh" -> minhashLshOracle,
 
     "q59_jaccard_verify" -> jaccardVerifyOracle,
+
+    // q94: bigrams from 1-based list indexing (range(1, len) = Spark's
+    // sequence(1, size-1)); counts ≥ 1 so length(bin(c)) is the exact
+    // bitlen; all sums are integer — order-free in both engines.
+    "q94_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+         |bi0 AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, LATERAL unnest(range(1, len(tk))) u(i)),
+         |bi AS (
+         |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi0 GROUP BY 1, 2, 3),
+         |cb AS (
+         |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb
+         |  FROM bi GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS cu FROM bi GROUP BY 1),
+         |pos AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(tf * length(bin(cb))) AS BIGINT) AS pb
+         |  FROM bi JOIN cb USING (w1, w2) GROUP BY 1),
+         |ctf AS (
+         |  SELECT doc_id, w1, CAST(SUM(tf) AS BIGINT) AS tf
+         |  FROM bi GROUP BY 1, 2),
+         |neg AS (
+         |  SELECT doc_id, CAST(SUM(tf * length(bin(cu))) AS BIGINT) AS nb
+         |  FROM ctf JOIN cu USING (w1) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(pos.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(pos.pb, 0) - COALESCE(neg.nb, 0) AS lm_bits
+         |FROM documents d
+         |LEFT JOIN pos ON pos.doc_id = d.doc_id
+         |LEFT JOIN neg ON neg.doc_id = d.doc_id""".stripMargin,
 
     // q92: q29's integer mean-token-length arithmetic composed into the
     // score, then the per-source rank as a plain SQL window (equal to the

@@ -477,6 +477,65 @@ object TextOps {
         ((col("rn") - 1L) % shardSize).as("pos"))
   }
 
+  /** CCNet-style perplexity-filter analogue in exact integer bits: a
+    * bigram "LM" trained on the corpus itself (bigram + context counts),
+    * each document scored by the bitlen analogue of its token stream's
+    * conditional log-probability:
+    *   lm_bits = Σ_instances (bitlen(c(w1 w2)) − bitlen(c(w1 ·)))
+    * (bitlen = floor(log2)+1, counts ≥ 1 by construction; each term ≈
+    * log2 p(w2|w1) up to rounding — near 0 = predictable text, strongly
+    * negative = gibberish). Exact integers end to end, so the DuckDB
+    * oracle replays it bit-for-bit in any summation order.
+    *
+    * 100 TB shape: both count joins ride per-doc (doc, key)-keyed tf
+    * frames — map-combinable, no instance-level join rows — and each is
+    * split broadcast-head/shuffle-tail on the Zipf head (the q85
+    * treatment): the `headK` hottest keys join from a broadcast table,
+    * the long tail from a key-partitioned shuffle with no hot key. The
+    * deduplicated bigram frame is checkpointed once and feeds the count
+    * aggs, both head joins and both tail anti-joins.
+    */
+  def bigramLmBits(docs: DataFrame, idCol: String, textCol: String,
+                   headK: Int = 1024): DataFrame = {
+    val bi = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> " +
+          "struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val cb = bi.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    val cu = bi.groupBy("w1").agg(sum("tf").as("cu"))
+    val ctf = bi.groupBy("id", "w1").agg(sum("tf").as("tf"))
+    val headB = cb.orderBy(col("cb").desc, col("w1").asc, col("w2").asc)
+      .limit(headK)
+    val pos = bi.join(broadcast(headB), Seq("w1", "w2"))
+      .unionByName(bi
+        .join(broadcast(headB.select("w1", "w2")), Seq("w1", "w2"),
+          "left_anti")
+        .join(cb, Seq("w1", "w2")))
+      .groupBy("id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * length(bin(col("cb")))).as("pb"))
+    val headU = cu.orderBy(col("cu").desc, col("w1").asc).limit(headK)
+    val neg = ctf.join(broadcast(headU), Seq("w1"))
+      .unionByName(ctf
+        .join(broadcast(headU.select("w1")), Seq("w1"), "left_anti")
+        .join(cu, Seq("w1")))
+      .groupBy("id")
+      .agg(sum(col("tf") * length(bin(col("cu")))).as("nb"))
+    docs.select(col(idCol).as("id"))
+      .join(pos, Seq("id"), "left")
+      .join(neg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("pb"), lit(0L)) - coalesce(col("nb"), lit(0L)))
+          .as("lm_bits"))
+  }
+
   /** Token-budget mixture selection — materialise the training mix that
     * [[domainMixWeights]] only prices: each domain gets its `alloc`-token
     * quota, documents enter in deterministic content-hash order (a pure

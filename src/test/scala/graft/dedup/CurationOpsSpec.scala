@@ -98,6 +98,41 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(split == plain)
   }
 
+  test("bigramLmBits: hand-computed conditional bits; predictable beats " +
+      "gibberish; zero rows for <2 tokens") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: ab×3, ba×2
+      (2L, "a b"),         // ab×1
+      (3L, "x y"),         // xy×1
+      (4L, "solo"),        // 1 token → zeros
+      (5L, "")             // 0 tokens → zeros
+    ).toDF("doc_id", "text")
+    // corpus: c(ab)=4, c(ba)=2, c(xy)=1; c(a·)=4, c(b·)=2, c(x·)=1
+    def bl(n: Long) = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val r = TextOps.bigramLmBits(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val d1 = 3L * (bl(4) - bl(4)) + 2L * (bl(2) - bl(2)) // 0: fully predictable
+    val d2 = bl(4) - bl(4)
+    val d3 = bl(1) - bl(1)
+    assert(r.toSeq == Seq((1L, 5L, d1), (2L, 1L, d2), (3L, 1L, d3),
+      (4L, 0L, 0L), (5L, 0L, 0L)))
+    // a doc whose bigrams are corpus-unique scores below one whose
+    // bigrams are corpus-frequent (the filter's discriminating direction)
+    val docs2 = (0L until 20L).map(i => (i, "the same phrase again"))
+      .toDF("doc_id", "text")
+      .unionAll(Seq((100L, "same the again phrase")).toDF("doc_id", "text"))
+    val scores = TextOps.bigramLmBits(docs2, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    assert(scores(0L) > scores(100L))
+    // head/tail split covers every key exactly once
+    val split = TextOps.bigramLmBits(docs2, "doc_id", "text", headK = 1)
+      .orderBy("doc_id").collect().toSeq
+    val plain = TextOps.bigramLmBits(docs2, "doc_id", "text", headK = 100000)
+      .orderBy("doc_id").collect().toSeq
+    assert(split == plain)
+  }
+
   test("boilerplateStats: repeated 5-gram flagged within its source only") {
     val boiler = "cookie notice applies to this site"  // 6 tokens → 2 grams
     val docs = Seq(
