@@ -847,6 +847,53 @@ object Dedup {
         when(col("nid") === col("comp"), 1L).otherwise(0L).as("is_survivor"))
   }
 
+  /** Mirror-domain detection: domains connected by VERIFIED cross-domain
+    * near-duplicate documents collapse into mirror clusters (the
+    * mirror-farm / syndication signal a crawl curator uses to down-weight
+    * whole hosts, not just individual dup docs). Domain node ids are
+    * `md5h63(domain)` — deterministic, engine-portable, 63-bit (collision
+    * probability negligible and identical in the oracle, which replays
+    * the same hash). Cluster id = component min node id; `n_dup_links` =
+    * how many verified cross-domain dup pairs touch the domain (evidence
+    * strength); `is_canonical` marks the cluster's min-id domain.
+    *
+    * 100 TB shape: the doc→domain joins are id equi-joins; the domain
+    * edge set collapses through a (src, dst)-keyed groupBy to
+    * O(#domain-pairs-with-shared-content) rows before entering the
+    * shuffle CC operator, whose iteration state is domain-sized, not
+    * corpus-sized.
+    */
+  def mirrorDomains(docs: DataFrame, dupPairs: DataFrame,
+                    idCol: String, domainCol: String): DataFrame = {
+    val dd = docs.select(col(idCol).as("id"), col(domainCol).as("dom"),
+      md5h63(col(domainCol)).as("nid"))
+      .localCheckpoint(true) // feeds both edge sides and the domain set
+    val e = dupPairs
+      .join(dd.select(col("id").as("id_a"), col("nid").as("na")), Seq("id_a"))
+      .join(dd.select(col("id").as("id_b"), col("nid").as("nb")), Seq("id_b"))
+      .where(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("src"),
+        greatest(col("na"), col("nb")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint(true) // feeds the CC loop and the evidence agg
+    val doms = dd.select(col("dom"), col("nid")).distinct()
+    val labels = graft.graph.ConnectedComponents.labelsWithSingletons(
+      e.select("src", "dst"), doms.select(col("nid")))
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("n_domains"))
+    val evid = e
+      .select(explode(array(col("src"), col("dst"))).as("nid"),
+        col("n_shared"))
+      .groupBy("nid").agg(sum("n_shared").as("n_dup_links"))
+    doms.join(labels, Seq("nid"))
+      .join(sizes, Seq("comp"))
+      .join(evid, Seq("nid"), "left")
+      .select(col("dom").as(domainCol), col("comp").as("cluster"),
+        col("n_domains"),
+        coalesce(col("n_dup_links"), lit(0L)).as("n_dup_links"),
+        when(col("nid") === col("comp"), 1L).otherwise(0L)
+          .as("is_canonical"))
+  }
+
   /** Non-overlapping `w`-token passages of the token stream:
     * (idCol, pos, pass, ntok). The distributable granularity for
     * exact-substring dedup (Lee et al. 2022 run suffix arrays single-node;

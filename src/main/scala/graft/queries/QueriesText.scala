@@ -201,6 +201,14 @@ object QueriesText {
     // hash sets, the same shingle space the banding quantizes)
     "q59_jaccard_verify" -> ((s, d) => jaccardVerifiedPairs(s, d)),
 
+    // mirror-domain detection: domains linked by verified cross-domain
+    // near-dup docs collapse into mirror clusters via the shuffle CC
+    // operator (domain-sized state); md5h63 domain node ids
+    "q95_mirror_domains" -> ((s, d) =>
+      Dedup.mirrorDomains(t(s, d, "documents"),
+        jaccardVerifiedPairs(s, d).filter(col("is_dup") === 1L),
+        "doc_id", "source")),
+
     // CCNet-style perplexity-filter analogue: bigram-LM conditional
     // log-prob in exact integer bits; both Zipf-headed count joins are
     // broadcast-head/shuffle-tail split (the q85 treatment)
@@ -1243,6 +1251,49 @@ object QueriesText {
     "q32_minhash_lsh" -> minhashLshOracle,
 
     "q59_jaccard_verify" -> jaccardVerifyOracle,
+
+    // q95: q59's verified pairs mapped to md5h63 domain nodes, distinct
+    // domain edges, then the q13/q64 recursive min-label CC pattern;
+    // singletons via the left-join coalesce, evidence = Σ n_shared at
+    // each endpoint.
+    "q95_mirror_domains" -> {
+      val h = Dedup.md5h63Sql("source")
+      s"""WITH RECURSIVE jv AS (
+         |$jaccardVerifyOracle
+         |),
+         |dm AS (SELECT doc_id, source, $h AS nid FROM documents),
+         |dup AS (SELECT id_a, id_b FROM jv WHERE is_dup = 1),
+         |de0 AS (
+         |  SELECT LEAST(a.nid, b.nid) AS src, GREATEST(a.nid, b.nid) AS dst
+         |  FROM dup JOIN dm a ON a.doc_id = dup.id_a
+         |           JOIN dm b ON b.doc_id = dup.id_b
+         |  WHERE a.nid <> b.nid),
+         |de AS (SELECT src, dst, COUNT(*) AS n_shared FROM de0 GROUP BY 1, 2),
+         |sym AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+         |r AS (
+         |  SELECT src AS nid, src AS label FROM sym
+         |  UNION
+         |  SELECT s.dst AS nid, r.label FROM r JOIN sym s ON s.src = r.nid
+         |  WHERE r.label < s.dst
+         |),
+         |cc AS (SELECT nid, MIN(label) AS comp FROM r GROUP BY nid),
+         |doms AS (SELECT DISTINCT source, nid FROM dm),
+         |asg AS (
+         |  SELECT d.source, d.nid, COALESCE(cc.comp, d.nid) AS cluster
+         |  FROM doms d LEFT JOIN cc ON cc.nid = d.nid),
+         |sz AS (SELECT cluster, COUNT(*) AS n_domains FROM asg GROUP BY 1),
+         |ev AS (
+         |  SELECT nid, CAST(SUM(n_shared) AS BIGINT) AS n_dup_links FROM (
+         |    SELECT src AS nid, n_shared FROM de
+         |    UNION ALL SELECT dst, n_shared FROM de)
+         |  GROUP BY 1)
+         |SELECT a.source, a.cluster, z.n_domains,
+         |  COALESCE(ev.n_dup_links, 0) AS n_dup_links,
+         |  CAST(CASE WHEN a.nid = a.cluster THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_canonical
+         |FROM asg a JOIN sz z ON z.cluster = a.cluster
+         |LEFT JOIN ev ON ev.nid = a.nid""".stripMargin
+    },
 
     // q94: bigrams from 1-based list indexing (range(1, len) = Spark's
     // sequence(1, size-1)); counts ≥ 1 so length(bin(c)) is the exact

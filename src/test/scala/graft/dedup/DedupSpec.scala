@@ -237,6 +237,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(run(topk.repartition(7)) == got)
   }
 
+  test("mirrorDomains: dup-linked domains cluster, evidence counted, " +
+      "isolated domain is its own canonical cluster") {
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"),
+      (5L, "C"), (6L, "D"), (7L, "E")).toDF("doc_id", "source")
+    // A↔B via two doc pairs (one also intra-A: must be dropped),
+    // C↔D via one pair
+    val pairs = Seq((1L, 3L), (2L, 4L), (1L, 2L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.mirrorDomains(docs, pairs, "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 5)
+    // A and B share a cluster of 2; so do C and D; E is alone
+    assert(got("A")._1 == got("B")._1 && got("A")._2 == 2L)
+    assert(got("C")._1 == got("D")._1 && got("C")._2 == 2L)
+    assert(got("C")._1 != got("A")._1)
+    assert(got("E")._2 == 1L && got("E")._4 == 1L && got("E")._3 == 0L)
+    // evidence: A-B has 2 cross-domain pairs (intra-A pair dropped)
+    assert(got("A")._3 == 2L && got("B")._3 == 2L)
+    assert(got("C")._3 == 1L && got("D")._3 == 1L)
+    // exactly one canonical per cluster
+    assert(got.values.count(_._4 == 1L) == 3)
+  }
+
   test("mixtureSelect: greedy hash-order prefix per domain, exact quota, " +
       "partitioning-invariant") {
     import graft.text.TextOps
