@@ -201,6 +201,14 @@ object QueriesText {
     // hash sets, the same shingle space the banding quantizes)
     "q59_jaccard_verify" -> ((s, d) => jaccardVerifiedPairs(s, d)),
 
+    // Broder containment of the SAME LSH candidates — the DIRECTIONAL
+    // near-dup signal Jaccard misses: a short doc quoted whole inside a
+    // long one has tiny Jaccard but containment ~1.0 (Broder 1997's
+    // resemblance/containment pair; the quote/inclusion detector in a
+    // crawl dedup pass). Exact integers end to end: no float rounding
+    // to reconcile cross-engine.
+    "q96_containment" -> ((s, d) => containmentPairs(s, d)),
+
     // mirror-domain detection: domains linked by verified cross-domain
     // near-dup docs collapse into mirror clusters via the shuffle CC
     // operator (domain-sized state); md5h63 domain node ids
@@ -490,6 +498,73 @@ object QueriesText {
           lit(1000000.0) + lit(0.5)).cast("long").as("j_e6"))
       .withColumn("is_dup",
         when(col("j_e6") >= 500000L, 1L).otherwise(0L))
+  }
+
+  /** q96 body: Broder containment over the same staged shingle-hash
+    * sets and the same broadcast candidate frame as q59 —
+    * c(A,B) = |A∩B| / |A| (and symmetrically / |B|), e6-floored with
+    * integer DIV so DuckDB replays it bit-for-bit. `is_contained`
+    * flags pairs where either side is ≥90 % inside the other; the
+    * shingle fallback for short texts guarantees |hs| ≥ 1 (no zero
+    * divisor).
+    */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sets = t(s, d, "documents").select(col("doc_id").as("id"),
+      Dedup.distinctShingleHashes(col("text")).as("hs"))
+    val cand = Dedup.minhashCandidatesFromHashes(sets)
+    val withA = sets
+      .select(col("id").as("id_a"), col("hs").as("hs_a"))
+      .join(broadcast(cand), Seq("id_a"))
+    sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
+      .join(broadcast(withA), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("inter"),
+        size(col("hs_a")).cast("long").as("na"),
+        size(col("hs_b")).cast("long").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 1000000L DIV na").as("c_a_e6"),
+        expr("inter * 1000000L DIV nb").as("c_b_e6"))
+      .withColumn("is_contained",
+        when(greatest(col("c_a_e6"), col("c_b_e6")) >= 900000L, 1L)
+          .otherwise(0L))
+  }
+
+  /** q96 oracle: the q59 CTE chain (candidates + distinct md5h32
+    * shingle-hash sets), then integer-DIV containment both ways. */
+  private def containmentOracle: String = {
+    val w = 3
+    s"""WITH cand AS (
+       |$minhashLshOracle
+       |),
+       |jtoks AS (
+       |  SELECT doc_id, $duckTokens AS tk FROM documents),
+       |jsh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= $w
+       |      THEN list_transform(range(len(tk) - ${w - 1}),
+       |             i -> array_to_string(list_slice(tk, i + 1, i + $w), ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS sg
+       |  FROM jtoks),
+       |jhs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(sg, s -> ${Dedup.md5h32Sql("s")})) AS hs
+       |  FROM jsh),
+       |cc AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+       |    CAST(len(a.hs) AS BIGINT) AS na,
+       |    CAST(len(b.hs) AS BIGINT) AS nb
+       |  FROM cand c
+       |  JOIN jhs a ON a.doc_id = c.id_a
+       |  JOIN jhs b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b,
+       |  inter * 1000000 // na AS c_a_e6,
+       |  inter * 1000000 // nb AS c_b_e6,
+       |  CAST(CASE WHEN GREATEST(inter * 1000000 // na,
+       |                          inter * 1000000 // nb) >= 900000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_contained
+       |FROM cc""".stripMargin
   }
 
   private def jaccardVerifyOracle: String = {
@@ -1251,6 +1326,8 @@ object QueriesText {
     "q32_minhash_lsh" -> minhashLshOracle,
 
     "q59_jaccard_verify" -> jaccardVerifyOracle,
+
+    "q96_containment" -> containmentOracle,
 
     // q95: q59's verified pairs mapped to md5h63 domain nodes, distinct
     // domain edges, then the q13/q64 recursive min-label CC pattern;

@@ -403,6 +403,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(fromText.nonEmpty)
   }
 
+  test("q96 containment: brute-force replay over the LSH candidates") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sets = docs.select(col("doc_id"),
+      Dedup.distinctShingleHashes(col("text")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cand.map { case (a, b) =>
+      val (ha, hb) = (sets(a), sets(b))
+      val inter = ha.intersect(hb).size.toLong
+      val ca = inter * 1000000L / ha.size
+      val cb = inter * 1000000L / hb.size
+      (a, b, ca, cb, if (math.max(ca, cb) >= 900000L) 1L else 0L)
+    }.toSet
+    val got = graft.SparkEntry.queries("q96_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("containment is directional where jaccard is not") {
+    // B = A plus a tail: every A-shingle is in B, so c(A→B) = 1e6 while
+    // jaccard < 1; the constructed pair shares LSH bands (identical
+    // 9-token prefix dominates the signature)
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val b = a + " kappa"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sets = df.select(col("doc_id"),
+      Dedup.distinctShingleHashes(col("text")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val inter = sets(1L).intersect(sets(2L)).size.toLong
+    assert(inter == sets(1L).size.toLong) // A ⊂ B in shingle space
+    val ca = inter * 1000000L / sets(1L).size
+    val cb = inter * 1000000L / sets(2L).size
+    assert(ca == 1000000L && cb < 1000000L)
+    val jac = df.agg(Dedup.ngramJaccard(
+      first(when(col("doc_id") === 1L, col("text")), ignoreNulls = true),
+      first(when(col("doc_id") === 2L, col("text")), ignoreNulls = true))
+      .as("j")).head().getDouble(0)
+    assert(jac < 1.0)
+  }
+
   test("nearDupCollapse: transitive clusters, min-id survivor, singletons") {
     // chain 1-2, 2-3 plus pair 10-11; 20 is in no pair
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
