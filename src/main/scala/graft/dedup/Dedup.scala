@@ -165,6 +165,56 @@ object Dedup {
   private[graft] def shingleHashesHof(text: Column, w: Int = 3): Column =
     transform(shingles(text, w), s => md5h32(s))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003):
+    * minimum w-gram hash per sliding window of `win` grams, rightmost on
+    * ties — the MOSS local fingerprint. Unlike [[shingleHashes]]-based
+    * MinHash (a whole-document sketch) this selects POSITIONED grams
+    * with the guarantee that any shared token run of length ≥ w+win−1
+    * produces a shared fingerprint, keeping only ~2/(win+1) of grams —
+    * the index for substring-level plagiarism/quote detection. Each
+    * selection is one long, `pos·2³² + md5h32(gram)` (both fit), so the
+    * array stays primitive and decodes with integer DIV/%.
+    */
+  def winnowFingerprints(text: Column, w: Int = 3, win: Int = 4): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), w, win))
+
+  /** Cross-document winnowing-fingerprint matching — the end-to-end
+    * substring-dup miner over [[winnowFingerprints]]: two docs sharing
+    * `minShared`+ selected gram hashes share (with the SWA guarantee)
+    * verbatim token runs — quote farms, templated spam, plagiarised
+    * passages — even when whole-doc MinHash similarity is negligible.
+    *
+    * 100 TB shape: identical to LSH banding — explode → per-doc distinct
+    * → groupBy fingerprint → pairs within bucket. Mega-buckets (a
+    * boilerplate gram selected in millions of docs) are dropped by
+    * `maxBucket` exactly like the LSH bucket cap: a fingerprint shared
+    * by >maxBucket docs identifies boilerplate, not plagiarism, and
+    * would otherwise quadratically explode the pair list.
+    */
+  def winnowMatchPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, win: Int = 4, maxBucket: Int = 1000,
+      minShared: Long = 2L): DataFrame = {
+    val fps = docs
+      .select(col(idCol).as("id"),
+        explode(winnowFingerprints(col(textCol), w, win)).as("e"))
+      .select(col("id"), expr("e % 4294967296L").as("fp"))
+      .distinct()
+    val grouped = fps.groupBy("fp")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    grouped
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** Per-token md5h63 hash array (the SimHash staging column) — fused
     * native pass; order-preserving, duplicates kept (votes count every
     * occurrence).

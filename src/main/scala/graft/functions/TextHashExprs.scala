@@ -81,13 +81,10 @@ object TextHashExprs {
       (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
         ((d(6) & 0xffL) << 8) | (d(7) & 0xffL))
 
-  /** Shingle-hash array for one text value. `distinct` keeps the first
-    * occurrence of each hash (= `array_distinct`). With fewer than `w`
-    * tokens the whole token list is one shingle (md5 of "" for empty
-    * texts) — the `shingles()` fallback branch.
+  /** Ordered (non-distinct) shingle-hash longs for one text value —
+    * shared by [[shingleHashArray]] and [[winnowEncodedArray]].
     */
-  def shingleHashArray(s: UTF8String, w: Int, distinct: Boolean): ArrayData = {
-    val bytes = s.getBytes
+  private def shingleHashLongs(bytes: Array[Byte], w: Int): Array[Long] = {
     val ranges = tokenRanges(bytes)
     val nTok = ranges.length / 2
     val md = md5Local.get()
@@ -99,6 +96,17 @@ object TextHashExprs {
       out(i) = h32(digestWindow(md, bytes, ranges, i, shingleW))
       i += 1
     }
+    out
+  }
+
+  /** Shingle-hash array for one text value. `distinct` keeps the first
+    * occurrence of each hash (= `array_distinct`). With fewer than `w`
+    * tokens the whole token list is one shingle (md5 of "" for empty
+    * texts) — the `shingles()` fallback branch.
+    */
+  def shingleHashArray(s: UTF8String, w: Int, distinct: Boolean): ArrayData = {
+    val out = shingleHashLongs(s.getBytes, w)
+    val n = out.length
     val vals =
       if (!distinct) out
       else {
@@ -112,6 +120,43 @@ object TextHashExprs {
         b.result()
       }
     UnsafeArrayData.fromPrimitiveArray(vals)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 §3): slide a window of `win` consecutive w-gram hashes; in each
+    * window select the minimum hash, rightmost occurrence on ties.
+    * Guarantee: any shared token run of length ≥ w + win − 1 yields a
+    * shared fingerprint, yet only ~2/(win+1) of grams are kept.
+    *
+    * Selected positions are non-decreasing as the window slides (the
+    * rightmost-tie rule never re-selects to the left), so first-occurrence
+    * dedup emits positions in ascending order. Each selection is encoded
+    * as ONE long — `pos·2³² + hash` (md5h32 fits 32 bits; pos is a gram
+    * index) — so the array stays primitive and the DuckDB oracle decodes
+    * with `// 4294967296` and `% 4294967296` in exact integers.
+    */
+  def winnowEncodedArray(s: UTF8String, w: Int, win: Int): ArrayData = {
+    val hs = shingleHashLongs(s.getBytes, w)
+    val n = hs.length
+    val m = if (n <= win) 1 else n - win + 1
+    val b = new scala.collection.mutable.ArrayBuilder.ofLong
+    var last = -1
+    var j = 0
+    while (j < m) {
+      val end = math.min(j + win, n)
+      var p = j
+      var i = j + 1
+      while (i < end) {
+        if (hs(i) <= hs(p)) p = i
+        i += 1
+      }
+      if (p != last) {
+        b += (p.toLong << 32) | (hs(p) & 0xffffffffL)
+        last = p
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(b.result())
   }
 
   /** Per-token md5h63 hash array (order-preserving, duplicates kept —
@@ -158,6 +203,27 @@ case class ShingleHashes(child: Expression, w: Int, distinct: Boolean)
     nullSafeCodeGen(ctx, ev, str => {
       s"""${ev.value} = graft.functions.TextHashExprs.shingleHashArray(
          |  $str, $w, $distinct);""".stripMargin
+    })
+}
+
+/** Winnowing fingerprints as pos-encoded longs — see
+  * [[TextHashExprs.winnowEncodedArray]].
+  */
+case class WinnowFingerprints(child: Expression, w: Int, win: Int)
+    extends TextToLongArrayExpr {
+  require(w >= 1 && win >= 1, s"w and win must be >= 1; got $w, $win")
+  override def prettyName: String = "graft_winnow_fingerprints"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashExprs.winnowEncodedArray(input.asInstanceOf[UTF8String], w, win)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""${ev.value} = graft.functions.TextHashExprs.winnowEncodedArray(
+         |  $str, $w, $win);""".stripMargin
     })
 }
 

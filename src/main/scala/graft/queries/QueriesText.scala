@@ -183,6 +183,24 @@ object QueriesText {
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    // winnowing fingerprints (SWA/MOSS): positioned local fingerprints
+    // with the ≥ w+win−1 shared-run guarantee — the substring-level
+    // plagiarism/quote index beside q58's whole-doc rolling hash and
+    // q32's whole-doc MinHash sketch; one row per selected gram
+    "q97_winnowing" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        explode(Dedup.winnowFingerprints(col("text"))).as("e"))
+        .select(col("doc_id"),
+          expr("e DIV 4294967296L").as("pos"),
+          expr("e % 4294967296L").as("fp"))),
+
+    // cross-doc winnowing match: docs sharing ≥2 selected gram hashes —
+    // verbatim-run mining (quote farms, templated spam) that whole-doc
+    // MinHash misses; bucket-capped like LSH (boilerplate fingerprints
+    // in >maxBucket docs are dropped, not exploded)
+    "q98_winnow_match" -> ((s, d) =>
+      Dedup.winnowMatchPairs(t(s, d, "documents"), "doc_id", "text")),
+
     // IVF ANN cosine top-3 — the second 100 TB scale path beside q50's
     // sign-LSH: coarse quantizer + inverted lists, nprobe equi-joins,
     // exact-integer Lloyd step (fully DuckDB-oracled)
@@ -528,6 +546,43 @@ object QueriesText {
       .withColumn("is_contained",
         when(greatest(col("c_a_e6"), col("c_b_e6")) >= 900000L, 1L)
           .otherwise(0L))
+  }
+
+  /** q97 oracle: winnowing (SWA rightmost-argmin-per-window) replayed
+    * with nested DuckDB list lambdas over the same ordered w-gram
+    * md5h32 hashes the engine's native expression computes; also the
+    * CTE base of q98's cross-doc match oracle.
+    */
+  private def winnowingOracle: String = {
+    val (w, win) = (3, 4)
+    s"""WITH wtoks AS (
+       |  SELECT doc_id, $duckTokens AS tk FROM documents),
+       |wsh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= $w
+       |      THEN list_transform(range(len(tk) - ${w - 1}),
+       |             i -> array_to_string(list_slice(tk, i + 1, i + $w), ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS sg
+       |  FROM wtoks),
+       |whs AS (
+       |  SELECT doc_id,
+       |    list_transform(sg, s -> ${Dedup.md5h32Sql("s")}) AS hs
+       |  FROM wsh),
+       |wwin AS (
+       |  SELECT doc_id, hs,
+       |    CASE WHEN len(hs) <= $win THEN 1
+       |         ELSE len(hs) - ${win - 1} END AS m
+       |  FROM whs),
+       |wsel AS (
+       |  SELECT doc_id, hs,
+       |    list_distinct(list_transform(range(m), j ->
+       |      list_reduce(
+       |        list_prepend(j, range(j, least(j + $win, len(hs)))),
+       |        (acc, i) -> CASE WHEN hs[i + 1] <= hs[acc + 1]
+       |                    THEN i ELSE acc END))) AS ps
+       |  FROM wwin)
+       |SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[p + 1] AS fp
+       |FROM (SELECT doc_id, hs, unnest(ps) AS p FROM wsel)""".stripMargin
   }
 
   /** q96 oracle: the q59 CTE chain (candidates + distinct md5h32
@@ -969,6 +1024,29 @@ object QueriesText {
          |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), ths),
          |  (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
          |FROM th""".stripMargin,
+
+    // q97: winnowing replayed with nested list lambdas — ordered w-gram
+    // md5h32 hashes, rightmost argmin per win-window via list_reduce
+    // (`<=` on ascending i = rightmost tie, exactly the engine's scan),
+    // distinct selected positions, one row per (pos, fp)
+    "q97_winnowing" -> winnowingOracle,
+
+    // q98: q97's rows as a CTE, per-doc distinct fingerprints, bucket
+    // cap 2..1000, a<b pair join, HAVING >= minShared
+    "q98_winnow_match" ->
+      s"""WITH wfp AS (
+         |$winnowingOracle
+         |),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |bc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+         |ok AS (SELECT fp FROM bc WHERE c BETWEEN 2 AND 1000)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_fps
+         |FROM fps a
+         |JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.fp = a.fp
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
     "q67_repetition" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $duckTokens AS tk FROM documents),

@@ -427,6 +427,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q98 winnow match: brute-force replay on real testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fps = docs.select(col("doc_id"),
+        Dedup.winnowFingerprints(col("text")).as("e"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_ & 0xffffffffL).toSet)
+    val byFp = fps.flatMap { case (id, s) => s.map(f => f -> id) }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
+      .filter { case (_, ids) => ids.size >= 2 && ids.size <= 1000 }
+    val expected = byFp.toSeq.flatMap { case (_, ids) =>
+      val sorted = ids.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.size)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).collect {
+      case (p, xs) if xs.size >= 2 => (p._1, p._2, xs.size.toLong)
+    }.toSet
+    val got = graft.SparkEntry.queries("q98_winnow_match")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("containment is directional where jaccard is not") {
     // B = A plus a tail: every A-shingle is in B, so c(A→B) = 1e6 while
     // jaccard < 1; the constructed pair shares LSH bands (identical

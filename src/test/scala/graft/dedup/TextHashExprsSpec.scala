@@ -68,4 +68,52 @@ class TextHashExprsSpec extends AnyFunSuite with SparkTestBase {
           s"w=$w mismatch"))
     }
   }
+
+  /** Pure-Scala winnowing reference: rightmost argmin per window over
+    * the staged ordered shingle hashes (the SWA §3 rule).
+    */
+  private def winnowRef(hs: Seq[Long], win: Int): Seq[(Long, Long)] = {
+    val n = hs.length
+    val m = if (n <= win) 1 else n - win + 1
+    (0 until m).map { j =>
+      val end = math.min(j + win, n)
+      val p = (j until end).foldLeft(j)((acc, i) =>
+        if (hs(i) <= hs(acc)) i else acc)
+      (p.toLong, hs(p))
+    }.distinct
+  }
+
+  test("WinnowFingerprints ≡ pure-Scala reference on adversarial texts") {
+    val (w, win) = (3, 4)
+    df.select(col("id"),
+        Dedup.shingleHashes(col("text"), w).as("hs"),
+        Dedup.winnowFingerprints(col("text"), w, win).as("enc"))
+      .collect()
+      .foreach { r =>
+        val expected = winnowRef(r.getSeq[Long](1), win)
+        val got = r.getSeq[Long](2)
+          .map(e => (e >> 32, e & 0xffffffffL))
+        assert(got == expected, s"winnow mismatch for id=${r.getLong(0)}")
+        // coverage guarantee: every window selects something, so the gap
+        // between consecutive selected positions is < win
+        got.map(_._1).sliding(2).foreach {
+          case Seq(a, b) => assert(b - a < win)
+          case _ =>
+        }
+        assert(got.nonEmpty) // ≥1 fingerprint even for empty text
+      }
+  }
+
+  test("winnowing guarantee: a shared ≥ w+win−1 token run shares a fingerprint") {
+    val (w, win) = (3, 4)
+    val run = "alpha beta gamma delta epsilon zeta" // w+win−1 = 6 tokens
+    val a = s"first document starts here $run and then diverges completely"
+    val b = s"unrelated opening words $run with a different continuation"
+    val fps = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .select(col("id"), Dedup.winnowFingerprints(col("text"), w, win).as("e"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_ & 0xffffffffL).toSet)
+      .toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
 }
