@@ -70,6 +70,28 @@ object QueriesWeb {
       val n = docs.count()
       graft.web.LinkGraph.triangleCounts(
         docs, graft.web.LinkGraph.syntheticEdges(docs, n))
+    }),
+
+    // page→host graph collapse: the Common-Crawl host-level webgraph
+    // product — intra-host links dropped, link count + distinct source
+    // pages per host pair
+    "q99_host_graph" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "source")
+      val n = docs.count()
+      graft.web.LinkGraph.hostGraph(
+        docs, graft.web.LinkGraph.syntheticEdges(docs.select("doc_id"), n))
+    }),
+
+    // HyperBall neighbourhood-function sketch (2 merge rounds): exact
+    // integer HLL registers per node — the harmonic-centrality scale
+    // path where exact balls are impossible; gate compares packed
+    // registers, zero count and register sum bit-for-bit
+    "q100_hyperball" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      val n = docs.count()
+      graft.web.LinkGraph.hyperBallRegisters(
+        docs, graft.web.LinkGraph.syntheticEdges(docs, n))
     }))
 
   /** Deterministic messy-URL synthesis, identical modulo the cast type
@@ -206,7 +228,79 @@ object QueriesWeb {
         |    ELSE 0 END AS BIGINT) AS cc_ppm
         |FROM nodes
         |LEFT JOIN deg ON deg.x = nodes.doc_id
-        |LEFT JOIN pn ON pn.x = nodes.doc_id""".stripMargin)
+        |LEFT JOIN pn ON pn.x = nodes.doc_id""".stripMargin,
+
+    // q99: same synthetic edge rule, endpoint hosts from documents,
+    // intra-host edges dropped
+    "q99_host_graph" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id*31 + 17*i.i + 7) % (SELECT n FROM nn) AS dst
+        |  FROM documents, LATERAL unnest([0,1,2]) i(i)),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |hm AS (SELECT doc_id, source AS host FROM documents)
+        |SELECT a.host AS src_host, b.host AS dst_host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_links,
+        |  CAST(COUNT(DISTINCT e.src) AS BIGINT) AS n_src_pages
+        |FROM e
+        |JOIN hm a ON a.doc_id = e.src
+        |JOIN hm b ON b.doc_id = e.dst
+        |WHERE a.host <> b.host
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q100_hyperball" -> hyperballOracle(2))
+
+  /** q100: both HyperBall merge rounds unrolled as CTEs — md5h63
+    * element hashes, register index h % 16, rank 60 − bitlen(h // 16)
+    * (60 for a zero tail; `length(bin(x))` is the exact bitlen in both
+    * engines for x ≥ 1), elementwise max over self ∪ out-neighbours,
+    * then the same 6-bit register packing and zero/sum stats.
+    */
+  private def hyperballOracle(rounds: Int): String = {
+    val mh = graft.dedup.Dedup.md5h63Sql("CAST(doc_id AS VARCHAR)")
+    val head =
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src,
+         |    (doc_id*31 + 17*i.i + 7) % (SELECT n FROM nn) AS dst
+         |  FROM documents, LATERAL unnest([0,1,2]) i(i)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |h0 AS (SELECT doc_id, $mh AS h FROM nodes),
+         |r0 AS (
+         |  SELECT doc_id, list_transform(range(16), i ->
+         |    CASE WHEN i = h % 16 THEN
+         |      CASE WHEN h // 16 = 0 THEN 60
+         |           ELSE 60 - length(bin(h // 16)) END
+         |    ELSE 0 END) AS regs
+         |  FROM h0)""".stripMargin
+    val merges = (1 to rounds).map { k =>
+      s"""c$k AS (
+         |  SELECT e.src AS doc_id, s.regs
+         |  FROM e JOIN r${k - 1} s ON s.doc_id = e.dst
+         |  UNION ALL SELECT doc_id, regs FROM r${k - 1}),
+         |x$k AS (
+         |  SELECT doc_id, t.i AS j, regs[t.i + 1] AS mj
+         |  FROM c$k, LATERAL unnest(range(16)) t(i)),
+         |g$k AS (SELECT doc_id, j, MAX(mj) AS mj FROM x$k GROUP BY 1, 2),
+         |r$k AS (
+         |  SELECT doc_id, list(mj ORDER BY j) AS regs FROM g$k GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val lo = (0 until 8).map(i => s"regs[${i + 1}] * ${1L << (6 * i)}")
+      .mkString(" + ")
+    val hi = (8 until 16).map(i => s"regs[${i + 1}] * ${1L << (6 * (i - 8))}")
+      .mkString(" + ")
+    s"""$head,
+       |$merges
+       |SELECT doc_id,
+       |  CAST($lo AS BIGINT) AS regs_lo,
+       |  CAST($hi AS BIGINT) AS regs_hi,
+       |  CAST(len(list_filter(regs, x -> x = 0)) AS BIGINT) AS v_zero,
+       |  CAST(list_sum(regs) AS BIGINT) AS sum_m
+       |FROM r$rounds""".stripMargin
+  }
 
   /** q76: the 5 PageRank rounds unrolled as CTEs — same integer floor
     * divisions (`//`), same synthetic edge rule, same teleport/damping

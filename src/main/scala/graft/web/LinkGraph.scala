@@ -91,6 +91,95 @@ object LinkGraph {
           .otherwise(0L))
   }
 
+  /** Page→host graph collapse — the standard webgraph product (the
+    * Common-Crawl host-level graph is exactly this over the page-level
+    * one): page links joined to their endpoint hosts, intra-host links
+    * dropped, one weighted edge per host pair with the raw link count
+    * and the distinct-source-page count.
+    *
+    * Scale shape: two id equi-joins (the page→host map is itself
+    * 100 TB-scale, so no broadcast — plain shuffle joins) and one
+    * groupBy with map-side partial aggregation absorbing hot host
+    * pairs. Nothing is per-host serialized.
+    */
+  def hostGraph(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val hosts = docs.select(col("doc_id"), col("source").as("host"))
+    edges
+      .join(hosts.select(col("doc_id").as("src"), col("host").as("src_host")),
+        Seq("src"))
+      .join(hosts.select(col("doc_id").as("dst"), col("host").as("dst_host")),
+        Seq("dst"))
+      .where(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src")).as("n_src_pages"))
+  }
+
+  /** HyperBall (Boldi–Vigna, "In-Core Computation of Geometric
+    * Centralities with HyperBall", 2013) — the neighbourhood-function
+    * sketch that ranks hosts by harmonic centrality at Common-Crawl
+    * scale, where exact per-node balls are impossible (a hub's ball is
+    * half the graph). Each node carries an m-register HyperLogLog of
+    * its out-ball; one round merges every out-neighbour's counter
+    * (elementwise max) into the node's own — after r rounds register
+    * state describes B(v, r) exactly as HLL(ball members).
+    *
+    * Everything the gate compares is EXACT INTEGER: md5h63 element
+    * hashes, register index `h % m`, rank ρ = 60 − bitlen(h div m)
+    * (60 for the zero tail), and the output packs the registers
+    * 6 bits each into two BIGINTs plus the zero-register count and
+    * register sum. The float cardinality estimate α·m²/Σ2^−M is a
+    * trivial driver-side epilogue deliberately kept OUT of the
+    * cross-engine gate (it adds no information the registers don't
+    * carry).
+    *
+    * Scale shape per round: one dst-keyed equi-join (counters onto
+    * edges), one (nid, j) partial-agg max — O(E·m) shuffle rows with
+    * map-side combine, the canonical distributed HyperBall round; the
+    * counter frame is localCheckpointed so rounds don't re-derive.
+    */
+  def hyperBallRegisters(
+      nodes: DataFrame, edges: DataFrame,
+      m: Int = 16, rounds: Int = 2): DataFrame = {
+    require(m >= 2 && m % 2 == 0, s"m must be even and >= 2; got $m")
+    val init = nodes
+      .select(col("doc_id").as("nid"),
+        graft.dedup.Dedup.md5h63(col("doc_id").cast("string")).as("h"))
+      .select(col("nid"),
+        pmod(col("h"), lit(m.toLong)).cast("int").as("j"),
+        expr(s"h DIV ${m}L").as("w"))
+      .select(col("nid"), col("j"),
+        when(col("w") === 0L, lit(60))
+          .otherwise(lit(60) - length(bin(col("w")))).cast("int").as("rho"))
+      .select(col("nid"), expr(
+        s"transform(sequence(0, ${m - 1}), i -> IF(i = j, rho, 0))")
+        .as("regs"))
+    var state = init.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(state.withColumnRenamed("nid", "dst"), Seq("dst"))
+        .select(col("src").as("nid"), col("regs"))
+      state = nbr.unionByName(state.select(col("nid"), col("regs")))
+        .select(col("nid"), posexplode(col("regs")).as(Seq("j", "mj")))
+        .groupBy("nid", "j").agg(max("mj").as("mj"))
+        .groupBy("nid")
+        .agg(sort_array(collect_list(struct(col("j"), col("mj")))).as("rs"))
+        .select(col("nid"),
+          transform(col("rs"), x => x.getField("mj")).as("regs"))
+        .localCheckpoint(true)
+    }
+    val lo = (0 until m / 2).map(i =>
+      element_at(col("regs"), i + 1).cast("long") * lit(1L << (6 * i)))
+      .reduce(_ + _)
+    val hi = (m / 2 until m).map(i =>
+      element_at(col("regs"), i + 1).cast("long") *
+        lit(1L << (6 * (i - m / 2)))).reduce(_ + _)
+    state.select(col("nid").as("doc_id"),
+      lo.as("regs_lo"), hi.as("regs_hi"),
+      expr("CAST(size(filter(regs, x -> x = 0)) AS BIGINT)").as("v_zero"),
+      expr("CAST(aggregate(regs, 0, (a, x) -> a + x) AS BIGINT)").as("sum_m"))
+  }
+
   /** `iters` exact-integer PageRank rounds; returns (doc_id, rank_ppb). */
   def pagerank(
       nodes: DataFrame, edges: DataFrame, n: Long, iters: Int = 5): DataFrame = {

@@ -61,6 +61,57 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(total > 800000000L && total <= 1000000000L)
   }
 
+  test("hostGraph: intra-host links dropped, link/page counts exact") {
+    import spark.implicits._
+    val docs = Seq((0L, "a.com"), (1L, "a.com"), (2L, "b.com"),
+      (3L, "c.com")).toDF("doc_id", "source")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 0L)).toDF("src", "dst")
+    val got = LinkGraph.hostGraph(docs, edges)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a.com", "b.com") -> ((2L, 2L)), // 0→2 and 1→2
+      ("a.com", "c.com") -> ((1L, 1L)),
+      ("b.com", "c.com") -> ((1L, 1L)),
+      ("c.com", "a.com") -> ((1L, 1L)))) // 0→1 intra-host dropped
+  }
+
+  test("hyperBall registers = HLL of the exact out-2-ball, per node") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val n = docs.count()
+    val edges = LinkGraph.syntheticEdges(docs, n)
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hs = docs.select(col("doc_id"),
+        graft.dedup.Dedup.md5h63(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def jRho(h: Long): (Int, Int) = {
+      val w = h / 16
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w)
+      ((h % 16).toInt, if (w == 0) 60 else 60 - bitlen)
+    }
+    val got = LinkGraph.hyperBallRegisters(docs, edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == n)
+    hs.keys.foreach { v =>
+      val b1 = adj.getOrElse(v, Set.empty) + v
+      val b2 = b1 ++ b1.flatMap(u => adj.getOrElse(u, Set.empty))
+      val regs = Array.fill(16)(0)
+      b2.foreach { u =>
+        val (j, r) = jRho(hs(u)); if (r > regs(j)) regs(j) = r
+      }
+      val lo = (0 until 8).map(i => regs(i).toLong << (6 * i)).sum
+      val hi = (8 until 16).map(i => regs(i).toLong << (6 * (i - 8))).sum
+      assert(got(v) ==
+        ((lo, hi, regs.count(_ == 0).toLong, regs.map(_.toLong).sum)),
+        s"node $v ball=${b2.size}")
+    }
+  }
+
   test("synthetic edges: no self-links, distinct, deterministic") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
     val n = docs.count()
