@@ -83,6 +83,27 @@ object QueriesWeb {
         docs, graft.web.LinkGraph.syntheticEdges(docs.select("doc_id"), n))
     }),
 
+    // bounded k-core peel (k=3, 4 rounds) — the spam-farm / link-ring
+    // robustness signal; hierarchy-shaped div-edges so the peel cascade
+    // is non-trivial (round 1 removes half the leaves, each later round
+    // peels the newly exposed layer). Frontier-sized decremental rounds.
+    "q101_kcore" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      graft.web.LinkGraph.kcorePeel(
+        docs, graft.web.LinkGraph.divEdges(docs))
+    }),
+
+    // anchor-text aggregation: the webgraph-derived corpus — per-target
+    // (anchor, inbound-link count, distinct source hosts) from a
+    // deterministic anchor token of each source page
+    "q103_anchor_text" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val n = docs.count()
+      graft.web.LinkGraph.anchorText(docs,
+        graft.web.LinkGraph.syntheticEdges(docs.select("doc_id"), n),
+        "doc_id", "text", "source")
+    }),
+
     // HyperBall neighbourhood-function sketch (2 merge rounds): exact
     // integer HLL registers per node — the harmonic-centrality scale
     // path where exact balls are impossible; gate compares packed
@@ -249,7 +270,82 @@ object QueriesWeb {
         |WHERE a.host <> b.host
         |GROUP BY 1, 2""".stripMargin,
 
-    "q100_hyperball" -> hyperballOracle(2))
+    "q100_hyperball" -> hyperballOracle(2),
+
+    "q101_kcore" -> kcoreOracle(3, 4),
+
+    // q103: same synthetic edge rule, anchor = source token at
+    // 1 + dst mod n_tokens (DuckDB lists are 1-based like Spark
+    // element_at, so the index expressions match literally)
+    "q103_anchor_text" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id*31 + 17*i.i + 7) % (SELECT n FROM nn) AS dst
+        |  FROM documents, LATERAL unnest([0,1,2]) i(i)),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |s2 AS (
+        |  SELECT doc_id, source AS src_host,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |s3 AS (SELECT * FROM s2 WHERE len(toks) > 0),
+        |a AS (
+        |  SELECT e.dst AS doc_id, s3.src_host,
+        |    toks[CAST(1 + e.dst % len(toks) AS INT)] AS anchor
+        |  FROM e JOIN s3 ON s3.doc_id = e.src)
+        |SELECT doc_id, anchor,
+        |  CAST(COUNT(*) AS BIGINT) AS n_links,
+        |  CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+        |FROM a GROUP BY 1, 2""".stripMargin)
+
+  /** q101: every peel round unrolled — round r recomputes each active
+    * node's degree AMONG active nodes (bit-equal to the engine's
+    * frontier decrement: deg0 minus removed neighbours = surviving
+    * neighbours), removes `deg < k`, and the epilogue recomputes the
+    * survivors' final degree the same way.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH nodes AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, doc_id // i.i AS dst
+        |  FROM documents, LATERAL unnest([2,3]) i(i)),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |  FROM e),
+        |adj AS (SELECT u AS x, v AS y FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |a0 AS (SELECT doc_id AS x FROM nodes)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT a.x, COALESCE(g.cnt, 0) AS deg
+         |  FROM a${r - 1} a LEFT JOIN (
+         |    SELECT adj.x, COUNT(*) AS cnt
+         |    FROM adj
+         |    JOIN a${r - 1} ax ON ax.x = adj.x
+         |    JOIN a${r - 1} ay ON ay.x = adj.y
+         |    GROUP BY adj.x) g ON g.x = a.x),
+         |rm$r AS (SELECT x FROM d$r WHERE deg < $k),
+         |a$r AS (SELECT x FROM d$r WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    val rmall = (1 to rounds)
+      .map(r => s"SELECT x, $r AS rr FROM rm$r").mkString(" UNION ALL ")
+    s"""$head,
+       |$rs,
+       |rmall AS ($rmall),
+       |degf AS (
+       |  SELECT adj.x, COUNT(*) AS cnt
+       |  FROM adj JOIN a$rounds ay ON ay.x = adj.y
+       |  GROUP BY adj.x)
+       |SELECT nodes.doc_id,
+       |  CAST(COALESCE(rmall.rr, 0) AS BIGINT) AS removed_round,
+       |  CAST(CASE WHEN rmall.rr IS NULL THEN COALESCE(degf.cnt, 0)
+       |       ELSE 0 END AS BIGINT) AS deg_final
+       |FROM nodes
+       |LEFT JOIN rmall ON rmall.x = nodes.doc_id
+       |LEFT JOIN degf ON degf.x = nodes.doc_id""".stripMargin
+  }
 
   /** q100: both HyperBall merge rounds unrolled as CTEs — md5h63
     * element hashes, register index h % 16, rank 60 − bitlen(h // 16)

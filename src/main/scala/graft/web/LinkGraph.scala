@@ -34,6 +34,113 @@ object LinkGraph {
       .where(col("src") =!= col("dst"))
       .distinct()
 
+  /** Deterministic hierarchy-shaped link set for the peel ops: page `d`
+    * links to `d div 2` and `d div 3` (self-links dropped) — a DAG of
+    * shrinking ids whose UNDIRECTED degree actually varies (leaves sit
+    * at 1-2, low ids collect in-links), unlike [[syntheticEdges]] whose
+    * near-uniform degree makes core decomposition degenerate.
+    */
+  def divEdges(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("src"),
+        explode(array(Seq(2, 3).map(i => expr(s"doc_id div $i")): _*))
+          .as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Bounded k-core peel — the spam-farm / link-ring robustness signal
+    * (a page's coreness is the densest subgraph level it survives in;
+    * web-spam and boilerplate nav rings peel early). `rounds` fixed
+    * peel rounds at threshold `k` over the undirected graph: each round
+    * removes every still-active node with fewer than `k` active
+    * neighbours, exactly the standard distributed k-core round.
+    *
+    * Returns one row per node: `removed_round` (1-based round the node
+    * was peeled; 0 = survives all rounds — a k-core member once the
+    * peel has converged) and `deg_final` (degree among survivors;
+    * 0 for peeled nodes). All integers, so DuckDB replays the rounds
+    * bit-for-bit as unrolled CTEs.
+    *
+    * Scale shape: round 1 pays the one full-degree groupBy over E;
+    * every later round is FRONTIER-SIZED — only edges incident to the
+    * just-removed set are touched (a semi-join no bigger than the
+    * frontier's incident edges), and the state update joins O(V) rows
+    * against the frontier delta. The state frame is localCheckpointed
+    * per round so lineage stays flat, same as the CC/HyperBall loops.
+    */
+  def kcorePeel(
+      nodes: DataFrame, edges: DataFrame,
+      k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1; got $k, $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    // both directions once: adjacency (x has neighbour y)
+    val adj = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint(true)
+    val deg0 = adj.groupBy("x").agg(count(lit(1)).as("deg"))
+    var active = nodes.select(col("doc_id").as("x"))
+      .join(deg0, Seq("x"), "left")
+      .select(col("x"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(true)
+    var removed = nodes
+      .select(col("doc_id").as("x"), lit(0L).as("removed_round"))
+      .where(lit(false))
+    for (r <- 1 to rounds) {
+      val toRemove = active.where(col("deg") < k).select(col("x"))
+        .localCheckpoint(true)
+      removed = removed.unionByName(
+        toRemove.select(col("x"), lit(r.toLong).as("removed_round")))
+      // frontier-sized degree decrement: only edges leaving the removed
+      // set are re-counted; everything else keeps its degree
+      val delta = adj.join(toRemove, Seq("x"))
+        .groupBy(col("y").as("x")).agg(count(lit(1)).as("dec"))
+      active = active
+        .join(toRemove.select(col("x")), Seq("x"), "left_anti")
+        .join(delta, Seq("x"), "left")
+        .select(col("x"), (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+        .localCheckpoint(true)
+    }
+    nodes.select(col("doc_id"))
+      .join(removed.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+      .join(active.select(col("x").as("doc_id"), col("deg")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("removed_round"), lit(0L)).as("removed_round"),
+        coalesce(col("deg"), lit(0L)).as("deg_final"))
+  }
+
+  /** Anchor-text aggregation — the classic webgraph-derived corpus
+    * (anchor text of inbound links describes the TARGET page; search
+    * engines and anchor-pretraining datasets are built from exactly
+    * this per-target aggregation). Each link carries one deterministic
+    * anchor token drawn from the SOURCE page's text (token index
+    * `1 + dst mod n_tokens(src)` — no RNG), and the op aggregates per
+    * (target, anchor): inbound-link count + distinct source hosts.
+    *
+    * Scale shape: one src-keyed equi-join of the edge table onto the
+    * pages table (both 100 TB-scale — plain shuffle join, bucketable by
+    * the page id), then one (dst, anchor) groupBy with map-side partial
+    * aggregation absorbing hot targets. No per-target list is ever
+    * materialised in one row.
+    */
+  def anchorText(docs: DataFrame, edges: DataFrame,
+      idCol: String, textCol: String, hostCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("src"),
+        col(hostCol).as("src_host"),
+        expr(s"filter(split($textCol, ' ', -1), t -> t != '')").as("toks"))
+      .where(size(col("toks")) > 0)
+    edges.join(src, Seq("src"))
+      .select(col("dst").as("doc_id"), col("src_host"),
+        element_at(col("toks"),
+          (lit(1L) + pmod(col("dst"), size(col("toks")).cast("long")))
+            .cast("int")).as("anchor"))
+      .groupBy("doc_id", "anchor")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src_host")).as("n_src_hosts"))
+  }
+
   /** Degree-ordered triangle counting + local clustering coefficient —
     * the link-spam / community-density signal over the same link graph
     * PageRank ranks. Each undirected edge is oriented from its lower

@@ -112,6 +112,45 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kcorePeel: K4 core survives, pendant layers peel in cascade order") {
+    import spark.implicits._
+    // K4 on {0,1,2,3}; 4 hangs off 0 and 1 plus a pendant 5; 6,7 isolated
+    val nodes = (0L to 7L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (0L, 4L), (1L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = LinkGraph.kcorePeel(nodes, edges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1 removes deg<3: pendant 5 (deg 1) and isolated 6,7 (deg 0);
+    // round 2 removes 4 (deg 3 → 2 after losing 5); K4 survives at deg 3
+    assert(got == Map(
+      0L -> ((0L, 3L)), 1L -> ((0L, 3L)), 2L -> ((0L, 3L)),
+      3L -> ((0L, 3L)), 4L -> ((2L, 0L)), 5L -> ((1L, 0L)),
+      6L -> ((1L, 0L)), 7L -> ((1L, 0L))))
+    // duplicate/reversed edges collapse to the same undirected peel
+    val noisy = edges.unionAll(Seq((1L, 0L), (4L, 0L)).toDF("src", "dst"))
+    assert(LinkGraph.kcorePeel(nodes, noisy, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap == got)
+  }
+
+  test("anchorText: deterministic token pick, empty-text sources dropped") {
+    import spark.implicits._
+    val docs = Seq((0L, "h1", "a b c"), (1L, "h2", "x y"), (2L, "h1", ""))
+      .toDF("doc_id", "source", "text")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val got = LinkGraph.anchorText(docs, edges, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // 0→1: toks(1 + 1%3 = 2) = "b"; 0→2: toks(1 + 2%3 = 3) = "c";
+    // 1→2: toks(1 + 2%2 = 1) = "x"; 2→0 dropped (empty source text)
+    assert(got == Map(
+      (1L, "b") -> ((1L, 1L)),
+      (2L, "c") -> ((1L, 1L)),
+      (2L, "x") -> ((1L, 1L))))
+  }
+
   test("synthetic edges: no self-links, distinct, deterministic") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
     val n = docs.count()
