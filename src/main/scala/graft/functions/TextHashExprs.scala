@@ -163,6 +163,28 @@ object TextHashExprs {
     * SimHash votes count every occurrence); empty/whitespace-only text
     * gives an empty array, matching `transform(tokens(text), md5h63)`.
     */
+  /** Hashed-bag-of-tokens linear score: Σ over tokens (with repeats) of
+    * w(md5h63(tok) mod buckets), weight table w(b) = (b mod 2001) − 1000
+    * ∈ [−1000, 1000] derived from the bucket id itself — a deterministic
+    * stand-in for trained fastText/logistic weights, so the scorer's
+    * Spark shape (one fused pass, no stored model side-input) is real
+    * and the DuckDB oracle replays it exactly. Zero tokens → 0.
+    */
+  def tokenLinearScore(s: UTF8String, buckets: Int): Long = {
+    val bytes = s.getBytes
+    val ranges = tokenRanges(bytes)
+    val nTok = ranges.length / 2
+    val md = md5Local.get()
+    var acc = 0L
+    var i = 0
+    while (i < nTok) {
+      val b = h63(digestWindow(md, bytes, ranges, i, 1)) % buckets
+      acc += b % 2001 - 1000
+      i += 1
+    }
+    acc
+  }
+
   def tokenHash63Array(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val ranges = tokenRanges(bytes)
@@ -225,6 +247,27 @@ case class WinnowFingerprints(child: Expression, w: Int, win: Int)
       s"""${ev.value} = graft.functions.TextHashExprs.winnowEncodedArray(
          |  $str, $w, $win);""".stripMargin
     })
+}
+
+/** fastText-style hashed-linear classifier inference (model-based
+  * quality filtering à la CCNet/RefinedWeb) as one codegen'd pass —
+  * see [[TextHashExprs.tokenLinearScore]].
+  */
+case class TokenLinearScore(child: Expression, buckets: Int)
+    extends StringInputExpr {
+  require(buckets >= 1, s"buckets must be >= 1; got $buckets")
+  override def prettyName: String = "graft_token_linear_score"
+  override def dataType: DataType = LongType
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLinearScore =
+    copy(child = newChild)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashExprs.tokenLinearScore(input.asInstanceOf[UTF8String], buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashExprs.tokenLinearScore($str, $buckets);")
 }
 
 /** The staged SimHash token-hash array (`transform(tokens, md5h63)`). */

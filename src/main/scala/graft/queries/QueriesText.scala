@@ -183,6 +183,25 @@ object QueriesText {
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    // BPE merge-pair counting — tokenizer-training step 1: adjacent
+    // character-pair frequencies weighted by word frequency; the
+    // corpus collapses to the vocabulary before pair enumeration, so
+    // merge-count cost is independent of corpus size
+    "q102_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairCounts(t(s, d, "documents"), "text")),
+
+    // fastText-style hashed-linear quality classifier inference — the
+    // model-based filter family (CCNet/RefinedWeb): one codegen'd pass,
+    // deterministic bucket-derived weights, zero shuffles
+    "q104_hash_classifier" -> ((s, d) =>
+      TextOps.hashClassifier(t(s, d, "documents"), "doc_id", "text")),
+
+    // count-min sketch of token frequencies — the bounded mergeable
+    // summary for corpus n-gram stats; output is O(depth·width) no
+    // matter the corpus size, counters add under merge
+    "q105_countmin" -> ((s, d) =>
+      TextOps.countMinSketch(t(s, d, "documents"), "text")),
+
     // winnowing fingerprints (SWA/MOSS): positioned local fingerprints
     // with the ≥ w+win−1 shared-run guarantee — the substring-level
     // plagiarism/quote index beside q58's whole-doc rolling hash and
@@ -1024,6 +1043,45 @@ object QueriesText {
          |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), ths),
          |  (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
          |FROM th""".stripMargin,
+
+    // q102: same tokenization, DuckDB's 1-based substr/range match
+    // Spark's sequence/substring literally; overlapping positions count
+    "q102_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($duckTokens) AS word FROM documents),
+         |wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         |p AS (
+         |  SELECT word, cnt, substr(word, CAST(i.i AS INT), 2) AS pair
+         |  FROM wc, LATERAL unnest(range(1, length(word))) i(i)
+         |  WHERE length(word) >= 2)
+         |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+         |FROM p GROUP BY 1""".stripMargin,
+
+    // q104: per-token md5h63 bucket weights replayed as a list fold;
+    // empty token lists sum to 0 via COALESCE
+    "q104_hash_classifier" ->
+      s"""SELECT doc_id,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(list_sum(list_transform($duckTokens,
+         |    tk -> (${Dedup.md5h63Sql("tk")} % 4096) % 2001 - 1000)), 0)
+         |    AS BIGINT) AS score,
+         |  CAST(CASE WHEN COALESCE(list_sum(list_transform($duckTokens,
+         |    tk -> (${Dedup.md5h63Sql("tk")} % 4096) % 2001 - 1000)), 0) > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents""".stripMargin,
+
+    // q105: 4 hash rows per token occurrence, same "r:tok" md5h63 keys
+    "q105_countmin" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($duckTokens) AS tok FROM documents),
+         |c AS (
+         |  SELECT CAST(r.r AS BIGINT) AS row_id,
+         |    ${Dedup.md5h63Sql("CAST(r.r AS VARCHAR) || ':' || tok")} % 1024
+         |      AS col_id
+         |  FROM toks, LATERAL unnest([0, 1, 2, 3]) r(r))
+         |SELECT row_id, col_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM c GROUP BY 1, 2""".stripMargin,
 
     // q97: winnowing replayed with nested list lambdas — ordered w-gram
     // md5h32 hashes, rightmost argmin per win-window via list_reduce

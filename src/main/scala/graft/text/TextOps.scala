@@ -597,4 +597,72 @@ object TextOps {
         floor((lit(budget) * col("weight_ppm")) / lit(1000000.0))
           .cast("long"))
   }
+
+  /** BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016, §3): the corpus-wide
+    * frequency of every adjacent character pair, weighted by word
+    * frequency (overlapping positions count, e.g. "aaa" contributes
+    * "aa" twice — positional enumeration, the standard first-iteration
+    * count). Returns (pair, n_occ, n_words = distinct words containing
+    * the pair); argmax n_occ is the first BPE merge.
+    *
+    * 100 TB shape: the token stream collapses to the VOCABULARY first
+    * (one groupBy with map-side combine — the only corpus-sized
+    * shuffle); pair enumeration then runs over distinct words only, so
+    * each merge-count round costs O(vocab), independent of corpus size
+    * — exactly why BPE training scales.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    wc.where(length(col("word")) >= 2)
+      .select(col("word"), col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("cnt").as("n_occ"), countDistinct(col("word")).as("n_words"))
+  }
+
+  /** fastText-style hashed-linear quality classifier inference (the
+    * model-based filter of CCNet/RefinedWeb pipelines): per doc,
+    * score = Σ over tokens of w(md5h63(tok) mod `buckets`) with the
+    * deterministic weight table w(b) = (b mod 2001) − 1000, fused into
+    * one codegen'd pass ([[graft.functions.TokenLinearScore]] — no
+    * per-token explode, no stored-model side input, no shuffle: pure
+    * scan parallelism at any scale). `keep` = score > 0.
+    */
+  def hashClassifier(docs: DataFrame, idCol: String, textCol: String,
+                     buckets: Int = 4096): DataFrame =
+    docs.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.TokenLinearScore(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+            buckets)).as("score"))
+      .withColumn("keep", (col("score") > 0L).cast("long"))
+
+  /** Count-min sketch of token frequencies (Cormode–Muthukrishnan 2005)
+    * — the mergeable fixed-size summary behind corpus n-gram statistics
+    * at scales where an exact count table is itself a big-data problem.
+    * `depth` hash rows × `width` counters; row r hashes each token
+    * occurrence to column md5h63("r:" + tok) mod width. Returns the
+    * counter table (row_id, col_id, cnt) — point estimates are
+    * min over rows of cnt[r][h_r(t)], an upper bound on the true count.
+    *
+    * 100 TB shape: map-side partial aggregation collapses every
+    * partition to ≤ depth·width counter rows before the one bounded
+    * shuffle; the output is O(depth·width) regardless of corpus size,
+    * and two sketches merge by adding counters (the property that makes
+    * it a distributed-aggregation citizen).
+    */
+  def countMinSketch(docs: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("row_id"),
+          pmod(graft.dedup.Dedup.md5h63(
+            concat(lit(s"$r:"), col("tok"))), lit(width.toLong))
+            .as("col_id"))): _*)).as("rc"))
+      .groupBy(col("rc.row_id").as("row_id"), col("rc.col_id").as("col_id"))
+      .agg(count(lit(1)).as("cnt"))
 }
