@@ -423,7 +423,24 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), tokenHashes63(col(textCol)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("sh"))
-      .localCheckpoint(true)
+    hammingPairs(sh, maxHam, bands, maxBucket)
+  }
+
+  /** Banded Hamming-pair extraction over ANY (id, sh) 63-bit hash frame
+    * — shared by [[simhashPairs]] (text) and the media perceptual-hash
+    * near-dup ([[graft.media.Media.phashPairs]]). Full recall at
+    * distance `maxHam` is the CALLER's contract: either bands > maxHam
+    * (pigeonhole) or a construction that confines differing bits to
+    * fewer than `bands` chunks. Same explode→groupBy→pair-expand shape
+    * as [[minhashCandidates]]: no all-pairs join, oversized buckets
+    * capped. Returns (id_a, id_b, hamming) with a < b, hamming ≤ maxHam.
+    */
+  def hammingPairs(
+      hashed: DataFrame, maxHam: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
+    require(bands >= 1 && bands <= 4,
+      s"16-bit bands over a 63-bit hash: 1..4; got $bands")
+    val sh = hashed.select(col("id"), col("sh")).localCheckpoint(true)
     val keyCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))

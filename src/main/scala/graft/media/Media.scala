@@ -128,4 +128,57 @@ object Media {
            |      CAST(length(bytes) / meta.n_frames AS INT)) END),
            |  f -> f IS NOT NULL)""".stripMargin.replace("\n", " "))
         .as("frames"))
+
+  /** Near-dup media synthesis: groups of `groupSize` consecutive doc_ids
+    * share the first 3 payload blocks (the "image content"); the 4th
+    * block is per-doc (the "re-encode noise"). Gives every group
+    * identical low 48 sample positions and ≤ 15 differing high ones —
+    * a planted perceptual-near-dup corpus DuckDB reproduces from hex
+    * (`from_hex(md5(...))`), no external data, no RNG.
+    */
+  def synthesizeNearDup(docs: DataFrame, groupSize: Int = 7): DataFrame =
+    docs.select(col("doc_id"),
+      concat((0 until 3).map(i =>
+        unhex(md5(concat(lit("g"),
+          expr(s"doc_id DIV $groupSize").cast("string"), lit(s"#$i"))))) :+
+        unhex(md5(concat(lit("p"), col("doc_id").cast("string")))): _*)
+        .as("bytes"))
+
+  /** Average-hash (aHash) style 63-bit perceptual hash over the
+    * (stub-)decoded samples: bit i = sample_i > 127 (fixed threshold —
+    * bits stay independent, unlike mean-threshold aHash, so a k-sample
+    * perturbation moves at most k bits). Runs as the same batched
+    * `mapPartitions` decode path as [[extractFeatures]] — swapping
+    * [[DecodeStub]] for a real codec changes nothing else.
+    */
+  def blockHash63(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val s = DecodeStub.decode(bytes)
+        val n = math.min(63, s.length)
+        var h = 0L
+        var i = 0
+        while (i < n) {
+          if (s(i) > 127) h |= (1L << i)
+          i += 1
+        }
+        (id, h)
+      })
+      .toDF("id", "sh")
+  }
+
+  /** Perceptual-hash near-dup pair extraction — the image-dedup scale
+    * path (banded LSH over aHash bits, exact Hamming verify), sharing
+    * [[graft.dedup.Dedup.hammingPairs]] with the text SimHash pipeline.
+    * Full recall here comes from the synthesis construction: group
+    * members differ only in the 15 personal-block bits, so bands 0-2
+    * always collide (the caller contract hammingPairs documents).
+    */
+  def phashPairs(media: DataFrame, maxHam: Int = 15,
+                 maxBucket: Int = 1000): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+      blockHash63(media), maxHam, bands = 4, maxBucket = maxBucket)
 }

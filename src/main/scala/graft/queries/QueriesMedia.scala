@@ -32,7 +32,14 @@ object QueriesMedia {
         col("doc_id"), col("kind"),
         concat_ws(";", expr("transform(hist, h -> CAST(h AS STRING))"))
           .as("hist_s"),
-        col("mean_c"))))
+        col("mean_c"))),
+
+    // perceptual-hash near-dup pairs: planted near-dup payloads →
+    // batched decode → 63-bit aHash → banded Hamming LSH (shared with
+    // the text SimHash path), exact bit_count verify
+    "q106_media_phash" -> ((s, d) =>
+      Media.phashPairs(Media.synthesizeNearDup(
+        docs(s, d).select("doc_id")))))
 
   private val rounds = 4
   private val nBytes = rounds * 16
@@ -64,5 +71,49 @@ object QueriesMedia {
          |    k -> CAST(len(list_filter(b, v -> v // 16 = k)) AS VARCHAR)), ';')
          |    AS hist_s,
          |  CAST(list_sum(b) * 100 // $nBytes AS BIGINT) AS mean_c
-         |FROM bv""".stripMargin)
+         |FROM bv""".stripMargin,
+
+    // q106: hashes replayed from the md5 HEX strings (byte i of block b
+    // = hex digits 2i..2i+1), then the q61-style banded pair replay
+    "q106_media_phash" -> phashPairsOracle)
+
+  /** q106 oracle: aHash bit i reads sample i = byte (i mod 16) of block
+    * (i div 16); blocks 0-2 seed from the doc group (doc_id div 7),
+    * block 3 from the doc itself — same construction as
+    * [[Media.synthesizeNearDup]], replayed from hex instead of bytes.
+    */
+  private def phashPairsOracle: String = {
+    val (maxHam, bands, maxBucket, groupSize) = (15, 4, 1000, 7)
+    val bits = (0 until 63).map { i =>
+      val m = s"m${i / 16}"
+      val off = (i % 16) * 2 + 1
+      s"CASE WHEN CAST('0x' || substr($m, $off, 2) AS INT) > 127" +
+        s" THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH ph0 AS (
+       |  SELECT doc_id,
+       |    md5('g' || CAST(doc_id // $groupSize AS VARCHAR) || '#0') AS m0,
+       |    md5('g' || CAST(doc_id // $groupSize AS VARCHAR) || '#1') AS m1,
+       |    md5('g' || CAST(doc_id // $groupSize AS VARCHAR) || '#2') AS m2,
+       |    md5('p' || CAST(doc_id AS VARCHAR)) AS m3
+       |  FROM documents),
+       |ph AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM ph0),
+       |bk AS (
+       |  SELECT doc_id, sh, t.band, (sh >> (t.band * 16)) & 65535 AS key
+       |  FROM ph, (SELECT CAST(range AS INTEGER) AS band
+       |            FROM range($bands)) t),
+       |kept AS (
+       |  SELECT band, key FROM bk GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.sh AS sa, y.sh AS sb
+       |  FROM bk x
+       |  JOIN kept k ON k.band = x.band AND k.key = x.key
+       |  JOIN bk y ON y.band = x.band AND y.key = x.key
+       |    AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHam""".stripMargin
+  }
 }

@@ -93,6 +93,16 @@ object QueriesWeb {
         docs, graft.web.LinkGraph.divEdges(docs))
     }),
 
+    // synchronous label propagation (3 rounds) — the cheap
+    // community-detection pass (link farms / mirror clusters); mode-of-
+    // neighbour labels with min tie-break, argmax as a max-count join
+    // (no per-node window)
+    "q107_label_prop" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      graft.web.LinkGraph.labelPropagation(
+        docs, graft.web.LinkGraph.divEdges(docs))
+    }),
+
     // anchor-text aggregation: the webgraph-derived corpus — per-target
     // (anchor, inbound-link count, distinct source hosts) from a
     // deterministic anchor token of each source page
@@ -274,6 +284,8 @@ object QueriesWeb {
 
     "q101_kcore" -> kcoreOracle(3, 4),
 
+    "q107_label_prop" -> lpaOracle(3),
+
     // q103: same synthetic edge rule, anchor = source token at
     // 1 + dst mod n_tokens (DuckDB lists are 1-based like Spark
     // element_at, so the index expressions match literally)
@@ -297,6 +309,43 @@ object QueriesWeb {
         |  CAST(COUNT(*) AS BIGINT) AS n_links,
         |  CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
         |FROM a GROUP BY 1, 2""".stripMargin)
+
+  /** q107: every synchronous LPA round unrolled — votes from the
+    * previous round's labels, argmax by (max count, min label), nodes
+    * with no neighbours keep their label.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val head =
+      """WITH nodes AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, doc_id // i.i AS dst
+        |  FROM documents, LATERAL unnest([2,3]) i(i)),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |  FROM e),
+        |adj AS (SELECT u AS x, v AS y FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |l0 AS (SELECT doc_id AS x, doc_id AS lbl FROM nodes)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT adj.x, l.lbl, COUNT(*) AS c
+         |  FROM adj JOIN l${r - 1} l ON l.x = adj.y
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT x, MAX(c) AS mx FROM v$r GROUP BY 1),
+         |b$r AS (
+         |  SELECT v.x, MIN(v.lbl) AS nl
+         |  FROM v$r v JOIN m$r m ON m.x = v.x AND v.c = m.mx
+         |  GROUP BY 1),
+         |l$r AS (
+         |  SELECT l.x, COALESCE(b.nl, l.lbl) AS lbl
+         |  FROM l${r - 1} l LEFT JOIN b$r b ON b.x = l.x)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rs
+       |SELECT x AS doc_id, CAST(lbl AS BIGINT) AS label FROM l$rounds"""
+      .stripMargin
+  }
 
   /** q101: every peel round unrolled — round r recomputes each active
     * node's degree AMONG active nodes (bit-equal to the engine's

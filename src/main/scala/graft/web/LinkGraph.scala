@@ -111,6 +111,48 @@ object LinkGraph {
         coalesce(col("deg"), lit(0L)).as("deg_final"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
+    * fixed rounds — the cheap community-detection pass used on
+    * webgraphs to flag link farms / mirror clusters before training:
+    * every node starts as its own label and each round adopts the most
+    * frequent label among its neighbours (ties → smallest label;
+    * isolated nodes keep their own). Synchronous updates + the min
+    * tie-break make it a pure function of the graph, so DuckDB replays
+    * each round bit-for-bit.
+    *
+    * Scale shape per round: one E-sized vote shuffle with map-side
+    * combine (groupBy node,label), then the argmax is a max-count join
+    * — NOT a per-node window, so a hub's million votes partial-agg down
+    * instead of sorting in one task. State is localCheckpointed per
+    * round, lineage stays flat.
+    */
+  def labelPropagation(
+      nodes: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1; got $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint(true)
+    var lbl = nodes.select(col("doc_id").as("x"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(lbl.select(col("x").as("y"), col("lbl")), Seq("y"))
+        .groupBy("x", "lbl").agg(count(lit(1)).as("c"))
+      val best = votes
+        .join(votes.groupBy("x").agg(max("c").as("mx")), Seq("x"))
+        .where(col("c") === col("mx"))
+        .groupBy("x").agg(min("lbl").as("nl"))
+      lbl = lbl.join(best, Seq("x"), "left")
+        .select(col("x"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.select(col("x").as("doc_id"), col("lbl").as("label"))
+  }
+
   /** Anchor-text aggregation — the classic webgraph-derived corpus
     * (anchor text of inbound links describes the TARGET page; search
     * engines and anchor-pretraining datasets are built from exactly

@@ -70,4 +70,34 @@ class MediaSpec extends AnyFunSuite with SparkTestBase {
     assert(frames(0).toSeq == src.slice(0, 21).toSeq)
     assert(frames(1).toSeq == src.slice(42, 63).toSeq)
   }
+
+  test("phashPairs: every in-group pair found, hamming confined to personal bits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (0L until 21L).toDF("doc_id") // 3 full groups of 7
+    val m = Media.synthesizeNearDup(ids)
+    val hs = Media.blockHash63(m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group members share bits 0..47 exactly (payload blocks 0-2)
+    for (g <- 0L until 3L; a <- 0L until 7L; b <- 0L until 7L if a < b) {
+      val (ha, hb) = (hs(g * 7 + a), hs(g * 7 + b))
+      assert((ha & 0xFFFFFFFFFFFFL) == (hb & 0xFFFFFFFFFFFFL))
+      assert(java.lang.Long.bitCount(ha ^ hb) <= 15)
+    }
+    val got = Media.phashPairs(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // expected = brute force over the hashes at the same threshold
+    val expect = (for {
+      a <- 0L until 21L; b <- 0L until 21L if a < b
+      h = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if h <= 15 &&
+        (0 until 4).exists(k => ((hs(a) >> (16 * k)) & 0xFFFFL) ==
+          ((hs(b) >> (16 * k)) & 0xFFFFL))
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == expect)
+    // all 63 in-group pairs are present (recall by construction)
+    assert((for (g <- 0L until 3L; a <- 0L until 7L; b <- 0L until 7L
+                 if a < b) yield (g * 7 + a, g * 7 + b))
+      .forall(got.contains))
+  }
 }

@@ -134,6 +134,26 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
         ((r.getLong(1), r.getLong(2)))).toMap == got)
   }
 
+  test("labelPropagation: star collapses to hub label, ties break to min") {
+    import spark.implicits._
+    // star: hub 3 with leaves 0,1,2; separate triangle 4-5-6; isolated 7
+    val nodes = (0L to 7L).toDF("doc_id")
+    val edges = Seq((3L, 0L), (3L, 1L), (3L, 2L), (4L, 5L), (5L, 6L),
+      (6L, 4L)).toDF("src", "dst")
+    val r1 = LinkGraph.labelPropagation(nodes, edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: leaves adopt 3; hub's neighbour labels {0,1,2} tie → 0;
+    // triangle nodes adopt min of their two neighbours; isolated keeps 7
+    assert(r1 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 0L,
+      4L -> 5L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    val r2 = LinkGraph.labelPropagation(nodes, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 2 (synchronous, from r1): leaves see hub's 0 → 0; hub sees
+    // {3,3,3} → 3; triangle: 4 sees {4,4}→4, 5 sees {5,4}tie→4, 6 {5,4}→4
+    assert(r2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+  }
+
   test("anchorText: deterministic token pick, empty-text sources dropped") {
     import spark.implicits._
     val docs = Seq((0L, "h1", "a b c"), (1L, "h2", "x y"), (2L, "h1", ""))
