@@ -121,10 +121,12 @@ object LinkGraph {
     * each round bit-for-bit.
     *
     * Scale shape per round: one E-sized vote shuffle with map-side
-    * combine (groupBy node,label), then the argmax is a max-count join
-    * — NOT a per-node window, so a hub's million votes partial-agg down
-    * instead of sorting in one task. State is localCheckpointed per
-    * round, lineage stays flat.
+    * combine (groupBy node,label), then the (max count, min label)
+    * argmax is ONE more partial-agg groupBy — `max(struct(c, −lbl))`
+    * orders by count then negated label, so no per-node window and no
+    * votes self-join; a hub's million votes partial-agg down instead of
+    * sorting in one task. State is localCheckpointed per round, lineage
+    * stays flat.
     */
   def labelPropagation(
       nodes: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
@@ -143,9 +145,9 @@ object LinkGraph {
         .join(lbl.select(col("x").as("y"), col("lbl")), Seq("y"))
         .groupBy("x", "lbl").agg(count(lit(1)).as("c"))
       val best = votes
-        .join(votes.groupBy("x").agg(max("c").as("mx")), Seq("x"))
-        .where(col("c") === col("mx"))
-        .groupBy("x").agg(min("lbl").as("nl"))
+        .groupBy("x")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("x"), (-col("m.neg")).as("nl"))
       lbl = lbl.join(best, Seq("x"), "left")
         .select(col("x"), coalesce(col("nl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
