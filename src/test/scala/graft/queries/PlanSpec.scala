@@ -71,6 +71,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in ANN join:\n$p")
   }
 
+  test("q99-q107: no cartesian/NLJ/single-partition stage in the new family") {
+    // The link-graph / text-stats batch (host collapse, HyperBall, k-core,
+    // BPE pairs, anchors, classifier, count-min, pHash, LPA) must stay
+    // all-equi-join, all-partitioned. Iterative queries root at a
+    // localCheckpoint; their per-round plans are audited by construction
+    // (groupBy/join only), this gate covers the emitted stage.
+    for (q <- Seq("q99_host_graph", "q100_hyperball", "q101_kcore",
+        "q102_bpe_pairs", "q103_anchor_text", "q104_hash_classifier",
+        "q105_countmin", "q106_media_phash", "q107_label_prop")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in $q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"single-partition exchange in $q:\n$p")
+    }
+  }
+
   test("q01/q27: whole-stage codegen covers the hot path") {
     // AQE only shows codegen spans in the finalized plan — materialize first
     def finalPlan(name: String): String = {
