@@ -65,7 +65,9 @@ object LinkGraph {
     * just-removed set are touched (a semi-join no bigger than the
     * frontier's incident edges), and the state update joins O(V) rows
     * against the frontier delta. The state frame is localCheckpointed
-    * per round so lineage stays flat, same as the CC/HyperBall loops.
+    * per round so lineage stays flat, and superseded generations are
+    * released ([[graft.runtime.CheckpointGen]]) so resident state is
+    * O(1) generations, not O(rounds).
     */
   def kcorePeel(
       nodes: DataFrame, edges: DataFrame,
@@ -80,10 +82,10 @@ object LinkGraph {
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
       .localCheckpoint(true)
     val deg0 = adj.groupBy("x").agg(count(lit(1)).as("deg"))
-    var active = nodes.select(col("doc_id").as("x"))
+    val gen = new graft.runtime.CheckpointGen
+    var active = gen.rotate(nodes.select(col("doc_id").as("x"))
       .join(deg0, Seq("x"), "left")
-      .select(col("x"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .localCheckpoint(true)
+      .select(col("x"), coalesce(col("deg"), lit(0L)).as("deg")))
     var removed = nodes
       .select(col("doc_id").as("x"), lit(0L).as("removed_round"))
       .where(lit(false))
@@ -96,11 +98,10 @@ object LinkGraph {
       // set are re-counted; everything else keeps its degree
       val delta = adj.join(toRemove, Seq("x"))
         .groupBy(col("y").as("x")).agg(count(lit(1)).as("dec"))
-      active = active
+      active = gen.rotate(active
         .join(toRemove.select(col("x")), Seq("x"), "left_anti")
         .join(delta, Seq("x"), "left")
-        .select(col("x"), (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-        .localCheckpoint(true)
+        .select(col("x"), (col("deg") - coalesce(col("dec"), lit(0L))).as("deg")))
     }
     nodes.select(col("doc_id"))
       .join(removed.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
@@ -125,8 +126,9 @@ object LinkGraph {
     * argmax is ONE more partial-agg groupBy — `max(struct(c, −lbl))`
     * orders by count then negated label, so no per-node window and no
     * votes self-join; a hub's million votes partial-agg down instead of
-    * sorting in one task. State is localCheckpointed per round, lineage
-    * stays flat.
+    * sorting in one task. State is localCheckpointed per round (lineage
+    * stays flat) with superseded generations released (O(1) resident
+    * state).
     */
   def labelPropagation(
       nodes: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
@@ -138,8 +140,9 @@ object LinkGraph {
     val adj = und.select(col("u").as("x"), col("v").as("y"))
       .unionAll(und.select(col("v").as("x"), col("u").as("y")))
       .localCheckpoint(true)
-    var lbl = nodes.select(col("doc_id").as("x"), col("doc_id").as("lbl"))
-      .localCheckpoint(true)
+    val gen = new graft.runtime.CheckpointGen
+    var lbl = gen.rotate(
+      nodes.select(col("doc_id").as("x"), col("doc_id").as("lbl")))
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(lbl.select(col("x").as("y"), col("lbl")), Seq("y"))
@@ -148,9 +151,8 @@ object LinkGraph {
         .groupBy("x")
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("x"), (-col("m.neg")).as("nl"))
-      lbl = lbl.join(best, Seq("x"), "left")
-        .select(col("x"), coalesce(col("nl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      lbl = gen.rotate(lbl.join(best, Seq("x"), "left")
+        .select(col("x"), coalesce(col("nl"), col("lbl")).as("lbl")))
     }
     lbl.select(col("x").as("doc_id"), col("lbl").as("label"))
   }
@@ -305,19 +307,20 @@ object LinkGraph {
       .select(col("nid"), expr(
         s"transform(sequence(0, ${m - 1}), i -> IF(i = j, rho, 0))")
         .as("regs"))
-    var state = init.localCheckpoint(true)
+    val gen = new graft.runtime.CheckpointGen
+    var state = gen.rotate(init)
     for (_ <- 1 to rounds) {
       val nbr = edges
         .join(state.withColumnRenamed("nid", "dst"), Seq("dst"))
         .select(col("src").as("nid"), col("regs"))
-      state = nbr.unionByName(state.select(col("nid"), col("regs")))
+      state = gen.rotate(nbr
+        .unionByName(state.select(col("nid"), col("regs")))
         .select(col("nid"), posexplode(col("regs")).as(Seq("j", "mj")))
         .groupBy("nid", "j").agg(max("mj").as("mj"))
         .groupBy("nid")
         .agg(sort_array(collect_list(struct(col("j"), col("mj")))).as("rs"))
         .select(col("nid"),
-          transform(col("rs"), x => x.getField("mj")).as("regs"))
-        .localCheckpoint(true)
+          transform(col("rs"), x => x.getField("mj")).as("regs")))
     }
     val lo = (0 until m / 2).map(i =>
       element_at(col("regs"), i + 1).cast("long") * lit(1L << (6 * i)))
