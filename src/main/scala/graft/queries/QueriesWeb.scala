@@ -114,6 +114,15 @@ object QueriesWeb {
         "doc_id", "text", "source")
     }),
 
+    // multi-source BFS crawl depth (3 frontier rounds): hops from the
+    // deterministic seed set doc_id % 97 == 0 along directed div-edges —
+    // the TrustRank-style seed-distance quality feature; unreached = -1
+    "q108_bfs_depth" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+      graft.web.LinkGraph.bfsDepth(
+        docs, graft.web.LinkGraph.divEdges(docs))
+    }),
+
     // HyperBall neighbourhood-function sketch (2 merge rounds): exact
     // integer HLL registers per node — the harmonic-centrality scale
     // path where exact balls are impossible; gate compares packed
@@ -286,6 +295,8 @@ object QueriesWeb {
 
     "q107_label_prop" -> lpaOracle(3),
 
+    "q108_bfs_depth" -> bfsOracle(97L, 3),
+
     // q103: same synthetic edge rule, anchor = source token at
     // 1 + dst mod n_tokens (DuckDB lists are 1-based like Spark
     // element_at, so the index expressions match literally)
@@ -345,6 +356,38 @@ object QueriesWeb {
        |$rs
        |SELECT x AS doc_id, CAST(lbl AS BIGINT) AS label FROM l$rounds"""
       .stripMargin
+  }
+
+  /** q108: every BFS frontier round unrolled — round r reaches the
+    * distinct out-neighbours of round r−1's frontier that no earlier
+    * round visited; the epilogue left-joins the delta union back onto
+    * nodes (unreached → −1). Directed div-edges, seeds doc_id % m = 0.
+    */
+  private def bfsOracle(seedMod: Long, rounds: Int): String = {
+    val head =
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, doc_id // i.i AS dst
+         |  FROM documents, LATERAL unnest([2,3]) i(i)),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |f0 AS (SELECT doc_id AS x FROM nodes WHERE doc_id % $seedMod = 0),
+         |s0 AS (SELECT x FROM f0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""f$r AS (
+         |  SELECT DISTINCT e.dst AS x
+         |  FROM e JOIN f${r - 1} f ON f.x = e.src
+         |  WHERE e.dst NOT IN (SELECT x FROM s${r - 1})),
+         |s$r AS (SELECT x FROM s${r - 1} UNION ALL SELECT x FROM f$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val dall = (0 to rounds)
+      .map(r => s"SELECT x, $r AS depth FROM f$r").mkString(" UNION ALL ")
+    s"""$head,
+       |$rs,
+       |dall AS ($dall)
+       |SELECT nodes.doc_id,
+       |  CAST(COALESCE(dall.depth, -1) AS BIGINT) AS depth
+       |FROM nodes LEFT JOIN dall ON dall.x = nodes.doc_id""".stripMargin
   }
 
   /** q101: every peel round unrolled — round r recomputes each active

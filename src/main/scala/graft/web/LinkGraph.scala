@@ -157,6 +157,50 @@ object LinkGraph {
     lbl.select(col("x").as("doc_id"), col("lbl").as("label"))
   }
 
+  /** Multi-source BFS crawl depth — the TrustRank-style seed-distance
+    * signal (hops from a trusted seed set along links; far pages are
+    * crawl-frontier / spam-suspect, and the depth is a standard quality
+    * feature when weighting training data). Seeds are the deterministic
+    * set `doc_id % seedMod == 0`; `rounds` frontier expansions over the
+    * DIRECTED edge set; unreached nodes get depth −1.
+    *
+    * Scale shape: textbook frontier BFS with an APPEND-ONLY delta log —
+    * per round one src-keyed equi-join of the current frontier against
+    * the edge table (shuffle sized by the frontier's out-edges, not E)
+    * and one anti-join against the visited union. Each round's newly
+    * reached set is localCheckpointed once and never rewritten (the
+    * deltas sum to ≤ V across ALL rounds — the same append-only shape
+    * as `Flow`'s resolved log, NOT an O(V)-per-round state rewrite).
+    */
+  def bfsDepth(
+      nodes: DataFrame, edges: DataFrame,
+      seedMod: Long = 97L, rounds: Int = 3): DataFrame = {
+    require(seedMod >= 1 && rounds >= 1,
+      s"seedMod and rounds must be >= 1; got $seedMod, $rounds")
+    val seeds = nodes
+      .select(col("doc_id").as("x"), lit(0L).as("depth"))
+      .where(pmod(col("x"), lit(seedMod)) === 0L)
+      .localCheckpoint(true)
+    var deltas = List[DataFrame](seeds)
+    var frontier = seeds.select("x")
+    for (r <- 1 to rounds) {
+      val seen = deltas.map(_.select("x")).reduce(_ unionAll _)
+      val next = edges
+        .join(frontier.withColumnRenamed("x", "src"), Seq("src"))
+        .select(col("dst").as("x")).distinct()
+        .join(seen, Seq("x"), "left_anti")
+        .select(col("x"), lit(r.toLong).as("depth"))
+        .localCheckpoint(true)
+      deltas ::= next
+      frontier = next.select("x")
+    }
+    nodes.select(col("doc_id"))
+      .join(deltas.reduce(_ unionByName _).withColumnRenamed("x", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("depth"), lit(-1L)).as("depth"))
+  }
+
   /** Anchor-text aggregation — the classic webgraph-derived corpus
     * (anchor text of inbound links describes the TARGET page; search
     * engines and anchor-pretraining datasets are built from exactly

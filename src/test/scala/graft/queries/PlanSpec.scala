@@ -79,7 +79,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // (groupBy/join only), this gate covers the emitted stage.
     for (q <- Seq("q99_host_graph", "q100_hyperball", "q101_kcore",
         "q102_bpe_pairs", "q103_anchor_text", "q104_hash_classifier",
-        "q105_countmin", "q106_media_phash", "q107_label_prop")) {
+        "q105_countmin", "q106_media_phash", "q107_label_prop",
+        "q108_bfs_depth")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in $q:\n$p")

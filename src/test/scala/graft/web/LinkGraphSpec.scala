@@ -134,6 +134,29 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
         ((r.getLong(1), r.getLong(2)))).toMap == got)
   }
 
+  test("bfsDepth: chain + branch, first-visit depth wins, unreached = -1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // seed 0 (seedMod 7 → {0, 7}); directed chain 0→1→2→3, branch 0→2
+    // (2 is reached at depth 1, NOT 2), 7→3 (3 at depth 1 beats 0's
+    // 3-hop path), island 5→6 never reached from a seed
+    val nodes = (0L to 7L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (7L, 3L),
+      (5L, 6L)).toDF("src", "dst")
+    val got = LinkGraph.bfsDepth(nodes, edges, seedMod = 7L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> -1L, 5L -> -1L, 6L -> -1L, 7L -> 0L))
+    // depth is directed: in the reversed graph the seeds have no
+    // out-edges at all, so only the seeds themselves carry a depth
+    val rev = LinkGraph.bfsDepth(nodes,
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      seedMod = 7L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == Map(0L -> 0L, 1L -> -1L, 2L -> -1L, 3L -> -1L,
+      4L -> -1L, 5L -> -1L, 6L -> -1L, 7L -> 0L))
+  }
+
   test("labelPropagation: star collapses to hub label, ties break to min") {
     import spark.implicits._
     // star: hub 3 with leaves 0,1,2; separate triangle 4-5-6; isolated 7
