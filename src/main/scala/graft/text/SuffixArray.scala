@@ -1,0 +1,181 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.functions._
+import graft.functions.{CommonPrefixLen, PackedPrefix8}
+import graft.runtime.{CheckpointGen, Ranks}
+
+/** Distributed suffix array + adjacent-suffix LCP — the ExactSubstr
+  * dedup machinery of "Deduplicating Training Data Makes Language
+  * Models Better" (Lee et al., 2022), re-expressed as Spark prefix
+  * doubling (Manber–Myers) instead of the paper's single-node
+  * suffix-automaton build.
+  *
+  * Semantics: every (doc, pos) suffix is ranked by its first `cap`
+  * characters under binary collation, ties broken by (doc_id, pos) —
+  * i.e. `row_number() OVER (ORDER BY substr(text, pos, cap), doc_id,
+  * pos)`, which is exactly what the DuckDB oracle replays. Suffixes are
+  * doc-bounded (no cross-document concatenation), the standard
+  * multi-document convention. The comparison cap is how production
+  * ExactSubstr deployments bound suffix comparisons too — duplicates
+  * longer than `cap` still surface as runs of positions with
+  * `lcp == cap`.
+  *
+  * Scale shape (the reason this is a Spark job and not a port):
+  * - The initial width-8 rank is [[graft.functions.PackedPrefix8]] — the
+  *   first 8 bytes packed into an order-consistent long, computed in the
+  *   scan with ZERO shuffles (a string init rank would need a global
+  *   sort just to start).
+  * - Each doubling round (width w → 2w) is one equi-join on
+  *   (doc_id, pos+w) to fetch the partner rank, one two-phase global
+  *   row_number ([[graft.runtime.Ranks]] — range exchange, no
+  *   single-partition window), and one map-side-combined groupBy to
+  *   re-densify ranks (min row-number per (r, r2) class). Duplicate-heavy
+  *   corpora make the early rank classes huge — the partial aggregation
+  *   collapses each class to one row BEFORE the shuffle, so there is no
+  *   hot reduce key; the probe-side join against that tiny class table
+  *   broadcasts when small.
+  * - log2(cap/8) rounds total (4 at cap=128), each localCheckpointed
+  *   with superseded generations released (O(1) resident state), with
+  *   early exit as soon as every rank class is a singleton.
+  * - Rank state is 3 longs/suffix; the only O(n·cap) frame is the
+  *   `win` column, needed once at the end to compute exact LCPs of
+  *   ADJACENT pairs (a single self-join on sa_rank = sa_rank+1), where
+  *   [[graft.functions.CommonPrefixLen]] is one codegen'd byte loop.
+  *
+  * Collation note: ranks order by UTF-8 BYTES (what both Spark and
+  * DuckDB use to compare strings), positions/caps count CHARACTERS —
+  * identical for ASCII corpora (the synthetic tables are ASCII; a NUL
+  * byte is the one thing [[graft.functions.SuffixExprs.packedPrefix8]]
+  * cannot distinguish from padding).
+  */
+object SuffixArray {
+
+  private def pack8(c: Column): Column =
+    GraftColumnBridge.column(PackedPrefix8(GraftColumnBridge.expression(c)))
+
+  private def lcpOf(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CommonPrefixLen(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** One row per suffix start: (doc_id, pos, win) with win = the first
+    * `cap` chars from pos. The O(n·cap) frame — kept out of the rank
+    * loop, only joined at the adjacent-pair step.
+    */
+  def windows(
+      docs: DataFrame, idCol: String, textCol: String, cap: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos"), lit(cap)).as("win"))
+
+  /** Suffix ranks by prefix doubling: (doc_id, pos, r) where r is
+    * order-consistent over the first `cap` chars (equal iff the capped
+    * suffixes are equal). `gen` carries the loop's checkpoint rotation.
+    */
+  private def doubledRanks(
+      wins: DataFrame, cap: Int, gen: CheckpointGen): DataFrame = {
+    require(cap >= 8 && (cap & (cap - 1)) == 0,
+      s"cap must be a power of two >= 8; got $cap")
+    // width-8 init rank: packed bytes, no shuffle, no densify needed
+    var cur = gen.rotate(wins.select(col("doc_id"), col("pos"),
+      pack8(col("win")).as("r")))
+    var w = 8
+    var allDistinct = false
+    while (w < cap && !allDistinct) {
+      // partner rank at pos+w; absent (suffix shorter than w) sorts
+      // first: Long.MinValue is strictly below every packed value of a
+      // NUL-free string and every densified rank (>= 1)
+      val partner = cur.select(col("doc_id"), (col("pos") - w).as("pos"),
+        col("r").as("r2"))
+      val joined = cur.join(partner, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r"),
+          coalesce(col("r2"), lit(Long.MinValue)).as("r2"))
+      val rn = Ranks.withGlobalRowNumber(joined,
+        Seq(col("r"), col("r2"), col("doc_id"), col("pos")), "__rn")
+      // densify: rank class (r, r2) -> its min row number. Partial agg
+      // collapses each class map-side; the class table is one row per
+      // DISTINCT key, so the join back has no hot build key.
+      val classes = rn.groupBy("r", "r2")
+        .agg(min("__rn").as("__nr"), count(lit(1)).as("__cnt"))
+        .localCheckpoint(true)
+      val maxClass = classes.agg(max("__cnt")).first().getLong(0)
+      cur = gen.rotate(rn.join(classes.select("r", "r2", "__nr"), Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("__nr").as("r")))
+      allDistinct = maxClass <= 1L
+      w *= 2
+    }
+    cur
+  }
+
+  /** The full suffix array with its comparison windows:
+    * (doc_id, pos, sa_rank, win) — sa_rank is the global 1-based
+    * position in capped-suffix order (ties by (doc_id, pos)). The one
+    * frame q109 (ranks) and q110 (adjacent-pair LCP) both read, so the
+    * doubling loop runs once per input.
+    */
+  def saWithWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 128): DataFrame = {
+    val gen = new CheckpointGen
+    val wins = windows(docs, idCol, textCol, cap).localCheckpoint(true)
+    val r = doubledRanks(wins, cap, gen)
+    Ranks.withGlobalRowNumber(r,
+      Seq(col("r"), col("doc_id"), col("pos")), "sa_rank")
+      .select("doc_id", "pos", "sa_rank")
+      .join(wins, Seq("doc_id", "pos"))
+  }
+
+  /** The suffix array: (doc_id, pos, sa_rank). */
+  def suffixRanks(
+      docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 128): DataFrame =
+    saWithWindows(docs, idCol, textCol, cap)
+      .select("doc_id", "pos", "sa_rank")
+
+  /** Adjacent suffix-array pairs with their exact LCP (≤ cap):
+    * (doc_a, pos_a, doc_b, pos_b, lcp) for each consecutive pair in
+    * suffix order. The ExactSubstr primitive: a substring of length L
+    * occurs twice in the corpus iff some adjacent pair has lcp ≥ L.
+    * `sa` is a [[saWithWindows]] frame (possibly cached by the caller).
+    */
+  def adjacentLcp(sa: DataFrame): DataFrame = {
+    val a = sa.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+      col("win").as("win_a"), col("sa_rank"))
+    val b = sa.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("win").as("win_b"), (col("sa_rank") - 1L).as("sa_rank"))
+    a.join(b, Seq("sa_rank"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        lcpOf(col("win_a"), col("win_b")).as("lcp"))
+  }
+
+  /** Per-document cross-document duplicate-substring stats: over every
+    * adjacent pair whose two suffixes come from DIFFERENT documents and
+    * share ≥ `minLen` chars, count the pair against both documents.
+    * Emits one row per input document (zeros when clean):
+    * (doc_id, n_dup_adj, max_dup_len, sum_dup_len).
+    */
+  def dupSubstrStats(
+      docs: DataFrame, sa: DataFrame, idCol: String,
+      minLen: Int = 20): DataFrame = {
+    val dup = adjacentLcp(sa)
+      .where(col("doc_a") =!= col("doc_b") && col("lcp") >= minLen)
+      .localCheckpoint(true)
+    val sides = dup.select(col("doc_a").as("doc_id"), col("lcp"))
+      .unionByName(dup.select(col("doc_b").as("doc_id"), col("lcp")))
+    val agg = sides.groupBy("doc_id").agg(
+      count(lit(1)).as("n_dup_adj"),
+      max("lcp").as("max_dup_len"),
+      sum("lcp").as("sum_dup_len"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_adj"), lit(0L)).as("n_dup_adj"),
+        coalesce(col("max_dup_len"), lit(0L)).as("max_dup_len"),
+        coalesce(col("sum_dup_len"), lit(0L)).as("sum_dup_len"))
+  }
+}

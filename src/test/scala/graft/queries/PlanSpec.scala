@@ -89,6 +89,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q109/q110: suffix-array family all-equi-join, all-partitioned") {
+    // The doubling loop roots at localCheckpoints; this gates the emitted
+    // stage (sa join + pair self-join + LCP expression + aggregations).
+    for (q <- Seq("q109_suffix_array", "q110_substr_dedup")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect() // materialize through AQE so joins are finalized
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in $q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"single-partition exchange in $q:\n$p")
+    }
+  }
+
   test("q01/q27: whole-stage codegen covers the hot path") {
     // AQE only shows codegen spans in the finalized plan — materialize first
     def finalPlan(name: String): String = {
