@@ -252,6 +252,13 @@ object QueriesText {
         .select(col("qid"), col("rank"), col("nid"),
           expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
 
+    // PQ-ADC ANN top-3 — the third scale path (the PQ half of IVF-PQ):
+    // m=8 integer sub-codebooks, 2 exact-integer Lloyd rounds, codes +
+    // LUT-scan search; bit-exact (the oracle replays codebook training,
+    // encoding and ADC in SQL)
+    "q111_pq_topk" -> ((s, d) =>
+      graft.dedup.Pq.pqAdcTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)),
+
     // MinHash-LSH near-dup candidates (md5-derived hashes — fully
     // DuckDB-oracled; DedupSpec pins the semantics too)
     "q32_minhash_lsh" -> ((s, d) =>
@@ -1039,7 +1046,76 @@ object QueriesText {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q111 oracle: the ENTIRE PQ pipeline replayed in SQL — quantize,
+    * seed codebooks (lowest ksub ids), `iters` unrolled Lloyd rounds
+    * (integer-L2 argmin with ties → lowest code, integer-mean update,
+    * empty classes keep their centroid), final encode, per-query LUTs,
+    * ADC distances, top-k. Pure integers after the ×2²⁰ quantization
+    * (whose double arithmetic is exact: ×2²⁰ and +0.5 are lossless at
+    * these magnitudes), so every intermediate matches bit-for-bit.
+    */
+  private def pqTopKOracle: String = {
+    val (m, ksub, d, iters, k, qmod) = (8, 16, 8, 2, 3, 20)
+    def assignSql(name: String, centTab: String): String =
+      s"""a_$name AS (
+         |  SELECT v.id, ce.b, ce.c,
+         |    SUM((v.qv[ce.b*$d+ce.pos]-ce.m)*(v.qv[ce.b*$d+ce.pos]-ce.m))
+         |      AS d2
+         |  FROM qv v, $centTab ce GROUP BY 1, 2, 3),
+         |asg_$name AS (
+         |  SELECT id, b, c FROM a_$name
+         |  QUALIFY row_number() OVER (PARTITION BY id, b ORDER BY d2, c) = 1)"""
+        .stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignSql(r.toString, s"cent${r - 1}")},
+         |sums$r AS (
+         |  SELECT a.b, a.c, i.i AS pos, SUM(v.qv[a.b*$d+i.i]) AS s,
+         |    COUNT(*) AS n
+         |  FROM asg_$r a JOIN qv v USING (id),
+         |    LATERAL unnest(generate_series(1, $d)) i(i)
+         |  GROUP BY 1, 2, 3),
+         |cent$r AS (
+         |  SELECT c0.b, c0.c, c0.pos, COALESCE(s.s // s.n, c0.m) AS m
+         |  FROM cent${r - 1} c0 LEFT JOIN sums$r s
+         |    ON s.b = c0.b AND s.c = c0.c AND s.pos = c0.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x ->
+       |    CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+       |      + 1048576) AS qv
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT qv, row_number() OVER (ORDER BY id) - 1 AS c
+       |  FROM (SELECT id, qv FROM qv ORDER BY id LIMIT $ksub)),
+       |cent0 AS (
+       |  SELECT b.b, s.c, i.i AS pos, s.qv[b.b*$d + i.i] AS m
+       |  FROM seeds s,
+       |    LATERAL unnest(generate_series(0, ${m - 1})) b(b),
+       |    LATERAL unnest(generate_series(1, $d)) i(i)),
+       |$rounds,
+       |${assignSql("fin", s"cent$iters")},
+       |lut AS (
+       |  SELECT q.id AS qid, ce.b, ce.c,
+       |    SUM((q.qv[ce.b*$d+ce.pos]-ce.m)*(q.qv[ce.b*$d+ce.pos]-ce.m))
+       |      AS d2
+       |  FROM (SELECT * FROM qv WHERE id % $qmod = 0) q, cent$iters ce
+       |  GROUP BY 1, 2, 3),
+       |ad AS (
+       |  SELECT l.qid, co.id AS nid, SUM(l.d2) AS adist
+       |  FROM asg_fin co JOIN lut l ON l.b = co.b AND l.c = co.c
+       |  WHERE co.id <> l.qid GROUP BY 1, 2)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+       |  CAST(adist AS BIGINT) AS adist
+       |FROM (SELECT qid, nid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid)
+       |          AS rank
+       |      FROM ad)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q111_pq_topk" -> pqTopKOracle,
+
     // q109: the suffix array IS a sort — DuckDB replays it literally
     // (binary collation on both sides; ties broken by (doc_id, pos))
     "q109_suffix_array" ->

@@ -92,7 +92,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   test("q109/q110: suffix-array family all-equi-join, all-partitioned") {
     // The doubling loop roots at localCheckpoints; this gates the emitted
     // stage (sa join + pair self-join + LCP expression + aggregations).
-    for (q <- Seq("q109_suffix_array", "q110_substr_dedup")) {
+    for (q <- Seq("q109_suffix_array", "q110_substr_dedup",
+        "q111_pq_topk")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // materialize through AQE so joins are finalized
       val p = df.queryExecution.executedPlan.toString
