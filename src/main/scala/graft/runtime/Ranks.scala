@@ -137,6 +137,84 @@ object Ranks {
       .drop("__grn")
   }
 
+  /** Group-min global row number over a TWO-LONG-COLUMN key in ONE range
+    * exchange — the rank-densify step of the prefix-doubling suffix sort
+    * (`text.SuffixArray`), where the naive form (global row_number +
+    * groupBy(k1,k2).min + join back) costs two extra shuffles of the
+    * full frame per round.
+    *
+    * Shape: range exchange on (k1, k2, tie…) + ONE partition-local
+    * window pass (row_number, lag-based group-start flag, running max of
+    * group-start row numbers), then per-partition boundary stats
+    * (count, first/last key, last group start, start count — O(#parts)
+    * rows) are collected and chained on the driver so groups SPANNING
+    * partition boundaries (equal (k1,k2) split by the tie columns) get
+    * the true group-min rank via a carry map. Returns (df + out column,
+    * allDistinct = every group is a singleton) — the doubling loop's
+    * convergence signal, free from the same stats.
+    *
+    * `tie` must make (k1, k2, tie…) a total order.
+    */
+  def withPairGroupMinRank(
+      df: DataFrame, k1: String, k2: String, tie: Seq[Column],
+      out: String): (DataFrame, Boolean) = {
+    val order = Seq(col(k1).asc, col(k2).asc) ++ tie
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val local = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(w).cast("long"))
+      .withColumn("__new",
+        coalesce(lag(col(k1), 1).over(w) =!= col(k1) ||
+          lag(col(k2), 1).over(w) =!= col(k2), lit(true)))
+      .localCheckpoint(true)
+    val stats = local.groupBy("__pid").agg(
+      count(lit(1)).as("n"),
+      min_by(struct(col(k1), col(k2)), col("__lrn")).as("fk"),
+      max_by(struct(col(k1), col(k2)), col("__lrn")).as("lk"),
+      max(when(col("__new"), col("__lrn"))).as("lastStart"),
+      sum(when(col("__new"), 1L).otherwise(0L)).as("nStarts"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)),
+        (r.getStruct(3).getLong(0), r.getStruct(3).getLong(1)),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    if (stats.isEmpty)
+      return (df.withColumn(out, lit(1L)).limit(0), true)
+    var cum = 0L
+    var prevLast: Option[(Long, Long)] = None
+    var trueLastStart = 0L
+    var totalStarts = 0L
+    val offB = Map.newBuilder[Int, Long]
+    val carryB = Map.newBuilder[Int, Long]
+    for ((pid, n, fk, lk, lastStart, nStarts) <- stats) {
+      offB += pid -> cum
+      val continues = prevLast.contains(fk)
+      if (continues) carryB += pid -> trueLastStart
+      totalStarts += nStarts - (if (continues) 1L else 0L)
+      trueLastStart =
+        if (lastStart > 1L || !continues) cum + lastStart else trueLastStart
+      prevLast = Some(lk)
+      cum += n
+    }
+    val offsets = offB.result()
+    val carries = carryB.result()
+    val grn = max(when(col("__new"), col("__lrn")))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+      element_at(typedLit(offsets), col("__pid"))
+    val carry =
+      if (carries.isEmpty) lit(null).cast("long")
+      else element_at(typedLit(carries), col("__pid"))
+    val ranked = local
+      .withColumn("__grn", grn)
+      .withColumn(out,
+        when(carry.isNotNull &&
+          col("__grn") === element_at(typedLit(offsets), col("__pid")) + 1L,
+          carry).otherwise(col("__grn")))
+      .drop("__pid", "__lrn", "__new", "__grn")
+    (ranked, totalStarts == cum)
+  }
+
   /** Dense ids (0, 1, …) for a TINY distinct set (group keys, tag ids):
     * an explicit repartition(1) + in-partition sort + monotonic id —
     * intentionally single-partition (the input is a handful of rows) and

@@ -95,18 +95,16 @@ object SuffixArray {
       val joined = cur.join(partner, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("r"),
           coalesce(col("r2"), lit(Long.MinValue)).as("r2"))
-      val rn = Ranks.withGlobalRowNumber(joined,
-        Seq(col("r"), col("r2"), col("doc_id"), col("pos")), "__rn")
-      // densify: rank class (r, r2) -> its min row number. Partial agg
-      // collapses each class map-side; the class table is one row per
-      // DISTINCT key, so the join back has no hot build key.
-      val classes = rn.groupBy("r", "r2")
-        .agg(min("__rn").as("__nr"), count(lit(1)).as("__cnt"))
-        .localCheckpoint(true)
-      val maxClass = classes.agg(max("__cnt")).first().getLong(0)
-      cur = gen.rotate(rn.join(classes.select("r", "r2", "__nr"), Seq("r", "r2"))
+      // densify: rank class (r, r2) -> its min global row number, in ONE
+      // range exchange (boundary-carried group ranks — the naive
+      // row_number + groupBy-min + join-back costs two more shuffles of
+      // the full frame per round); allDistinct doubles as the
+      // convergence signal
+      val (ranked, allD) = Ranks.withPairGroupMinRank(joined, "r", "r2",
+        Seq(col("doc_id"), col("pos")), "__nr")
+      cur = gen.rotate(ranked
         .select(col("doc_id"), col("pos"), col("__nr").as("r")))
-      allDistinct = maxClass <= 1L
+      allDistinct = allD
       w *= 2
     }
     cur
