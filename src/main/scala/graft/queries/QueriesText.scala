@@ -40,6 +40,12 @@ object QueriesText {
         t(s, d, "documents"), "doc_id", "text")
     }
 
+  /** q113's deterministic phrase blocklist — one single-token phrase
+    * that occurs in the corpus, one multi-word phrase, one absent term
+    * (exercising the zero path). Inlined verbatim into the oracle SQL.
+    */
+  private val BlocklistTerms = Seq("slow", "fast table", "zzz")
+
   /** q68 per-language keep rates (millionths) + default for the rest. */
   private val QuotaRates = Map(
     "en" -> 700000L, "de" -> 400000L, "fr" -> 250000L, "es" -> 100000L)
@@ -204,6 +210,65 @@ object QueriesText {
     // deterministic bucket-derived weights, zero shuffles
     "q104_hash_classifier" -> ((s, d) =>
       TextOps.hashClassifier(t(s, d, "documents"), "doc_id", "text")),
+
+    // the FULL iterative BPE trainer (q102 is its first pair count):
+    // 3 greedy merges over the vocab-collapsed corpus, each round
+    // O(vocab) — emits the merge table + post-merge token counts
+    "q112_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(t(s, d, "documents"), "text", 3)),
+
+    // the encode/apply step that pairs with q112: corpus token
+    // histogram under the trained vocab — all O(vocab) after the one
+    // (word, cnt) collapse
+    "q115_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncode(t(s, d, "documents"), "text", 3)),
+
+    // exact per-source token-count deciles via histogram collapse —
+    // the per-group window runs over DISTINCT lengths per source, never
+    // the corpus (skew-proof: a mega-source costs its distinct values,
+    // not its row count)
+    "q116_len_deciles" -> ((s, d) =>
+      TextOps.groupDeciles(
+        t(s, d, "documents").select(col("source"),
+          expr(s"cast(size($sparkTokens) as bigint)").as("len")),
+        "source", "len")),
+
+    // phrase-blocklist gate — the universal first crawl filter: per doc,
+    // non-overlapping substring occurrences of each blocklist phrase
+    // (replace-length arithmetic: identical left-to-right non-overlap
+    // semantics in Spark and DuckDB), distinct phrases hit, block flag.
+    // Pure scan, zero shuffles, whole-stage codegen.
+    // per-source HyperLogLog distinct-token registers — the mergeable
+    // cardinality sketch (Flajolet 2007) for corpus stats at 100 TB:
+    // register = max rank per (source, h mod 64), so partial aggregates
+    // max-merge map-side and across shards; output is the exact integer
+    // register table (the float estimate adds nothing the registers
+    // don't carry — the q100 HyperBall treatment)
+    "q114_hll_distinct" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          explode(expr(s"array_distinct($sparkTokens)")).as("tok"))
+        .distinct()
+        .select(col("source"),
+          Dedup.md5h63(concat(lit("hd:"), col("tok"))).as("h"))
+        .select(col("source"), (col("h") % 64).as("reg"),
+          expr("h DIV 64").as("w"))
+        .select(col("source"), col("reg"),
+          when(col("w") === 0L, lit(60))
+            .otherwise(lit(60) - length(bin(col("w"))))
+            .cast("long").as("rho"))
+        .groupBy("source", "reg").agg(max("rho").as("rho"))),
+
+    "q113_blocklist" -> ((s, d) => {
+      val occ = BlocklistTerms.map(p => expr(
+        s"(length(text) - length(replace(text, '$p', ''))) DIV ${p.length}"))
+      val hits = BlocklistTerms.map(p =>
+        when(col("text").contains(p), 1L).otherwise(0L))
+      t(s, d, "documents").select(col("doc_id"),
+        occ.reduce(_ + _).as("n_hit_occ"),
+        hits.reduce(_ + _).as("n_hit_terms"))
+        .withColumn("blocked", (col("n_hit_occ") > 0L).cast("long"))
+    }),
 
     // count-min sketch of token frequencies — the bounded mergeable
     // summary for corpus n-gram stats; output is O(depth·width) no
@@ -1113,8 +1178,136 @@ object QueriesText {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q112 oracle: the BPE training loop unrolled — per round, pair
+    * counts from list windows, argmax via ORDER BY n DESC, t1, t2
+    * LIMIT 1, and the greedy left-to-right merge replayed as a
+    * list_reduce fold over singleton-wrapped tokens (the prepend-init
+    * trick; acc[-1] = the fold's last-emitted token). An exhausted
+    * round (no pairs left) emits no row in either engine.
+    */
+  /** The shared BPE replay CTE chain (t0 … t`rounds`): per round, pair
+    * counts from list windows, argmax via ORDER BY n DESC, t1, t2
+    * LIMIT 1, and the greedy left-to-right merge replayed as a
+    * list_reduce fold over singleton-wrapped tokens (the prepend-init
+    * trick; acc[-1] = the fold's last-emitted token). The rewrite LEFT
+    * JOINs the (≤1-row) argmax so an exhausted round carries the state
+    * forward unchanged — matching the engine loop, which stops merging
+    * but keeps the last vocabulary.
+    */
+  private def bpeRoundsCte(rounds: Int): String = {
+    def round(r: Int): String = {
+      val prev = s"t${r - 1}"
+      s"""p$r AS (
+         |  SELECT t.toks[i.i] AS t1, t.toks[i.i + 1] AS t2,
+         |    SUM(t.cnt) AS n
+         |  FROM $prev t,
+         |    LATERAL unnest(generate_series(1, len(t.toks) - 1)) i(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT t1, t2, n FROM p$r ORDER BY n DESC, t1, t2 LIMIT 1),
+         |t$r AS (
+         |  SELECT t.word, t.cnt,
+         |    CASE WHEN b.t1 IS NULL THEN t.toks ELSE
+         |    list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]),
+         |        list_transform(t.toks, x -> [x])),
+         |      (acc, x) -> CASE
+         |        WHEN len(acc) > 0 AND acc[-1] = b.t1 AND x[1] = b.t2
+         |        THEN list_append(list_slice(acc, 1, len(acc) - 1),
+         |               b.t1 || b.t2)
+         |        ELSE list_append(acc, x[1]) END) END AS toks
+         |  FROM $prev t LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }
+    s"""WITH w AS (SELECT unnest($duckTokens) AS word FROM documents),
+       |wc AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |t0 AS (SELECT word, cnt, regexp_extract_all(word, '(?s).') AS toks
+       |       FROM wc),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeTrainOracle: String = {
+    val rounds = 3
+    val emits = (1 to rounds).map { r =>
+      s"""SELECT $r AS merge_rank, b.t1 AS lt, b.t2 AS rt,
+         |  CAST(b.n AS BIGINT) AS n_occ,
+         |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM t$r) AS vocab_tokens,
+         |  (SELECT CAST(SUM(cnt * len(toks)) AS BIGINT) FROM t$r)
+         |    AS corpus_tokens
+         |FROM b$r b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeRoundsCte(rounds)}
+       |$emits""".stripMargin
+  }
+
+  /** q115 oracle: replay training to t3, then read the corpus token
+    * histogram off the final vocabulary tokenization — per (word, tok)
+    * multiplicity first, then token totals, exactly the engine's
+    * two-level aggregation.
+    */
+  private def bpeEncodeOracle: String =
+    s"""${bpeRoundsCte(3)}
+       |SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(k * cnt) AS BIGINT) AS n_occ
+       |FROM (
+       |  SELECT t.word, t.cnt, u.tok, COUNT(*) AS k
+       |  FROM t3 t, LATERAL unnest(t.toks) u(tok)
+       |  GROUP BY 1, 2, 3) g
+       |GROUP BY 1""".stripMargin
+
+  /** q116 oracle: the identical histogram-collapse rank arithmetic —
+    * cumulative counts over DISTINCT (source, len) rows, integer-ceil
+    * rank targets, min value at-or-past each target.
+    */
+  private def lenDecilesOracle: String =
+    s"""WITH lens AS (
+       |  SELECT source, CAST(len($duckTokens) AS BIGINT) AS len
+       |  FROM documents),
+       |h AS (SELECT source, len, COUNT(*) AS k FROM lens GROUP BY 1, 2),
+       |c AS (SELECT source, len,
+       |        SUM(k) OVER (PARTITION BY source ORDER BY len) AS cum
+       |      FROM h),
+       |n AS (SELECT source, SUM(k) AS n FROM h GROUP BY 1),
+       |qs AS (SELECT unnest(generate_series(1, 9)) AS q)
+       |SELECT c.source, CAST(qs.q AS BIGINT) AS q, MIN(c.len) AS len
+       |FROM c JOIN n USING (source) CROSS JOIN qs
+       |WHERE c.cum >= (qs.q * n.n + 9) // 10
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q113 oracle: the same replace-length arithmetic, phrase list
+    * inlined; `position(p IN text)` > 0 is DuckDB's contains.
+    */
+  private def blocklistOracle: String = {
+    val occ = BlocklistTerms.map(p =>
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+      .mkString(" + ")
+    val hits = BlocklistTerms.map(p =>
+      s"CASE WHEN position('$p' IN text) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |  CAST($occ AS BIGINT) AS n_hit_occ,
+       |  CAST($hits AS BIGINT) AS n_hit_terms,
+       |  CAST(CASE WHEN ($occ) > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+       |FROM documents""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q111_pq_topk" -> pqTopKOracle,
+    "q112_bpe_train" -> bpeTrainOracle,
+    "q113_blocklist" -> blocklistOracle,
+    "q115_bpe_encode" -> bpeEncodeOracle,
+    "q116_len_deciles" -> lenDecilesOracle,
+
+    // q114: same md5h63 register math as q100's HyperBall oracle
+    "q114_hll_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT source,
+         |    unnest(list_distinct($duckTokens)) AS tok
+         |  FROM documents),
+         |h0 AS (SELECT source, ${Dedup.md5h63Sql("'hd:' || tok")} AS h
+         |       FROM toks)
+         |SELECT source, h % 64 AS reg,
+         |  CAST(MAX(CASE WHEN h // 64 = 0 THEN 60
+         |           ELSE 60 - length(bin(h // 64)) END) AS BIGINT) AS rho
+         |FROM h0 GROUP BY 1, 2""".stripMargin,
 
     // q109: the suffix array IS a sort — DuckDB replays it literally
     // (binary collation on both sides; ties broken by (doc_id, pos))

@@ -612,6 +612,137 @@ object TextOps {
     * each merge-count round costs O(vocab), independent of corpus size
     * — exactly why BPE training scales.
     */
+  /** Full iterative BPE trainer (Sennrich et al. 2016, algorithm 1) —
+    * `rounds` greedy merges, not just [[bpePairCounts]]' first count:
+    * each round counts adjacent TOKEN pairs over the current vocabulary
+    * tokenization (weighted by word frequency, overlap-counted), picks
+    * the argmax pair (ties → count desc, then pair lexicographic asc),
+    * and rewrites every word's token sequence with the standard greedy
+    * left-to-right non-overlapping merge (a left fold: "aaa" under
+    * merge (a,a) becomes [aa, a]).
+    *
+    * Returns one row per merge: (merge_rank, lt, rt, n_occ,
+    * vocab_tokens, corpus_tokens) — the merge table a tokenizer ships,
+    * plus the post-merge token counts that measure compression.
+    *
+    * 100 TB shape: the corpus collapses to (word, cnt) once (the only
+    * corpus-sized shuffle, map-side combined); every round then costs
+    * O(vocab) — one pair explode + groupBy, one argmax `limit(1)`, one
+    * fold-rewrite projection — independent of corpus size. The rewrite
+    * fold is an interpreted HOF, acceptable because it runs on the
+    * vocabulary, never the corpus. Driver state: `rounds` merge rows.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainLoop(docs, textCol, rounds)._1
+      .toDF("merge_rank", "lt", "rt", "n_occ", "vocab_tokens",
+        "corpus_tokens")
+  }
+
+  /** Shared BPE training loop: returns the merge rows AND the final
+    * vocabulary tokenization frame (word, cnt, toks) — the state
+    * [[bpeTrain]] reports on and [[bpeEncode]] reads out.
+    */
+  private def bpeTrainLoop(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Long, String, String, Long, Long, Long)], DataFrame) = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var cur = wc.select(col("word"), col("cnt"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("toks"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = cur
+        .select(col("cnt"), posexplode(slice(col("toks"), lit(1),
+          size(col("toks")) - 1)).as(Seq("i", "t1")), col("toks"))
+        .select(col("cnt"), col("t1"),
+          element_at(col("toks"), col("i") + 2).as("t2"))
+        .groupBy("t1", "t2").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("t1").asc, col("t2").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (t1, t2, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val merged = t1 + t2
+        cur = cur.select(col("word"), col("cnt"),
+          aggregate(col("toks"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(t1) &&
+                x === lit(t2),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(x)))).as("toks"))
+          .localCheckpoint(true)
+        val stats = cur.agg(
+          sum(size(col("toks")).cast("long")).as("v"),
+          sum(size(col("toks")).cast("long") * col("cnt")).as("c")).head()
+        out += ((r.toLong, t1, t2, n, stats.getLong(0), stats.getLong(1)))
+        r += 1
+      }
+    }
+    (out.toSeq, cur)
+  }
+
+  /** BPE encode (the apply step that pairs with [[bpeTrain]]): tokenize
+    * the corpus under the vocabulary trained by `rounds` greedy merges
+    * and return the corpus token histogram — one row per distinct final
+    * token with `n_words` (distinct words using it) and `n_occ` (total
+    * corpus occurrences, word-frequency-weighted). This is the table a
+    * tokenizer-qa pass reads: which symbols exist after training, and
+    * how much corpus mass each carries.
+    *
+    * 100 TB shape: identical to training — the corpus collapses to
+    * (word, cnt) once; encode + histogram run on the vocabulary
+    * (per-word token multiplicity first, then a token-keyed partial
+    * agg), never on documents. Output is O(|vocab alphabet| + rounds).
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    val (_, vocab) = bpeTrainLoop(docs, textCol, rounds)
+    vocab
+      .select(col("word"), col("cnt"), explode(col("toks")).as("tok"))
+      .groupBy("word", "cnt", "tok")
+      .agg(count(lit(1)).as("k"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("k") * col("cnt")).as("n_occ"))
+  }
+
+  /** Exact per-group deciles (percentile_disc type-1: value at rank
+    * ⌈q·n/10⌉) of an integer column, WITHOUT a corpus-sized per-group
+    * window: the frame collapses to the (key, value) HISTOGRAM first
+    * (one corpus-sized shuffle with map-side combine), so the window
+    * that forms cumulative counts runs over distinct values per group —
+    * bounded by value cardinality, not row count. Rank targets are
+    * integer arithmetic (`(q·n + 9) DIV 10`), so results are exact and
+    * partitioning-independent at any scale. Returns (key, q ∈ 1..9,
+    * value).
+    *
+    * 100 TB shape: a skewed group (one source = 30 % of the corpus)
+    * costs its histogram partial-agg — distributed — plus a window over
+    * its DISTINCT values only; the naive
+    * `percent_rank().over(partitionBy(key))` would serialise the whole
+    * group into one task.
+    */
+  def groupDeciles(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(keyCol, valCol).agg(count(lit(1)).as("__k"))
+    val cum = hist.withColumn("__cum",
+      sum("__k").over(Window.partitionBy(keyCol).orderBy(valCol)))
+    val tot = hist.groupBy(keyCol).agg(sum("__k").as("__n"))
+    cum.join(tot, Seq(keyCol))
+      .select(col(keyCol), col(valCol), col("__cum"), col("__n"),
+        explode(expr("sequence(1L, 9L)")).as("q"))
+      .where(col("__cum") >= expr("(q * __n + 9) DIV 10"))
+      .groupBy(keyCol, "q")
+      .agg(min(valCol).as(valCol))
+  }
+
   def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
     val wc = docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
