@@ -1,8 +1,9 @@
 package graft.runtime
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 
 /** Two-phase global ranking/cumsum — the scale-safe replacement for
   * un-partitioned `Window.orderBy` (which moves ALL rows to a single
@@ -10,32 +11,59 @@ import org.apache.spark.sql.expressions.Window
   * was full of `WindowExec: No Partition Defined` warnings).
   *
   * Phase 1: `repartitionByRange` on the sort key (range exchange — each
-  * partition holds a contiguous key range, partitions ordered by id);
-  * per-partition `row_number`/running-sum under a partition-local window.
-  * Phase 2: per-partition row counts / sums (≤ shuffle-partitions rows)
-  * are collected, turned into cumulative offsets, and added back as a
-  * map-literal lookup — no second shuffle, no single-partition stage.
+  * partition holds a contiguous key range, partitions ordered by id),
+  * `sortWithinPartitions`, then ONE `mapPartitions` scan appends the
+  * partition id and the partition-local running state (row number /
+  * running sum / group-start rank). A `Window.partitionBy(pid)` would
+  * compute the same values but costs an extra full-frame hash exchange
+  * (RangePartitioning does not satisfy the window's clustered
+  * distribution — measured, not guessed); the scan keeps the frame where
+  * the range exchange put it.
+  * Phase 2: per-partition totals (≤ shuffle-partitions rows) are
+  * collected, turned into cumulative offsets, and added back as a
+  * map-literal projection — no second shuffle, no single-partition
+  * stage.
   *
   * Callers must make the sort key a TOTAL order (append a unique
   * tie-break column) — ties split across a range boundary would
   * otherwise get arbitrary relative ranks.
   *
-  * The intermediate (pid, local-rank) frame is localCheckpoint'd so the
+  * The intermediate (pid, local-state) frame is localCheckpoint'd so the
   * range partitioner's sampled boundaries cannot differ between the
   * offset-collect job and the final job.
   */
 object Ranks {
 
+  /** Range-exchange + in-partition sort + ONE sequential scan appending
+    * `append` fields. `make` is invoked once per partition (capture the
+    * running state there) and returns the per-row appended values, in
+    * `append` order.
+    */
+  private def sortedScan(
+      df: DataFrame, order: Seq[Column], append: Seq[StructField])(
+      make: StructType => Row => Seq[Any]): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val inSchema = sorted.schema
+    val outSchema = StructType(inSchema.fields ++ append)
+    sorted.mapPartitions { it =>
+      val f = make(inSchema)
+      it.map(r => Row.fromSeq(r.toSeq ++ f(r)))
+    }(Encoders.row(outSchema))
+  }
+
+  private val pidField = StructField("__pid", IntegerType, nullable = false)
+
   /** Append a global row number (`startAt`, `startAt`+1, …) in `order`. */
   def withGlobalRowNumber(
       df: DataFrame, order: Seq[Column], out: String,
       startAt: Long = 1L): DataFrame = {
-    val local = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn",
-        row_number().over(Window.partitionBy("__pid").orderBy(order: _*))
-          .cast("long"))
-      .localCheckpoint(true)
+    val local = sortedScan(df, order,
+      Seq(pidField, StructField("__lrn", LongType, nullable = false))) { _ =>
+      val pid = TaskContext.getPartitionId()
+      var n = 0L
+      _ => { n += 1L; Seq[Any](pid, n) }
+    }.localCheckpoint(true)
     val counts = local.groupBy("__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var cum = 0L
@@ -55,15 +83,21 @@ object Ranks {
     */
   def withGlobalCumsum(
       df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
-    val local = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lcs",
-        sum(value.cast("double")).over(
-          Window.partitionBy("__pid").orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(true)
-    val sums = local.groupBy("__pid").agg(sum(value.cast("double")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val local = sortedScan(df.withColumn("__v", value.cast("double")), order,
+      Seq(pidField, StructField("__lcs", DoubleType, nullable = true))) { s =>
+      val vi = s.fieldIndex("__v")
+      val pid = TaskContext.getPartitionId()
+      var any = false
+      var run = 0.0
+      r => {
+        if (!r.isNullAt(vi)) { run += r.getDouble(vi); any = true }
+        Seq[Any](pid, if (any) run else null)
+      }
+    }.localCheckpoint(true)
+    val sums = local.groupBy("__pid").agg(sum("__v").as("s"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+      .sortBy(_._1)
     var cum = 0.0
     val offsets: Map[Int, Double] = sums.map { case (p, s) =>
       val o = p -> cum; cum += s; o
@@ -71,27 +105,33 @@ object Ranks {
     if (offsets.isEmpty) df.withColumn(out, lit(0.0)).limit(0)
     else local
       .withColumn(out, col("__lcs") + element_at(typedLit(offsets), col("__pid")))
-      .drop("__pid", "__lcs")
+      .drop("__pid", "__lcs", "__v")
   }
 
   /** Exact-integer sibling of [[withGlobalCumsum]]: running sum of a
     * LONG `value` in `order`, inclusive of the current row. Same
-    * two-phase shape (range exchange + partition-local window +
-    * collected per-partition offsets); exact at any magnitude a long
-    * holds, so downstream integer arithmetic (token packing bins) is
+    * two-phase shape (range exchange + one in-partition scan + collected
+    * per-partition offsets); exact at any magnitude a long holds, so
+    * downstream integer arithmetic (token packing bins) is
     * order-independent.
     */
   def withGlobalCumsumLong(
       df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
-    val local = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lcs",
-        sum(value.cast("long")).over(
-          Window.partitionBy("__pid").orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(true)
-    val sums = local.groupBy("__pid").agg(sum(value.cast("long")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val local = sortedScan(df.withColumn("__v", value.cast("long")), order,
+      Seq(pidField, StructField("__lcs", LongType, nullable = true))) { s =>
+      val vi = s.fieldIndex("__v")
+      val pid = TaskContext.getPartitionId()
+      var any = false
+      var run = 0L
+      r => {
+        if (!r.isNullAt(vi)) { run += r.getLong(vi); any = true }
+        Seq[Any](pid, if (any) run else null)
+      }
+    }.localCheckpoint(true)
+    val sums = local.groupBy("__pid").agg(sum("__v").as("s"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     var cum = 0L
     val offsets: Map[Int, Long] = sums.map { case (p, s) =>
       val o = p -> cum; cum += s; o
@@ -99,7 +139,7 @@ object Ranks {
     if (offsets.isEmpty) df.withColumn(out, lit(0L)).limit(0)
     else local
       .withColumn(out, col("__lcs") + element_at(typedLit(offsets), col("__pid")))
-      .drop("__pid", "__lcs")
+      .drop("__pid", "__lcs", "__v")
   }
 
   /** Keep the top `keepPpm`-millionths of each group's rows under
@@ -143,9 +183,10 @@ object Ranks {
     * groupBy(k1,k2).min + join back) costs two extra shuffles of the
     * full frame per round.
     *
-    * Shape: range exchange on (k1, k2, tie…) + ONE partition-local
-    * window pass (row_number, lag-based group-start flag, running max of
-    * group-start row numbers), then per-partition boundary stats
+    * Shape: range exchange on (k1, k2, tie…) + ONE in-partition scan
+    * (row number, group-start flag, running group-start rank — the same
+    * sortedScan that backs every helper here, so no window and no
+    * second full-frame exchange), then per-partition boundary stats
     * (count, first/last key, last group start, start count — O(#parts)
     * rows) are collected and chained on the driver so groups SPANNING
     * partition boundaries (equal (k1,k2) split by the tie columns) get
@@ -159,14 +200,28 @@ object Ranks {
       df: DataFrame, k1: String, k2: String, tie: Seq[Column],
       out: String): (DataFrame, Boolean) = {
     val order = Seq(col(k1).asc, col(k2).asc) ++ tie
-    val w = Window.partitionBy("__pid").orderBy(order: _*)
-    val local = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(w).cast("long"))
-      .withColumn("__new",
-        coalesce(lag(col(k1), 1).over(w) =!= col(k1) ||
-          lag(col(k2), 1).over(w) =!= col(k2), lit(true)))
-      .localCheckpoint(true)
+    val local = sortedScan(df, order, Seq(pidField,
+      StructField("__lrn", LongType, nullable = false),
+      StructField("__new", BooleanType, nullable = false),
+      StructField("__gs", LongType, nullable = false))) { s =>
+      val i1 = s.fieldIndex(k1)
+      val i2 = s.fieldIndex(k2)
+      val pid = TaskContext.getPartitionId()
+      var n = 0L
+      var gs = 0L
+      var pk1 = 0L
+      var pk2 = 0L
+      r => {
+        n += 1L
+        val a = r.getLong(i1)
+        val b = r.getLong(i2)
+        val isNew = n == 1L || a != pk1 || b != pk2
+        if (isNew) gs = n
+        pk1 = a
+        pk2 = b
+        Seq[Any](pid, n, isNew, gs)
+      }
+    }.localCheckpoint(true)
     val stats = local.groupBy("__pid").agg(
       count(lit(1)).as("n"),
       min_by(struct(col(k1), col(k2)), col("__lrn")).as("fk"),
@@ -199,19 +254,15 @@ object Ranks {
     }
     val offsets = offB.result()
     val carries = carryB.result()
-    val grn = max(when(col("__new"), col("__lrn")))
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
-      element_at(typedLit(offsets), col("__pid"))
     val carry =
       if (carries.isEmpty) lit(null).cast("long")
       else element_at(typedLit(carries), col("__pid"))
     val ranked = local
-      .withColumn("__grn", grn)
       .withColumn(out,
-        when(carry.isNotNull &&
-          col("__grn") === element_at(typedLit(offsets), col("__pid")) + 1L,
-          carry).otherwise(col("__grn")))
-      .drop("__pid", "__lrn", "__new", "__grn")
+        when(carry.isNotNull && col("__gs") === 1L, carry)
+          .otherwise(col("__gs") +
+            element_at(typedLit(offsets), col("__pid"))))
+      .drop("__pid", "__lrn", "__new", "__gs")
     (ranked, totalStarts == cum)
   }
 

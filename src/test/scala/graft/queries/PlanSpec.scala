@@ -104,6 +104,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q112-q116: tokenizer/corpus-stats family all-equi-join, all-partitioned") {
+    // q112/q115 root at localCheckpoints (the O(vocab) merge rounds run at
+    // construction); this gates the emitted stage. q113 must stay a pure
+    // scan; q114/q116 are partial-agg groupBys (+ a per-source window for
+    // the deciles) — never a global exchange.
+    for (q <- Seq("q112_bpe_train", "q113_blocklist", "q114_hll_distinct",
+        "q115_bpe_encode", "q116_len_deciles")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in $q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"single-partition exchange in $q:\n$p")
+    }
+    // the blocklist gate is one codegen'd projection — no exchange at all
+    val blk = graft.SparkEntry.queries("q113_blocklist")(spark, dir)
+    val bp = blk.queryExecution.executedPlan.toString
+    assert(!bp.contains("Exchange"), s"q113 should be shuffle-free:\n$bp")
+    assert(bp.contains("*("), s"q113 not whole-stage-codegen'd:\n$bp")
+  }
+
   test("q01/q27: whole-stage codegen covers the hot path") {
     // AQE only shows codegen spans in the finalized plan — materialize first
     def finalPlan(name: String): String = {
