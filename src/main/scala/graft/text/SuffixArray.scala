@@ -27,14 +27,13 @@ import graft.runtime.{CheckpointGen, Ranks}
   *   scan with ZERO shuffles (a string init rank would need a global
   *   sort just to start).
   * - Each doubling round (width w → 2w) is one equi-join on
-  *   (doc_id, pos+w) to fetch the partner rank, one two-phase global
-  *   row_number ([[graft.runtime.Ranks]] — range exchange, no
-  *   single-partition window), and one map-side-combined groupBy to
-  *   re-densify ranks (min row-number per (r, r2) class). Duplicate-heavy
-  *   corpora make the early rank classes huge — the partial aggregation
-  *   collapses each class to one row BEFORE the shuffle, so there is no
-  *   hot reduce key; the probe-side join against that tiny class table
-  *   broadcasts when small.
+  *   (doc_id, pos+w) to fetch the partner rank, then ONE range exchange
+  *   to densify ([[graft.runtime.Ranks.withPairGroupMinRank]]: an
+  *   in-partition scan appends each row's group-start rank and
+  *   O(#partitions) boundary stats are carry-chained on the driver — no
+  *   global row_number, no groupBy-min, no join-back, and no reduce key
+  *   at all for the huge early rank classes of a duplicate-heavy
+  *   corpus).
   * - log2(cap/8) rounds total (4 at cap=128), each localCheckpointed
   *   with superseded generations released (O(1) resident state), with
   *   early exit as soon as every rank class is a singleton.
