@@ -51,6 +51,39 @@ object QueriesWeb {
           .cast("long").as("is_keeper"))
     }),
 
+    // cross-snapshot crawl diff — the first batch op of every crawl
+    // cycle: ONE full-outer equi-join on the (unique) doc key classifies
+    // added / deleted / changed / unchanged via md5 fingerprints.
+    // Snapshots are deterministic slices: prev = doc_id % 7 != 0,
+    // next = doc_id % 11 != 0 with text revised when doc_id % 5 == 0.
+    "q117_snapshot_diff" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val next = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+      graft.web.Crawl.snapshotDiff(prev, next, "doc_id", "fp")
+    }),
+
+    // robots-style longest-prefix URL rule gate over CANONICAL urls —
+    // raw URL synth → Urls.canonicalize → host/path split → broadcast
+    // rule join + one partial-agg max(struct) winner per doc; ties
+    // break toward deny; no matching rule = allow
+    "q118_url_rule_gate" -> ((s, d) => {
+      val canon = s.read.parquet(s"$d/documents.parquet")
+        .selectExpr("doc_id", s"${rawUrlSql("STRING")} AS raw_url")
+        .select(col("doc_id"),
+          graft.web.Urls.canonicalize(col("raw_url")).as("canon_url"))
+        .select(col("doc_id"),
+          graft.web.Urls.canonicalHost(col("canon_url")).as("host"),
+          regexp_extract(col("canon_url"),
+            "^[a-z][a-z0-9+.-]*://[^/?#]*([^?]*)", 1).as("path"))
+      graft.web.Crawl.ruleGate(canon, "doc_id", "host", "path",
+        GateRules, s)
+    }),
+
     // link-graph centrality for crawl prioritization — 5 exact-integer
     // PageRank rounds (ppb ranks, floor divisions, damping as
     // (85·s) div 100) over a deterministic synthetic link set; the
@@ -140,6 +173,18 @@ object QueriesWeb {
     * default vs non-default ports, trailing slash, tracking params,
     * unsorted params, fragments.
     */
+  /** q118's rule table — (canonical host, path prefix, allow): host1
+    * deny-overrides /p/1 inside a general allow, host2 is all-deny,
+    * host3 is default-deny with a /p/3 carve-out, other hosts have no
+    * rules (default allow). Inlined verbatim into the oracle SQL.
+    */
+  private val GateRules = Seq(
+    ("host1.example.com", "/p/1", 0L),
+    ("host1.example.com", "/p/", 1L),
+    ("host2.example.com", "/p", 0L),
+    ("host3.example.com", "/p/3", 1L),
+    ("host3.example.com", "", 0L))
+
   private def rawUrlSql(strTy: String): String =
     s"""concat(
        |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
@@ -155,6 +200,46 @@ object QueriesWeb {
        |    WHEN doc_id % 4 = 2 THEN '?fbclid=XYZ' ELSE '' END,
        |  CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END)"""
       .stripMargin.replace("\n", " ")
+
+  /** The DuckDB replay of `Urls.canonicalize` over the synthesized raw
+    * URLs — CTE chain ending in `c(doc_id, canon_url, host)`; shared by
+    * the q74 and q118 oracles.
+    */
+  private def canonCte: String =
+    s"""raw AS (
+       |  SELECT doc_id, ${rawUrlSql("VARCHAR")} AS raw_url FROM documents),
+       |nf AS (
+       |  SELECT doc_id, regexp_replace(raw_url, '#.*$$', '') AS u FROM raw),
+       |p AS (SELECT doc_id,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    regexp_replace(lower(regexp_extract(u,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')
+       |      AS auth1,
+       |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+       |      AS rest
+       |  FROM nf),
+       |q AS (SELECT doc_id, scheme,
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
+       |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
+       |         ELSE auth1 END AS auth,
+       |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
+       |    regexp_extract(rest, '\\?(.*)$$', 1) AS query0
+       |  FROM p),
+       |r AS (SELECT doc_id, scheme, auth,
+       |    CASE WHEN length(path0) > 1
+       |      THEN regexp_replace(path0, '/$$', '') ELSE path0 END AS pth,
+       |    COALESCE(array_to_string(
+       |      list_sort(list_filter(string_split(query0, '&'),
+       |        x -> x <> '' AND NOT regexp_matches(x, '^utm_')
+       |          AND NOT regexp_matches(x, '^fbclid='))), '&'), '') AS qry
+       |  FROM q),
+       |c AS (SELECT doc_id,
+       |    concat(scheme, '://', auth, pth,
+       |      CASE WHEN qry = '' THEN '' ELSE concat('?', qry) END)
+       |      AS canon_url,
+       |    regexp_replace(auth, ':[0-9]+$$', '') AS host
+       |  FROM r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q36_pages_knn" ->
@@ -184,44 +269,59 @@ object QueriesWeb {
     // anchored or unique-match, so replace-first (DuckDB) ≡ replace-all
     // (Spark); param sort is binary-collation on ASCII on both sides
     "q74_url_canon" ->
-      s"""WITH raw AS (
-         |  SELECT doc_id, ${rawUrlSql("VARCHAR")} AS raw_url FROM documents),
-         |nf AS (
-         |  SELECT doc_id, regexp_replace(raw_url, '#.*$$', '') AS u FROM raw),
-         |p AS (SELECT doc_id,
-         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-         |      AS scheme,
-         |    regexp_replace(lower(regexp_extract(u,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')
-         |      AS auth1,
-         |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
-         |      AS rest
-         |  FROM nf),
-         |q AS (SELECT doc_id, scheme,
-         |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
-         |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
-         |         ELSE auth1 END AS auth,
-         |    regexp_extract(rest, '^([^?]*)', 1) AS path0,
-         |    regexp_extract(rest, '\\?(.*)$$', 1) AS query0
-         |  FROM p),
-         |r AS (SELECT doc_id, scheme, auth,
-         |    CASE WHEN length(path0) > 1
-         |      THEN regexp_replace(path0, '/$$', '') ELSE path0 END AS pth,
-         |    COALESCE(array_to_string(
-         |      list_sort(list_filter(string_split(query0, '&'),
-         |        x -> x <> '' AND NOT regexp_matches(x, '^utm_')
-         |          AND NOT regexp_matches(x, '^fbclid='))), '&'), '') AS qry
-         |  FROM q),
-         |c AS (SELECT doc_id,
-         |    concat(scheme, '://', auth, pth,
-         |      CASE WHEN qry = '' THEN '' ELSE concat('?', qry) END)
-         |      AS canon_url,
-         |    regexp_replace(auth, ':[0-9]+$$', '') AS host
-         |  FROM r)
+      s"""WITH $canonCte
          |SELECT doc_id, canon_url, host,
          |  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
          |FROM c""".stripMargin,
+
+    // q117: the identical full-outer diff in SQL; snapshot slices and
+    // the revision rule are inlined on both sides
+    "q117_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, md5(text) AS old_fp FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |nxt AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+        |      AS new_fp
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT COALESCE(prev.doc_id, nxt.doc_id) AS doc_id,
+        |  CASE WHEN prev.doc_id IS NULL THEN 'added'
+        |       WHEN nxt.doc_id IS NULL THEN 'deleted'
+        |       WHEN old_fp = new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_fp, new_fp
+        |FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id"""
+        .stripMargin,
+
+    // q118: canonicalization CTE shared with q74, rules inlined, winner
+    // = first rule under (prefix length DESC, deny-first, prefix DESC)
+    // per doc — the same total order Spark's max(struct) picks
+    "q118_url_rule_gate" -> {
+      val ruleRows = GateRules.map { case (h, p, a) =>
+        s"('$h', '$p', CAST($a AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH $canonCte,
+         |u AS (SELECT doc_id, host,
+         |    regexp_extract(canon_url,
+         |      '^[a-z][a-z0-9+.-]*://[^/?#]*([^?]*)', 1) AS path
+         |  FROM c),
+         |rules(rhost, rprefix, rallow) AS (VALUES $ruleRows),
+         |m AS (
+         |  SELECT u.doc_id, rprefix, rallow,
+         |    ROW_NUMBER() OVER (PARTITION BY u.doc_id
+         |      ORDER BY length(rprefix) DESC, rallow ASC, rprefix DESC)
+         |      AS rn
+         |  FROM u JOIN rules ON u.host = rules.rhost
+         |    AND starts_with(u.path, rules.rprefix))
+         |SELECT u.doc_id, u.host, u.path,
+         |  m.rprefix AS matched_prefix,
+         |  COALESCE(m.rallow, CAST(1 AS BIGINT)) AS allowed
+         |FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+         |  ON u.doc_id = m.doc_id""".stripMargin
+    },
+
 
     "q76_pagerank" -> pagerankOracle(5),
 

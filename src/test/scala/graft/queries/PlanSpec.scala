@@ -126,6 +126,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(bp.contains("*("), s"q113 not whole-stage-codegen'd:\n$bp")
   }
 
+  test("q117/q118: crawl ops — no cartesian/NLJ; rule table broadcasts") {
+    for (q <- Seq("q117_snapshot_diff", "q118_url_rule_gate")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in $q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"single-partition exchange in $q:\n$p")
+    }
+    val gate = graft.SparkEntry.queries("q118_url_rule_gate")(spark, dir)
+    val gp = gate.queryExecution.executedPlan.toString
+    assert(gp.contains("BroadcastHashJoin"),
+      s"q118 rule join not broadcast:\n$gp")
+  }
+
   test("q01/q27: whole-stage codegen covers the hot path") {
     // AQE only shows codegen spans in the finalized plan — materialize first
     def finalPlan(name: String): String = {
