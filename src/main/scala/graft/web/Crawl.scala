@@ -39,7 +39,8 @@ object Crawl {
     * per-URL winner is one partial-aggregable `max(struct(...))` groupBy
     * on the key — no per-URL window, no rule explosion beyond the
     * broadcast join's matches. Unmatched URLs re-enter via a left join
-    * with a default-allow.
+    * with a default-allow. `key` must be unique per URL row (it is the
+    * groupBy identity of the winner selection).
     */
   def ruleGate(
       urls: DataFrame, key: String, hostCol: String, pathCol: String,
