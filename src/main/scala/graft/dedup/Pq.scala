@@ -44,6 +44,10 @@ object Pq {
     * (self excluded; ties → lowest nid).
     * Output: (qid, rank, nid, adist) — adist the exact integer ADC
     * distance in quantized-component² units.
+    *
+    * Empty input returns an empty frame; a non-empty input must carry
+    * at least `ksub` vectors (codebook training seeds one centroid per
+    * vector), enforced with a `require`.
     */
   def pqAdcTopK(
       embeddings: DataFrame, idCol: String, vecCol: String, k: Int = 3,
@@ -74,6 +78,10 @@ object Pq {
     // sub-codebook seeds: the ksub lowest-id vectors' block slices
     val seedRows = vecs.orderBy(col("id")).limit(ksub)
       .as[(Long, Array[Long])].collect().sortBy(_._1).map(_._2)
+    require(seedRows.length == ksub,
+      s"pqAdcTopK: only ${seedRows.length} vectors but ksub=$ksub — " +
+        "codebook training needs at least ksub vectors; lower ksub to " +
+        "at most the vector count")
     var cents: Array[Array[Array[Long]]] =
       Array.tabulate(m)(b => seedRows.map(_.slice(b * d, b * d + d)))
 

@@ -82,8 +82,8 @@ object QueriesTemporal {
     "q78_range_join" ->
       """SELECT o.o_orderkey,
         |       COUNT(e.event_id) AS n_events,
-        |       COALESCE(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)), 0)
-        |         AS sum_value_c
+        |       CAST(COALESCE(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)), 0)
+        |            AS BIGINT) AS sum_value_c
         |FROM orders o LEFT JOIN events e
         |  ON e.user_id = o.o_custkey
         | AND e.ts >= o.o_orderdate

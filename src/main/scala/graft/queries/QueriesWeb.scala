@@ -70,7 +70,7 @@ object QueriesWeb {
     // robots-style longest-prefix URL rule gate over CANONICAL urls —
     // raw URL synth → Urls.canonicalize → host/path split → broadcast
     // rule join + one partial-agg max(struct) winner per doc; ties
-    // break toward deny; no matching rule = allow
+    // break toward allow (RFC 9309); no matching rule = allow
     "q118_url_rule_gate" -> ((s, d) => {
       val canon = s.read.parquet(s"$d/documents.parquet")
         .selectExpr("doc_id", s"${rawUrlSql("STRING")} AS raw_url")
@@ -296,7 +296,7 @@ object QueriesWeb {
         .stripMargin,
 
     // q118: canonicalization CTE shared with q74, rules inlined, winner
-    // = first rule under (prefix length DESC, deny-first, prefix DESC)
+    // = first rule under (prefix length DESC, allow-first, prefix DESC)
     // per doc — the same total order Spark's max(struct) picks
     "q118_url_rule_gate" -> {
       val ruleRows = GateRules.map { case (h, p, a) =>
@@ -311,7 +311,7 @@ object QueriesWeb {
          |m AS (
          |  SELECT u.doc_id, rprefix, rallow,
          |    ROW_NUMBER() OVER (PARTITION BY u.doc_id
-         |      ORDER BY length(rprefix) DESC, rallow ASC, rprefix DESC)
+         |      ORDER BY length(rprefix) DESC, rallow DESC, rprefix DESC)
          |      AS rn
          |  FROM u JOIN rules ON u.host = rules.rhost
          |    AND starts_with(u.path, rules.rprefix))

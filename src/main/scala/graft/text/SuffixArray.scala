@@ -46,7 +46,16 @@ import graft.runtime.{CheckpointGen, Ranks}
   * DuckDB use to compare strings), positions/caps count CHARACTERS —
   * identical for ASCII corpora (the synthetic tables are ASCII; a NUL
   * byte is the one thing [[graft.functions.SuffixExprs.packedPrefix8]]
-  * cannot distinguish from padding).
+  * cannot distinguish from padding). For NON-ASCII input the ranks are
+  * APPROXIMATE, not merely differently-collated: the init rank covers
+  * the first 8 BYTES while each doubling offset advances 8·2^k
+  * CHARACTERS, so when a prefix holds multi-byte characters the bytes
+  * between byte 8 and the 8-character mark are never compared and two
+  * distinct capped suffixes can receive equal ranks (ties then broken
+  * by (doc_id, pos), diverging from a full byte-wise sort). Treat rank
+  * output as undefined beyond ASCII, exactly like the NUL caveat;
+  * byte-faithful non-ASCII support would require running positions in
+  * byte offsets over the UTF-8 payload.
   */
 object SuffixArray {
 

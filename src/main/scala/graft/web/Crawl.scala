@@ -29,10 +29,13 @@ object Crawl {
           .otherwise(lit("changed")).as("status"),
         col("old_fp"), col("new_fp"))
 
-  /** Longest-prefix URL rule gate (robots.txt semantics, Google's
-    * documented rule: the most specific — longest — matching path rule
-    * wins; ties break toward deny, then the lexicographically greatest
-    * prefix; no matching rule means allow).
+  /** Longest-prefix URL rule gate (robots.txt semantics, RFC 9309 /
+    * Google's documented rule: the most specific — longest — matching
+    * path rule wins; between equivalent rules the least restrictive
+    * wins, i.e. allow beats deny on an equal-length tie; no matching
+    * rule means allow). Note an equal-length prefix of the same path is
+    * necessarily the same string, so the tie only arises for duplicate
+    * (host, prefix) rows with conflicting allow values.
     *
     * `rules` is (host, path-prefix, allow 0/1) — O(rule-table) small by
     * construction (robots rules, not data), so it BROADCASTS; the
@@ -54,7 +57,7 @@ object Crawl {
       .groupBy(key)
       .agg(max(struct(
         length(col("__rprefix")).as("plen"),
-        (lit(1L) - col("__rallow")).as("deny_pref"),
+        col("__rallow").as("allow_pref"),
         col("__rprefix").as("prefix"),
         col("__rallow").as("allow"))).as("w"))
       .select(col(key), col("w.prefix").as("matched_prefix"),

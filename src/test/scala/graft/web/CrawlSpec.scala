@@ -56,12 +56,12 @@ class CrawlSpec extends AnyFunSuite with SparkTestBase {
       6L -> ((None, 1L))))
   }
 
-  test("ruleGate: equal-length prefix ties break toward deny") {
+  test("ruleGate: equal-length ties break toward allow (RFC 9309)") {
     val tied = Seq(("h", "/a", 1L), ("h", "/a", 0L))
     val urls = Seq((7L, "h", "/ab")).toDF("k", "host", "path")
     val got = Crawl.ruleGate(urls, "k", "host", "path", tied, spark)
       .select("allowed").as[Long].collect()
-    assert(got.toSeq == Seq(0L))
+    assert(got.toSeq == Seq(1L))
   }
 
   test("ruleGate plan: rule side is a broadcast join") {
