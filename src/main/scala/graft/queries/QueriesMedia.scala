@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.media.Media
 
 /** Multimodal-column suite (builder brief): binary media columns with
-  * typed metadata, batched (stub-)decode + feature extraction. Payloads
-  * are md5-derived so BOTH engines construct identical bytes and the
-  * driver's hash gate covers the whole pipeline, decode included.
+  * typed metadata, batched decode + feature extraction. Images are REAL
+  * PPM P6 containers ([[graft.media.Media.Codec]] is a complete parser);
+  * audio/video are headerless raw samples. Raster/sample bytes are
+  * md5-derived so BOTH engines construct identical container bytes and
+  * the driver's hash gate covers the whole pipeline, decode included —
+  * the DuckDB oracle rebuilds the PPM header with `encode(...)` and the
+  * raster with `from_hex(md5(...))`, so a header-parse bug on the Spark
+  * side WOULD show up as a q52 histogram mismatch.
   */
 object QueriesMedia {
 
@@ -44,33 +49,64 @@ object QueriesMedia {
   private val rounds = 4
   private val nBytes = rounds * 16
 
+  /** The image raster as a HEX string: the md5 chain truncated to
+    * width·height·3 bytes (2 hex chars each) — md5() is lowercase hex
+    * in DuckDB, matching Spark's lower(hex(...)).
+    */
+  private def pixHexSql: String = {
+    val chain = (0 until Media.PixRounds)
+      .map(i => s"md5(CAST(doc_id AS VARCHAR) || '#$i')").mkString(" || ")
+    s"substr($chain, 1, CAST((doc_id % 8 + 1) * (doc_id % 6 + 1) * 6 AS INT))"
+  }
+
+  /** The full media payload blob per row: image rows a real PPM P6
+    * container (`encode` builds the ASCII header, `from_hex` the
+    * raster), audio/video the headerless md5 payload.
+    */
+  private def payloadBlobSql: String =
+    s"""CASE WHEN doc_id % 3 = 0 THEN
+       |    encode('P6' || chr(10) || CAST(doc_id % 8 + 1 AS VARCHAR) || ' '
+       |      || CAST(doc_id % 6 + 1 AS VARCHAR) || chr(10) || '255'
+       |      || chr(10)) || from_hex($pixHexSql)
+       |  ELSE ${Media.payloadSql("doc_id", rounds)} END"""
+      .stripMargin.replace("\n", " ")
+
   val oracles: Map[String, String] = Map(
     "q51_media_meta" ->
-      s"""SELECT doc_id,
-         |  ${Media.KindSql} AS kind,
-         |  CAST(octet_length(${Media.payloadSql("doc_id", rounds)}) AS BIGINT)
-         |    AS n_bytes,
-         |  lower(to_hex(${Media.payloadSql("doc_id", rounds)})) AS bytes_hex,
+      s"""WITH m AS (
+         |  SELECT doc_id, ${Media.KindSql} AS kind, $payloadBlobSql AS b
+         |  FROM documents)
+         |SELECT doc_id, kind,
+         |  CAST(octet_length(b) AS BIGINT) AS n_bytes,
+         |  lower(to_hex(b)) AS bytes_hex,
          |  CAST(doc_id % 8 + 1 AS BIGINT) AS width,
          |  CAST(doc_id % 6 + 1 AS BIGINT) AS height,
          |  CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames
-         |FROM documents""".stripMargin,
+         |FROM m""".stripMargin,
 
+    // q52: the decode's sample view — image rows decode to the RASTER
+    // bytes only (header stripped by the PPM parse), audio/video to the
+    // raw payload
     "q52_media_features" ->
       s"""WITH pay AS (
          |  SELECT doc_id, ${Media.KindSql} AS kind,
-         |    lower(to_hex(${Media.payloadSql("doc_id", rounds)})) AS hx
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN CAST((doc_id % 8 + 1) * (doc_id % 6 + 1) * 3 AS INT)
+         |      ELSE $nBytes END AS ns,
+         |    CASE WHEN doc_id % 3 = 0 THEN $pixHexSql
+         |      ELSE lower(to_hex(${Media.payloadSql("doc_id", rounds)})) END
+         |      AS hx
          |  FROM documents),
          |bv AS (
-         |  SELECT doc_id, kind,
-         |    list_transform(range($nBytes),
+         |  SELECT doc_id, kind, ns,
+         |    list_transform(range(ns),
          |      i -> CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2) AS BIGINT)) AS b
          |  FROM pay)
          |SELECT doc_id, kind,
          |  array_to_string(list_transform(range(16),
          |    k -> CAST(len(list_filter(b, v -> v // 16 = k)) AS VARCHAR)), ';')
          |    AS hist_s,
-         |  CAST(list_sum(b) * 100 // $nBytes AS BIGINT) AS mean_c
+         |  CAST(list_sum(b) * 100 // ns AS BIGINT) AS mean_c
          |FROM bv""".stripMargin,
 
     // q106: hashes replayed from the md5 HEX strings (byte i of block b

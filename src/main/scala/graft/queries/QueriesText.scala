@@ -613,11 +613,15 @@ object QueriesText {
     * the full table never shuffles; if candidates ever outgrow the
     * broadcast limit, drop the hints and AQE picks a shuffle join.
     */
-  private def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    memoize(s"jaccardverified:$d") { jaccardVerifiedPairsBody(s, d) }
+
+  private def jaccardVerifiedPairsBody(s: SparkSession, d: String): DataFrame = {
     // the distinct shingle-hash set is staged ONCE per doc and feeds
     // both the banding and the exact verify (signatures are identical
     // on the distinct set); re-hashing text per candidate pair was 48 s
-    // of a 140 s 500k-doc pipeline (BENCH.md round 4)
+    // of a 140 s 500k-doc pipeline (BENCH.md round 4); memoised (like
+    // saMemo) because q59 AND q95 both run the full pipeline
     val sets = t(s, d, "documents").select(col("doc_id").as("id"),
       Dedup.distinctShingleHashes(col("text")).as("hs"))
     val cand = Dedup.minhashCandidatesFromHashes(sets)
