@@ -1,7 +1,7 @@
 package graft.graph
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed degree-2 chain contraction — the scale path for the
@@ -40,7 +40,9 @@ object DistContract {
 
   /** @param edges (comp, src, dst) undirected; duplicates and self loops
     *              tolerated (canonical-deduped exactly like
-    *              Local.compress's first-wins intake)
+    *              Local.compress's first-wins intake); nids must fit
+    *              40 bits (the packed chain-CC key — loudly checked),
+    *              the same contract LumpWays documents for OSM ids
     * @param keep  (comp, nid) vertexes that must survive contraction
     *              (hull points, betweenness samples, user pins)
     * @return (comp, src, dst, inter: array<long>) — src<=dst, inter
@@ -92,26 +94,40 @@ object DistContract {
       .select(col("comp"), col("a").as("src"), col("b").as("dst"),
         array().cast("array<long>").as("inter"))
 
-    // chainId = min-nid CC label over chain-chain edges; singleton chain
-    // nodes (both neighbours pillars) label themselves
+    // chainId = min-composite-key CC label over chain-chain edges;
+    // singleton chain nodes (both neighbours pillars) label themselves.
+    // The CC and the routing join must be COMP-AWARE: betweennessGrouped
+    // contracts per WAY GROUP, and one nid can be a chain node in several
+    // groups (the LumpWays C1 situation) — a nid-only key would merge
+    // chains across groups. Same packed-composite contract as LumpWays:
+    // dense group index << 40 | nid, loud on nids above 2^40.
+    val compIdx = graft.runtime.Ranks.tinyDenseId(
+      canon.select("comp").distinct(), Seq(col("comp")), "gidx")
+    def packed(nid: Column) = shiftleft(col("gidx"), 40).bitwiseOR(
+      when(nid.between(0, (1L << 40) - 1), nid).otherwise(raise_error(concat(
+        lit("DistContract: nid outside the 40-bit composite range: "),
+        nid.cast("string")))))
     val cc = classified.filter(col("ac") && col("bc"))
-      .select(col("a").as("src"), col("b").as("dst"))
+      .join(compIdx, Seq("comp"))
+      .select(packed(col("a")).as("src"), packed(col("b")).as("dst"))
     val chainEdgeRows = classified.filter(col("ac") || col("bc"))
+    val chainNodesP = chainNodes.join(compIdx, Seq("comp"))
+      .select(col("comp"), col("nid"), packed(col("nid")).as("cnid"))
     val labels =
-      if (cc.isEmpty) chainNodes.select(col("nid"), col("nid").as("chain"))
+      if (cc.isEmpty) chainNodesP.select(col("cnid"), col("cnid").as("chain"))
       else ConnectedComponents.run(cc).labels
-        .select(col("nid"), col("comp").as("chain"))
-    val chainId = chainNodes.select(col("comp"), col("nid"))
-      .join(labels, Seq("nid"), "left")
+        .select(col("nid").as("cnid"), col("comp").as("chain"))
+    val chainId = chainNodesP
+      .join(labels, Seq("cnid"), "left")
       .select(col("comp"), col("nid"),
-        coalesce(col("chain"), col("nid")).as("chain"))
+        coalesce(col("chain"), col("cnid")).as("chain"))
 
     // route every chain-incident edge to its chain's group; an inner
     // (chain-chain) edge goes to ONE group — both endpoints share it
     val routed = chainEdgeRows
       .select(col("comp"), col("a"), col("b"), col("ac"), col("bc"),
         when(col("ac"), col("a")).otherwise(col("b")).as("nid"))
-      .join(chainId.select(col("nid"), col("chain")), Seq("nid"))
+      .join(chainId, Seq("comp", "nid"))
       .select("comp", "chain", "a", "b", "ac", "bc")
 
     val chains = routed
@@ -170,5 +186,71 @@ object DistContract {
         selfLoops.select(col("comp"), col("a").as("src"), col("a").as("dst"),
           array().cast("array<long>").as("inter")))
       .unionByName(chains)
+  }
+
+  /** Turn [[contract]]'s metric-preserving MULTIGRAPH into a SIMPLE
+    * graph by re-expanding interior vertexes of the conflicting chains —
+    * the P8 betweenness scale path's step-1 shape (Extras scaladoc).
+    *
+    * Per canonical (comp, src, dst) row group, ordered by
+    * (|inter|, inter): the first row keeps its full contraction; every
+    * further parallel chain splits at its MIDDLE interior vertex into two
+    * edges, and a cycle row (src==dst from a pure chain cycle) splits at
+    * two interior vertexes into three arcs. This is exactly the shape a
+    * [[Local.compress]] merge order produces when a merge would duplicate
+    * an edge or close a self loop (undirected_graph.rs:677-699 skips
+    * those merges, leaving one un-merged vertex per conflicting chain; a
+    * pure cycle bottoms out as a triangle) — i.e. one REALIZABLE merge
+    * order of the reference's order-dependent contraction, fixed
+    * deterministically at the chain midpoint. On trees and chain forests
+    * there are no conflicts and this is the identity. Input self loops
+    * (empty inter) pass through; interior vertexes belong to exactly one
+    * chain, so splits can never introduce a new conflict.
+    */
+  def simplify(contracted: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def canon(a: Long, b: Long, inter: Seq[Long]): (Long, Long, Seq[Long]) =
+      if (a <= b) (a, b, inter) else (b, a, inter.reverse)
+    contracted
+      .select(col("comp").cast("long"), col("src").cast("long"),
+        col("dst").cast("long"), col("inter").cast("array<long>"))
+      .as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (Long, Long, Long), rows0: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        val (comp, src, dst) = key
+        val rows = rows0.map(_._4).toSeq.sortBy(iv => (iv.length, iv))(
+          Ordering.Tuple2(Ordering.Int, Ordering.Implicits.seqOrdering[Seq, Long]))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Seq[Long])]
+        if (src != dst) {
+          out += ((comp, src, dst, rows.head))
+          rows.tail.foreach { inter =>
+            // a parallel chain always has interiors (exact duplicates were
+            // canonical-deduped in contract; only one row per pair can be
+            // the direct pillar-pillar edge, and it sorted first)
+            val m = (inter.length - 1) / 2
+            val (a1, b1, i1) = canon(src, inter(m), inter.slice(0, m))
+            val (a2, b2, i2) = canon(inter(m), dst, inter.slice(m + 1, inter.length))
+            out += ((comp, a1, b1, i1))
+            out += ((comp, a2, b2, i2))
+          }
+        } else rows.foreach { inter =>
+          if (inter.isEmpty) out += ((comp, src, dst, inter)) // input self loop
+          else {
+            // pure chain cycle: |inter| >= 2 (a 2-cycle would have been a
+            // parallel pair deduped in contract) → three arcs
+            val k = inter.length
+            val j1 = k / 3
+            val j2 = math.max(j1 + 1, (2 * k) / 3)
+            val (a1, b1, i1) = canon(src, inter(j1), inter.slice(0, j1))
+            val (a2, b2, i2) = canon(inter(j1), inter(j2), inter.slice(j1 + 1, j2))
+            val (a3, b3, i3) = canon(inter(j2), dst, inter.slice(j2 + 1, k))
+            out += ((comp, a1, b1, i1))
+            out += ((comp, a2, b2, i2))
+            out += ((comp, a3, b3, i3))
+          }
+        }
+        out.iterator
+      }
+      .toDF("comp", "src", "dst", "inter")
   }
 }

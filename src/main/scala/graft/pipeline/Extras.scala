@@ -151,12 +151,13 @@ object Extras {
       edges: DataFrame, nodes: DataFrame, spark: SparkSession,
       maxSamples: Int = 2000,
       minValue: Double = 0.0,
-      minFraction: Double = 0.0): DataFrame =
+      minFraction: Double = 0.0,
+      sizeThreshold: Long = Local.MaxLocalGroupRows): DataFrame =
     betweennessGrouped(
       ConnectedComponents.run(edges.select("src", "dst")).labels
         .withColumnRenamed("nid", "src").join(edges, Seq("src"))
         .select("comp", "src", "dst"),
-      nodes, spark, maxSamples, minValue, minFraction)
+      nodes, spark, maxSamples, minValue, minFraction, sizeThreshold)
 
   /** [[betweenness]] with a caller-supplied grouping: `edges` =
     * (comp, src, dst) where `comp` is the WAY-GROUP key — the reference
@@ -173,26 +174,26 @@ object Extras {
     import spark.implicits._
     import graft.geo.Geo
     val e0 = edges.select("comp", "src", "dst").localCheckpoint(true)
-    // HYBRID gate: groups above the threshold whose graph is a TREE
-    // (canon non-self |E| == |V| − 1) take the distributed step-1
-    // contraction — on trees DistContract ≡ the unpinned Local.compress
-    // exactly (DistContractSpec), so the sample universe, pair counts
-    // and denominators are unchanged; big NON-tree groups keep the exact
-    // single-task port (σ counts depend on the reference's merge-order
-    // contraction on diamonds/cycles) and its loud cap.
+    // HYBRID gate: every group above the threshold takes the distributed
+    // step-1 contraction (DistContract + simplify) — on trees that is the
+    // unpinned Local.compress exactly (DistContractSpec), so the sample
+    // universe, pair counts and denominators are unchanged; on CYCLIC
+    // groups the reference's contraction is merge-order-dependent
+    // (undirected_graph.rs:677-699 skips duplicate/self-loop merges in
+    // whatever order the BTreeMap scan visits them), and
+    // [[graft.graph.DistContract.simplify]] fixes ONE realizable merge
+    // order (contract fully, re-expand the conflicting chains at their
+    // midpoints) — a documented deviation reachable only above the
+    // threshold, where the round-4 code failed loudly instead of
+    // answering (README deviations list).
     val canonE = e0.select(col("comp"),
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val stats = canonE.groupBy("comp").agg(count(lit(1)).as("ne"))
-      .join(canonE.select(col("comp"), col("a").as("nid"))
-        .unionByName(canonE.select(col("comp"), col("b").as("nid")))
-        .distinct().groupBy("comp").agg(count(lit(1)).as("nv")),
-        Seq("comp"))
-    val bigTrees = stats
-      .filter(col("ne") > sizeThreshold && col("ne") === col("nv") - 1)
+    val bigGroups = canonE.groupBy("comp").agg(count(lit(1)).as("ne"))
+      .filter(col("ne") > sizeThreshold)
       .select("comp")
-    val localEdges = e0.join(bigTrees, Seq("comp"), "left_anti")
+    val localEdges = e0.join(bigGroups, Seq("comp"), "left_anti")
 
     val localRes = localEdges
       .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
@@ -224,9 +225,9 @@ object Extras {
       .toDF("comp", "src", "dst", "chain", "value", "value_fraction",
         "value_fraction_max", "comp_max_value")
 
-    if (bigTrees.isEmpty) localRes
-    else localRes.unionByName(betweennessTreesAtScale(
-      e0.join(bigTrees, Seq("comp"), "left_semi"), nodes, spark,
+    if (bigGroups.isEmpty) localRes
+    else localRes.unionByName(betweennessAtScale(
+      e0.join(bigGroups, Seq("comp"), "left_semi"), nodes, spark,
       maxSamples, minValue, minFraction))
   }
 
@@ -280,20 +281,24 @@ object Extras {
       .iterator
   }
 
-  /** The betweenness scale path for big TREE way groups: distributed
-    * step-1 contraction (exactly the unpinned compress on trees) +
-    * distributed chain weights; the per-group task then holds the PILLAR
+  /** The betweenness scale path for big way groups: distributed step-1
+    * contraction (on trees exactly the unpinned compress; on cycles the
+    * simplify midpoint merge order — see the gate comment) + distributed
+    * chain weights; the per-group task then holds the SIMPLE PILLAR
     * graph (O(contracted), loudly guarded), not the raw component —
     * BetweennessAtScaleSpec pins scale ≡ local topology/chains exactly
-    * and values to 1e-9 relative.
+    * and values to 1e-9 relative on conflict-free groups (trees AND
+    * cycles with ≥3 pillars per cycle), and pins the midpoint-split
+    * semantics plus exact-once edge coverage on conflicting cycles.
     */
-  private def betweennessTreesAtScale(
+  private def betweennessAtScale(
       big: DataFrame, nodes: DataFrame, spark: SparkSession,
       maxSamples: Int, minValue: Double, minFraction: Double): DataFrame = {
     import spark.implicits._
-    val contracted = graft.graph.DistContract.contract(
-      big, Seq.empty[(Long, Long)].toDF("comp", "nid"), spark,
-      "P8 betweenness contraction")
+    val contracted = graft.graph.DistContract.simplify(
+      graft.graph.DistContract.contract(
+        big, Seq.empty[(Long, Long)].toDF("comp", "nid"), spark,
+        "P8 betweenness contraction"), spark)
     chainWeighted(contracted, nodes)
       .as[(Long, Long, Long, Seq[Long], Double,
         Double, Double, Double, Double)]
@@ -309,8 +314,8 @@ object Extras {
           (es.map(e => e._2 -> (e._6, e._7)) ++
             es.map(e => e._3 -> (e._8, e._9))).toMap
         // merged-chain weight = Σ of the constituent base-chain weights
-        // (runs split at base vertexes; trees have no parallel base
-        // edges, so the canon key is unambiguous)
+        // (runs split at base vertexes; simplify guarantees a SIMPLE base
+        // graph, so the canon key is unambiguous)
         def chainWeight(chain: Seq[Long]): Double = {
           var tot = 0.0
           var runStart = chain.head

@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.fixtures.Synthetic
 import graft.pipeline.Extras
 
-/** Evidence run for the betweenness (P8) tree scale path on the same
-  * comb mega-component as [[FramesScale]] (a tree — the shape the gate
-  * routes to DistContract). Parity first (values within 1e-9 of the
-  * exact port), then the scale path at two parallelism levels — its
-  * output must be bit-identical across every run (the distributed
-  * contraction and weights are order-free).
+/** Evidence run for the betweenness (P8) scale path on a comb
+  * mega-component ([[FramesScale]]'s tree shape) or, with
+  * `SPARK_GRAFT_BTW_SHAPE=cyclic`, on a RING comb — the trunk closed
+  * into a cycle plus long-range chords, a conflict-free CYCLIC
+  * mega-group (every trunk node is a pillar, so contraction meets no
+  * duplicate/self-loop skip and local ≡ scale exactly; the conflicting
+  * shapes are spec-pinned in BetweennessAtScaleSpec). Parity first
+  * (values within 1e-9 of the exact port), then the scale path at two
+  * parallelism levels — its output must be bit-identical across every
+  * run (the distributed contraction and weights are order-free).
   *
   * Usage: SPARK_GRAFT_BTW_K=1500 SPARK_GRAFT_BTW_L=1500
+  *        [SPARK_GRAFT_BTW_SHAPE=cyclic]
   *        SPARK_GRAFT_BTW_REPS=2 sbt 'runMain graft.tools.BetweennessScale'
   */
 object BetweennessScale {
@@ -20,7 +25,22 @@ object BetweennessScale {
   final case class RunResult(
       cpus: Int, wallSec: Double, rows: Long, topoChk: Long, valSum: Double)
 
-  def runOnce(cpus: Int, k: Long, l: Long, threshold: Long): RunResult = {
+  /** Comb with its trunk closed into a ring + `chords` long-range trunk
+    * chords — cyclic, conflict-free (all trunk nodes are pillars).
+    */
+  def ringComb(spark: SparkSession, k: Long, l: Long, chords: Long): org.apache.spark.sql.DataFrame = {
+    val step = math.max(1L, k / math.max(1L, chords))
+    FramesScale.comb(spark, k, l)
+      .unionByName(spark.range(1).selectExpr(s"${k - 1} AS src", "0 AS dst"))
+      .unionByName(spark.range(chords).selectExpr(
+        s"(id * $step) % $k AS src",
+        s"((id * $step) + ($k DIV 2)) % $k AS dst"))
+  }
+
+  def runOnce(cpus: Int, k: Long, l: Long, threshold: Long): RunResult =
+    runOnce(cpus, k, l, threshold, cyclic = false)
+
+  def runOnce(cpus: Int, k: Long, l: Long, threshold: Long, cyclic: Boolean): RunResult = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-betweenness-scale-$cpus")
@@ -34,8 +54,9 @@ object BetweennessScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val edges = FramesScale.comb(spark, k, l)
-        .withColumn("comp", lit(1L)).localCheckpoint(true)
+      val base = if (cyclic) ringComb(spark, k, l, chords = 64L)
+        else FramesScale.comb(spark, k, l)
+      val edges = base.withColumn("comp", lit(1L)).localCheckpoint(true)
       val nodes = Synthetic.nodesForNids(
         edges.select(col("src").as("nid"))
           .unionByName(edges.select(col("dst").as("nid"))).distinct())
@@ -59,11 +80,12 @@ object BetweennessScale {
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BTW_REPS", "2").toInt
+    val cyclic = sys.env.get("SPARK_GRAFT_BTW_SHAPE").contains("cyclic")
 
     // parity at 64×64: identical topology, value sums within 1e-9 rel
     val pk = 64L; val pl = 64L
-    val localR = runOnce(hi, pk, pl, Long.MaxValue)
-    val scaleR = runOnce(hi, pk, pl, 1L)
+    val localR = runOnce(hi, pk, pl, Long.MaxValue, cyclic)
+    val scaleR = runOnce(hi, pk, pl, 1L, cyclic)
     println(f"[btw-scale] parity k=$pk l=$pl local=(${localR.rows}," +
       f"${localR.topoChk},${localR.valSum}%.6f) ${localR.wallSec}%.1fs " +
       f"scale=(${scaleR.rows},${scaleR.topoChk},${scaleR.valSum}%.6f) " +
@@ -82,9 +104,9 @@ object BetweennessScale {
 
     val runs = (1 to reps).flatMap { r =>
       Seq(lo, hi).map { cpus =>
-        val res = runOnce(cpus, k, l, 1L)
-        println(f"[btw-scale] rep=$r cpus=$cpus edges=${k * l + k - 1}%d " +
-          f"wall=${res.wallSec}%.1fs rows=${res.rows}%d " +
+        val res = runOnce(cpus, k, l, 1L, cyclic)
+        println(f"[btw-scale] rep=$r shape=${if (cyclic) "cyclic" else "tree"} " +
+          f"cpus=$cpus wall=${res.wallSec}%.1fs rows=${res.rows}%d " +
           f"topo=${res.topoChk}%d vals=${res.valSum}%.6f")
         res
       }
@@ -95,8 +117,10 @@ object BetweennessScale {
     val tLo = runs.filter(_.cpus == lo).map(_.wallSec).min
     val tHi = runs.filter(_.cpus == hi).map(_.wallSec).min
     val eff = (tLo / tHi) / (hi.toDouble / lo)
+    val nEdges = k * l + k - 1 + (if (cyclic) 65 else 0)
     println(
-      s"""{"metric":"betweenness_at_scale","edges":${k * l + k - 1},""" +
+      s"""{"metric":"betweenness_at_scale","edges":$nEdges,""" +
+        s""""shape":"${if (cyclic) "cyclic" else "tree"}",""" +
         s""""t_lo_s":${f"$tLo%.1f"},"t_hi_s":${f"$tHi%.1f"},""" +
         s""""cpus_lo":$lo,"cpus_hi":$hi,"efficiency":${f"$eff%.3f"},""" +
         s""""rows":${runs.head.rows},"topo_chk":${runs.head.topoChk}}""")

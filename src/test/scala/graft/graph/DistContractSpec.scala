@@ -99,6 +99,58 @@ class DistContractSpec extends AnyFunSuite with SparkTestBase {
       (1L, 0L, 9L, Seq(3L))))
   }
 
+  test("groups sharing node ids contract independently (packed chain keys)") {
+    // the SAME chain 0-1-...-9 in two way groups, plus a spur in group 2
+    // that changes its pillar set — a nid-keyed chain CC would merge the
+    // two groups' chains and blow up the per-chain walk
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val es = chain.map(e => (1L, e._1, e._2)) ++
+      chain.map(e => (2L, e._1, e._2)) :+ ((2L, 5L, 50L))
+    val out = contract(es, Nil)
+    assert(out == Set(
+      (1L, 0L, 9L, (1L to 8L)),
+      (2L, 0L, 5L, (1L to 4L)),
+      (2L, 5L, 9L, (6L to 8L)),
+      (2L, 5L, 50L, Seq())))
+  }
+
+  private def simplify(
+      rows: Seq[(Long, Long, Long, Seq[Long])]): Set[(Long, Long, Long, Seq[Long])] =
+    DistContract.simplify(rows.toDF("comp", "src", "dst", "inter"), spark)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toSeq))
+      .toSet
+
+  test("simplify: identity on simple rows, midpoint split on conflicts") {
+    // simple rows pass through
+    val tree = Seq((1L, 0L, 9L, Seq(1L, 2L)), (1L, 9L, 20L, Seq.empty[Long]))
+    assert(simplify(tree) == tree.toSet)
+    // parallel chains: first by (|inter|, inter) kept, others split at the
+    // middle interior vertex
+    val par = Seq(
+      (1L, 0L, 9L, Seq.empty[Long]),
+      (1L, 0L, 9L, Seq(3L)),
+      (1L, 0L, 9L, Seq(5L, 6L, 7L, 8L)))
+    assert(simplify(par) == Set(
+      (1L, 0L, 9L, Seq()),
+      (1L, 0L, 3L, Seq()), (1L, 3L, 9L, Seq()),
+      (1L, 0L, 6L, Seq(5L)), (1L, 6L, 9L, Seq(7L, 8L))))
+    // pure-cycle self loop: three arcs at interior thirds
+    val cyc = Seq((1L, 10L, 10L, Seq(11L, 12L, 13L, 14L, 15L, 16L)))
+    assert(simplify(cyc) == Set(
+      (1L, 10L, 13L, Seq(11L, 12L)),
+      (1L, 13L, 15L, Seq(14L)),
+      (1L, 10L, 15L, Seq(16L))))
+    // input self loop (empty inter) passes through
+    assert(simplify(Seq((1L, 4L, 4L, Seq.empty[Long]))) ==
+      Set((1L, 4L, 4L, Seq.empty[Long])))
+    // result is always a simple graph: no duplicate canonical keys
+    val mixed = par ++ cyc
+    val keys = simplify(mixed).toSeq.map(r => (r._1, r._2, r._3))
+    assert(keys.distinct.size == keys.size)
+  }
+
   test("parallelism invariance: identical output at 1 and 7 partitions") {
     val es = (randomTree(0, 120, 9) ++ Seq((3L, 77L), (11L, 95L)))
       .map(e => (1L, e._1, e._2))
