@@ -97,14 +97,41 @@ object QueriesExtras {
     // are recognisable from the ENGINE output alone: the skip leaves a
     // degree-2 vertex in the compressed graph, which a clean contraction
     // never has.
-    "q45_betweenness" -> ((s, d) => {
+    "q45_betweenness" -> ((s, d) =>
+      betweennessReplayable(s, d, graft.graph.Local.MaxLocalGroupRows)),
+
+    // D17 longest source→mouth per basin
+    "q46_longest_source_mouth" -> ((s, d) =>
+      Extras.longestSourceMouth(dagEdgesDF(s, d), s)
+        .select(col("mouth"), col("source"),
+          expr("CAST(FLOOR(dist_m * 10 + 0.5) AS BIGINT)").as("dist_dm"))),
+
+    // P8 betweenness through the SCALE path (DistContract + simplify +
+    // distributed chain weights), DuckDB-gated with q45's own oracle:
+    // sizeThreshold=1 routes every multi-edge component through
+    // betweennessAtScale. On every component q45's oracle replays (clean
+    // contractions), the scale path is BIT-identical to the local port —
+    // same topology (DistContract ≡ Local.compress off-conflict), same
+    // weights (ChainHaversineM accumulates in the sliding-sum op order),
+    // same samples — and on conflicting components the midpoint split
+    // leaves degree-2 vertexes, so the same orderDependent detector
+    // excludes them on both sides. Oracle = q45's verbatim.
+    "q120_betweenness_at_scale" -> ((s, d) => betweennessReplayable(s, d, 1L)))
+
+  /** q45/q120 shared body: betweenness at a given hybrid threshold,
+    * projected to the oracle-replayable component classes (see the q45
+    * entry comment).
+    */
+  private def betweennessReplayable(
+      s: SparkSession, d: String, sizeThreshold: Long): DataFrame = {
       val labels = QueriesGraph.ccLabels(s, d)
       val nodesPos = labels.join(nodesDF(s, d), Seq("nid"))
       val posOk = nodesPos.groupBy("comp").agg(
           count(lit(1)).as("n_nodes"),
           countDistinct(col("lat"), col("lon")).as("n_pos"))
         .filter(col("n_pos") === col("n_nodes")).select("comp")
-      val bres = Extras.betweenness(edgesDF(s, d), nodesDF(s, d), s)
+      val bres = Extras.betweenness(edgesDF(s, d), nodesDF(s, d), s,
+          sizeThreshold = sizeThreshold)
         .localCheckpoint(true)
       val orderDependent = bres
         .select(col("comp"), explode(array(col("src"), col("dst"))).as("nid"))
@@ -115,13 +142,7 @@ object QueriesExtras {
         .join(orderDependent, Seq("comp"), "left_anti")
         .select(col("comp"), col("src"), col("dst"),
           expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)").as("value_e3"))
-    }),
-
-    // D17 longest source→mouth per basin
-    "q46_longest_source_mouth" -> ((s, d) =>
-      Extras.longestSourceMouth(dagEdgesDF(s, d), s)
-        .select(col("mouth"), col("source"),
-          expr("CAST(FLOOR(dist_m * 10 + 0.5) AS BIGINT)").as("dist_dm"))))
+  }
 
   /** cross(a, b, p) over (lat, lon) treated as (x, y) — sign is all that
     * matters, and the expression is the same IEEE tree in both engines.
@@ -140,7 +161,12 @@ object QueriesExtras {
        |),
        |cc AS MATERIALIZED (SELECT nid, MIN(label) AS comp FROM r GROUP BY nid)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** q120 = the q45 oracle verbatim: the scale path must reproduce the
+    * local port bit-for-bit on every replayable component class. */
+  lazy val oracles: Map[String, String] =
+    oracles0 + ("q120_betweenness_at_scale" -> oracles0("q45_betweenness"))
+
+  private lazy val oracles0: Map[String, String] = Map(
     // Strict-hull vertexes: position p is a hull vertex iff p is NOT in
     // the convex closure of the component's other positions —
     // Carathéodory: inside/on a non-degenerate triangle, or on a segment.

@@ -92,7 +92,69 @@ object QueriesGraph {
           col("length_desc_rank"), col("length_asc_rank"),
           expr("CAST(FLOOR(length_m_fraction_total * 10000 + 0.5) AS BIGINT)").as("frac_total_bp"),
           expr("CAST(FLOOR(length_m_fraction_longest * 10000 + 0.5) AS BIGINT)").as("frac_longest_bp"))
-    }))
+    }),
+
+    // P1 SHARDED geometry (DistPeel chunk peel + endpoint stitch) pushed
+    // through the DuckDB gate: force shardThresholdEdges down to 1 so
+    // every component with 2+ contracted edges takes the sharded path
+    // (q35/q44 run below the default threshold at sf0.1 and never
+    // exercise it; the testdata components are single-way at sf0.001 and
+    // a handful of contracted edges at sf0.01/sf0.1, so 1 is the only
+    // threshold the fixture can cross), then
+    // digest the OUTPUT lines/coords into peel-invariant per-group
+    // aggregates: exact-once segment coverage (row count == distinct
+    // count — the 16M-edge invariant, now hash-gated every round),
+    // canonical endpoint sums, distributed closed-form num_nodes, and
+    // distinct node/position sums read from the coords arrays.
+    "q119_sharded_geom_cover" -> ((s, d) => shardedGeomDigest(s, d, 1L)))
+
+  /** The q119 digest over [[graft.pipeline.LumpWays.features]] lines at a
+    * given shard threshold — peel-invariant by construction, so the spec
+    * cross-checks threshold=1 ≡ threshold=MaxValue (sharded ≡ exact). */
+  private[graft] def shardedGeomDigest(
+      s: SparkSession, d: String, threshold: Long): DataFrame = {
+      val cfg = graft.pipeline.LumpWays.Config(
+        tagFilters = Seq(graft.tagfilter.TagFilter.unsafeParse("status")),
+        groupKeys = Seq(Seq("status")),
+        shardThresholdEdges = threshold)
+      val lines = graft.pipeline.LumpWays
+        .features(waysDF(s, d), nodesDF(s, d), cfg, s)
+        .select(concat_ws(";", col("grp")).as("grp_s"), col("root_nodeid"),
+          col("num_nodes"),
+          explode(arrays_zip(col("lines"), col("coords"))).as("lc"))
+        .select(col("grp_s"), col("root_nodeid"), col("num_nodes"),
+          col("lc.lines").as("line"), col("lc.coords").as("cline"))
+      val segs = lines
+        .filter(size(col("line")) >= 2)
+        .select(col("grp_s"), col("root_nodeid"), explode(expr(
+          "transform(slice(line, 1, size(line) - 1), (x, i) -> " +
+            "struct(least(x, line[i + 1]) AS p, greatest(x, line[i + 1]) AS q))"))
+          .as("sg"))
+        .select(col("grp_s"), col("root_nodeid"), col("sg.p"), col("sg.q"))
+      val segAgg = segs.groupBy("grp_s", "root_nodeid").agg(
+        count(lit(1)).as("n_seg_rows"),
+        countDistinct(col("p"), col("q")).as("n_segs"),
+        sum("p").as("seg_p_sum"), sum("q").as("seg_q_sum"))
+      val ptAgg = lines
+        .select(col("grp_s"), col("root_nodeid"), explode(expr(
+          "transform(line, (x, i) -> struct(x AS nid, " +
+            "CAST(FLOOR(cline[i]['_2'] * 10000 + 0.5) AS BIGINT) AS lat_dm, " +
+            "CAST(FLOOR(cline[i]['_1'] * 10000 + 0.5) AS BIGINT) AS lon_dm))"))
+          .as("pt"))
+        .select(col("grp_s"), col("root_nodeid"), col("pt.nid"),
+          col("pt.lat_dm"), col("pt.lon_dm"))
+        .distinct()
+        .groupBy("grp_s", "root_nodeid").agg(
+          count(lit(1)).as("nid_cnt"),
+          sum("lat_dm").as("lat_dm_sum"), sum("lon_dm").as("lon_dm_sum"))
+      val nnAgg = lines.groupBy("grp_s", "root_nodeid")
+        .agg(max("num_nodes").as("num_nodes"))
+      nnAgg
+        .join(segAgg, Seq("grp_s", "root_nodeid"))
+        .join(ptAgg, Seq("grp_s", "root_nodeid"))
+        .select("grp_s", "root_nodeid", "num_nodes", "n_seg_rows", "n_segs",
+          "seg_p_sum", "seg_q_sum", "nid_cnt", "lat_dm_sum", "lon_dm_sum")
+  }
 
   /** Memo for results shared across queries in one JVM (Verify/Bench run
     * every query against the same dir — CC would otherwise re-run 5×).
@@ -247,7 +309,74 @@ object QueriesGraph {
     // reference (unhinted, the query runs out of file handles).
     "q35_lump_pipeline" ->
       s"""WITH RECURSIVE $oracleWaysCte,
-         |wt AS MATERIALIZED (SELECT wid, o_orderstatus AS g,
+         |$lumpNnCte,
+         |tot AS (SELECT SUM(len) AS t, MAX(len) AS mx, COUNT(*) AS n FROM nn)
+         |SELECT g AS grp_s, root AS root_nodeid,
+         |  CAST(num_nodes AS BIGINT) AS num_nodes,
+         |  ${dmSql("len")} AS len_dm,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY len DESC, g ASC, root ASC) - 1
+         |    AS BIGINT) AS length_desc_rank,
+         |  CAST((SELECT n FROM tot)
+         |    - (ROW_NUMBER() OVER (ORDER BY len DESC, g ASC, root ASC) - 1)
+         |    AS BIGINT) AS length_asc_rank,
+         |  CAST(FLOOR(len / (SELECT t FROM tot) * 10000 + 0.5) AS BIGINT)
+         |    AS frac_total_bp,
+         |  CAST(FLOOR(len / (SELECT mx FROM tot) * 10000 + 0.5) AS BIGINT)
+         |    AS frac_longest_bp
+         |FROM nn""".stripMargin,
+
+    // Sharded-geometry coverage gate: replay the expanded segment set
+    // per kept group from `rk` (rn=1 rows expand to their chain's
+    // original segments; rn>1 duplicate rows with an interior split back
+    // into the graph; duplicate DIRECT edges are dropped) and digest it
+    // the same way the Spark side digests the OUTPUT lines/coords.
+    "q119_sharded_geom_cover" ->
+      s"""WITH RECURSIVE $oracleWaysCte,
+         |$lumpNnCte,
+         |seg AS (
+         |  SELECT g, src AS p, dst AS q, src AS anchor FROM rk
+         |    WHERE rn = 1 AND mid IS NULL
+         |  UNION ALL
+         |  SELECT g, LEAST(src, mid), GREATEST(src, mid), src FROM rk
+         |    WHERE mid IS NOT NULL
+         |  UNION ALL
+         |  SELECT g, LEAST(mid, dst), GREATEST(mid, dst), src FROM rk
+         |    WHERE mid IS NOT NULL),
+         |segr AS MATERIALIZED (
+         |  SELECT s.g, c.root, s.p, s.q FROM seg s
+         |  JOIN cc2 c ON c.g = s.g AND c.nid = s.anchor),
+         |sa AS (
+         |  SELECT g, root, COUNT(*) AS n,
+         |    CAST(SUM(p) AS BIGINT) AS ps, CAST(SUM(q) AS BIGINT) AS qs
+         |  FROM segr GROUP BY g, root),
+         |nds AS (
+         |  SELECT DISTINCT g, root, nid FROM (
+         |    SELECT g, root, p AS nid FROM segr
+         |    UNION ALL SELECT g, root, q FROM segr)),
+         |na AS (
+         |  SELECT g, root, COUNT(*) AS nid_cnt,
+         |    CAST(SUM(CAST(FLOOR(${latSql("nid")} * 10000 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS lat_s,
+         |    CAST(SUM(CAST(FLOOR(${lonSql("nid")} * 10000 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS lon_s
+         |  FROM nds GROUP BY g, root)
+         |SELECT sa.g AS grp_s, sa.root AS root_nodeid,
+         |  CAST(nn.num_nodes AS BIGINT) AS num_nodes,
+         |  sa.n AS n_seg_rows, sa.n AS n_segs,
+         |  sa.ps AS seg_p_sum, sa.qs AS seg_q_sum,
+         |  na.nid_cnt, na.lat_s AS lat_dm_sum, na.lon_s AS lon_dm_sum
+         |FROM sa
+         |JOIN na ON na.g = sa.g AND na.root = sa.root
+         |JOIN nn ON nn.g = sa.g AND nn.root = sa.root""".stripMargin)
+
+  /** Lump-pipeline replay CTE chain shared by the q35 gate and the q119
+    * sharded-geometry gate: ways → weighted census → way-level
+    * contraction with first-wins duplicate resolution (`rk`/`cg`) →
+    * per-group CC (`cc2`) → lengths (`clen2`) → closed-form post-compress
+    * num_nodes (`nn`). Prepend WITH RECURSIVE + [[Derived.oracleWaysCte]].
+    */
+  private lazy val lumpNnCte: String =
+      s"""wt AS MATERIALIZED (SELECT wid, o_orderstatus AS g,
          |  ${nidSql("a0")} AS na, ${nidSql("b0")} AS nb, ${nidSql("c0")} AS nc
          |  FROM ways),
          |census AS MATERIALIZED (
@@ -343,24 +472,10 @@ object QueriesGraph {
          |    JOIN cc2 c ON c.g = i.g AND c.nid = i.ic
          |  WHERE i.natt = 0),
          |extra AS (SELECT g, root, SUM(surv) AS x FROM extras GROUP BY g, root),
-         |nn AS (
+         |nn AS MATERIALIZED (
          |  SELECT l.g, l.root, l.len,
          |    COALESCE(p.p, 0) + COALESCE(x.x, 0) AS num_nodes
          |  FROM clen2 l
          |  LEFT JOIN pil p ON p.g = l.g AND p.root = l.root
-         |  LEFT JOIN extra x ON x.g = l.g AND x.root = l.root),
-         |tot AS (SELECT SUM(len) AS t, MAX(len) AS mx, COUNT(*) AS n FROM nn)
-         |SELECT g AS grp_s, root AS root_nodeid,
-         |  CAST(num_nodes AS BIGINT) AS num_nodes,
-         |  ${dmSql("len")} AS len_dm,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY len DESC, g ASC, root ASC) - 1
-         |    AS BIGINT) AS length_desc_rank,
-         |  CAST((SELECT n FROM tot)
-         |    - (ROW_NUMBER() OVER (ORDER BY len DESC, g ASC, root ASC) - 1)
-         |    AS BIGINT) AS length_asc_rank,
-         |  CAST(FLOOR(len / (SELECT t FROM tot) * 10000 + 0.5) AS BIGINT)
-         |    AS frac_total_bp,
-         |  CAST(FLOOR(len / (SELECT mx FROM tot) * 10000 + 0.5) AS BIGINT)
-         |    AS frac_longest_bp
-         |FROM nn""".stripMargin)
+         |  LEFT JOIN extra x ON x.g = l.g AND x.root = l.root)""".stripMargin
 }
