@@ -93,6 +93,7 @@ object SuffixArray {
     var cur = gen.rotate(wins.select(col("doc_id"), col("pos"),
       pack8(col("win")).as("r")))
     var w = 8
+    var rounds = 0
     var allDistinct = false
     while (w < cap && !allDistinct) {
       // partner rank at pos+w; absent (suffix shorter than w) sorts
@@ -114,8 +115,19 @@ object SuffixArray {
         .select(col("doc_id"), col("pos"), col("__nr").as("r")))
       allDistinct = allD
       w *= 2
+      rounds += 1
     }
+    lastDoublingRounds.set(rounds)
     cur
+  }
+
+  /** Doubling rounds executed by the most recent [[saWithWindows]] /
+    * [[suffixRanks]] call ON THIS THREAD (each round = one equi-join +
+    * one range-exchange densify over the position frame) — cost
+    * telemetry for the scale-evidence tools; ≤ log2(cap/8), smaller on
+    * early exit. */
+  val lastDoublingRounds = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
   }
 
   /** The full suffix array with its comparison windows:

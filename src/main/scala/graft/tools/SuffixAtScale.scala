@@ -27,7 +27,8 @@ object SuffixAtScale {
 
   final case class RunResult(
       cpus: Int, wallSec: Double, posPerSec: Double,
-      positions: Long, saChk: Long, dupChk: Long, dupMass: Long)
+      positions: Long, saChk: Long, dupChk: Long, dupMass: Long,
+      rounds: Int, shuffleWriteMB: Long)
 
   def runOnce(cpus: Int, nDocs: Long): RunResult = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "4").toInt
@@ -43,8 +44,21 @@ object SuffixAtScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // exchange-byte telemetry: total shuffle WRITE bytes across all
+    // stages of the measured window (the doubling rounds dominate it)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null)
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     try {
       val docs = DedupAtScale.documents(spark, nDocs).localCheckpoint(true)
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val sa = SuffixArray.saWithWindows(docs, "doc_id", "text")
         .localCheckpoint(true)
@@ -57,8 +71,11 @@ object SuffixAtScale {
           sum(col("sum_dup_len")).as("mass"))
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
+      // give the async listener bus a beat to drain before reading
+      Thread.sleep(2000)
       RunResult(cpus, wall, saAgg.getLong(0) / wall,
-        saAgg.getLong(0), saAgg.getLong(1), dup.getLong(0), dup.getLong(1))
+        saAgg.getLong(0), saAgg.getLong(1), dup.getLong(0), dup.getLong(1),
+        SuffixArray.lastDoublingRounds.get(), shuffleBytes.get() >> 20)
     } finally spark.stop()
   }
 
@@ -74,6 +91,7 @@ object SuffixAtScale {
         println(f"[suffix-at-scale] rep=$r cpus=${res.cpus}%d " +
           f"docs=$nDocs%d positions=${res.positions}%d " +
           f"wall=${res.wallSec}%.1fs pos/sec=${res.posPerSec}%.0f " +
+          f"rounds=${res.rounds}%d shuffle_write_mb=${res.shuffleWriteMB}%d " +
           f"sa_chk=${res.saChk}%d dup_chk=${res.dupChk}%d " +
           f"dup_mass=${res.dupMass}%d")
         res
@@ -93,6 +111,8 @@ object SuffixAtScale {
         s""""positions":${runs.head.positions},""" +
         s""""t_lo_s":${f"$tLo%.1f"},"t_hi_s":${f"$tHi%.1f"},""" +
         s""""cpus_lo":$lo,"cpus_hi":$hi,"efficiency":${f"$eff%.3f"},""" +
+        s""""rounds":${runs.head.rounds},""" +
+        s""""shuffle_write_mb":${runs.map(_.shuffleWriteMB).min},""" +
         s""""sa_chk":${runs.head.saChk},"dup_chk":${runs.head.dupChk},""" +
         s""""dup_mass":${runs.head.dupMass}}""")
   }
