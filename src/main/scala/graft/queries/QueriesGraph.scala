@@ -117,6 +117,8 @@ object QueriesGraph {
         tagFilters = Seq(graft.tagfilter.TagFilter.unsafeParse("status")),
         groupKeys = Seq(Seq("status")),
         shardThresholdEdges = threshold)
+      // eager checkpoint: three digest aggregations read this frame —
+      // without it each join branch re-executes the whole lump pipeline
       val lines = graft.pipeline.LumpWays
         .features(waysDF(s, d), nodesDF(s, d), cfg, s)
         .select(concat_ws(";", col("grp")).as("grp_s"), col("root_nodeid"),
@@ -124,6 +126,7 @@ object QueriesGraph {
           explode(arrays_zip(col("lines"), col("coords"))).as("lc"))
         .select(col("grp_s"), col("root_nodeid"), col("num_nodes"),
           col("lc.lines").as("line"), col("lc.coords").as("cline"))
+        .localCheckpoint(true)
       val segs = lines
         .filter(size(col("line")) >= 2)
         .select(col("grp_s"), col("root_nodeid"), explode(expr(
