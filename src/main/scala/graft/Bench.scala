@@ -60,8 +60,13 @@ object Bench {
     // truncated the per-query map two rounds running (BENCH_r03/r04 show
     // "parsed": null) — the file keeps the complete record either way.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      // the stdout line above is the primary record; an unwritable cwd
+      // must not fail a completed benchmark
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

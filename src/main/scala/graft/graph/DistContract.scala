@@ -218,7 +218,11 @@ object DistContract {
       .groupByKey(r => (r._1, r._2, r._3))
       .flatMapGroups { (key: (Long, Long, Long), rows0: Iterator[(Long, Long, Long, Seq[Long])]) =>
         val (comp, src, dst) = key
-        val rows = rows0.map(_._4).toSeq.sortBy(iv => (iv.length, iv))(
+        // loud guard: a braided pair with MANY huge parallel chains would
+        // otherwise OOM this task silently (repo task-memory contract)
+        val rows = Local.boundedSeq(rows0.map(_._4),
+            s"DistContract.simplify (pair $comp:$src-$dst)")
+          .sortBy(iv => (iv.length, iv))(
           Ordering.Tuple2(Ordering.Int, Ordering.Implicits.seqOrdering[Seq, Long]))
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Seq[Long])]
         if (src != dst) {

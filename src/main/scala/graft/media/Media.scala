@@ -129,7 +129,11 @@ object Media {
       if (maxval == 0 || maxval > 255) fail(s"unsupported maxval $maxval")
       if (i >= bytes.length || !isWs(bytes(i))) fail("missing raster separator")
       i += 1 // the spec's SINGLE whitespace byte before binary data
-      val n = w * h * 3
+      // Long arithmetic: header dims up to 0xFFFFFF each would overflow
+      // w*h*3 in Int, letting a wrapped n pass the exact-length check
+      val nL = w.toLong * h.toLong * 3L
+      if (nL > Int.MaxValue) fail(s"raster $w x $h exceeds 2^31 samples")
+      val n = nL.toInt
       if (bytes.length - i != n)
         fail(s"raster is ${bytes.length - i} bytes, want $n")
       val out = new Array[Int](n)

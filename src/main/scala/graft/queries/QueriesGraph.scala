@@ -138,7 +138,11 @@ object QueriesGraph {
         count(lit(1)).as("n_seg_rows"),
         countDistinct(col("p"), col("q")).as("n_segs"),
         sum("p").as("seg_p_sum"), sum("q").as("seg_q_sum"))
+      // same >=2 filter as segs: the oracle derives its node set from
+      // SEGMENTS, so a degenerate 1-point line must be invisible on the
+      // Spark side too (symmetry, not just defense)
       val ptAgg = lines
+        .filter(size(col("line")) >= 2)
         .select(col("grp_s"), col("root_nodeid"), explode(expr(
           "transform(line, (x, i) -> struct(x AS nid, " +
             "CAST(FLOOR(cline[i]['_2'] * 10000 + 0.5) AS BIGINT) AS lat_dm, " +

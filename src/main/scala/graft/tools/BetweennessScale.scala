@@ -23,7 +23,8 @@ import graft.pipeline.Extras
 object BetweennessScale {
 
   final case class RunResult(
-      cpus: Int, wallSec: Double, rows: Long, topoChk: Long, valSum: Double)
+      cpus: Int, wallSec: Double, rows: Long, topoChk: Long, valSum: Double,
+      nEdges: Long)
 
   /** Comb with its trunk closed into a ring + `chords` long-range trunk
     * chords — cyclic, conflict-free (all trunk nodes are pillars).
@@ -57,6 +58,12 @@ object BetweennessScale {
       val base = if (cyclic) ringComb(spark, k, l, chords = 64L)
         else FramesScale.comb(spark, k, l)
       val edges = base.withColumn("comp", lit(1L)).localCheckpoint(true)
+      // MEASURED distinct undirected edge count (ringComb chord ids can
+      // collide as undirected pairs for some k — don't trust a formula)
+      val nEdges = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().count()
       val nodes = Synthetic.nodesForNids(
         edges.select(col("src").as("nid"))
           .unionByName(edges.select(col("dst").as("nid"))).distinct())
@@ -70,7 +77,8 @@ object BetweennessScale {
           sum(col("value")).as("vs"))
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
-      RunResult(cpus, wall, agg.getLong(0), agg.getLong(1), agg.getDouble(2))
+      RunResult(cpus, wall, agg.getLong(0), agg.getLong(1), agg.getDouble(2),
+        nEdges)
     } finally spark.stop()
   }
 
@@ -117,9 +125,8 @@ object BetweennessScale {
     val tLo = runs.filter(_.cpus == lo).map(_.wallSec).min
     val tHi = runs.filter(_.cpus == hi).map(_.wallSec).min
     val eff = (tLo / tHi) / (hi.toDouble / lo)
-    val nEdges = k * l + k - 1 + (if (cyclic) 65 else 0)
     println(
-      s"""{"metric":"betweenness_at_scale","edges":$nEdges,""" +
+      s"""{"metric":"betweenness_at_scale","edges":${runs.head.nEdges},""" +
         s""""shape":"${if (cyclic) "cyclic" else "tree"}",""" +
         s""""t_lo_s":${f"$tLo%.1f"},"t_hi_s":${f"$tHi%.1f"},""" +
         s""""cpus_lo":$lo,"cpus_hi":$hi,"efficiency":${f"$eff%.3f"},""" +

@@ -58,6 +58,9 @@ object SuffixAtScale {
     spark.sparkContext.addSparkListener(listener)
     try {
       val docs = DedupAtScale.documents(spark, nDocs).localCheckpoint(true)
+      // let the corpus-build stages' async listener events drain BEFORE
+      // zeroing, so they can't bleed into the measured window
+      Thread.sleep(2000)
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val sa = SuffixArray.saWithWindows(docs, "doc_id", "text")
