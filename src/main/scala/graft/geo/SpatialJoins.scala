@@ -40,7 +40,14 @@ object SpatialJoins {
       nodes: DataFrame,  // (nid, lat, lon)
       res: Int,
       ringKMax: Int = 8,      // after this radius, stragglers go to the scan
-      bcastMax: Int = 100000): DataFrame = {
+      bcastMax: Int = 100000,
+      // pair budget under which the broadcast-scan fallback may fire
+      // EARLY (before ringKMax): the scan computes |unresolved|·|nodes|
+      // haversines, so it only beats the ring rounds when that product
+      // is small (measured: 500 pts × 840 k nodes = 4·10⁸ pairs took
+      // ~60 s/rep — far worse than 4 ring rounds). Exactness and the
+      // (dist, nid) tie-break are identical on both paths.
+      scanPairBudget: Long = 10000000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val metresPerDegLat = math.Pi / 180.0 * Geo.EarthRadiusM // ≈ 111194.9
@@ -69,9 +76,11 @@ object SpatialJoins {
     def finish(done: DataFrame): Unit =
       results = Some(results.map(_.union(done)).getOrElse(done))
 
+    val nodeCount = nodesCell.count() // cheap: counts the checkpoint
     var remaining = unresolved.count()
     while (remaining > 0) {
-      if (k > ringKMax && remaining <= bcastMax) {
+      if (remaining <= bcastMax &&
+          (k > ringKMax || remaining * nodeCount <= scanPairBudget)) {
         // straggler fallback: broadcast the few unresolved points and scan
         // the node table ONCE (partial best per partition, then global min)
         // — exact, and bounded by `bcastMax` rows on the driver. Points are
@@ -150,7 +159,12 @@ object SpatialJoins {
           .select("pid", "plat", "plon", "b")
         remaining = unresolved.count()
         kPrev = k
-        k = math.min(k * 2, maxK)
+        // ×4 growth: each ring round costs a driver round-trip (annulus
+        // join + checkpoint + count) — the dominant cost at every scale —
+        // while the annulus cell count is cheap; the resolution bound is
+        // evaluated at the CURRENT k either way, so results are identical
+        // under any growth schedule (same exactness argument)
+        k = math.min(k * 4, maxK)
       }
     }
     results.getOrElse(

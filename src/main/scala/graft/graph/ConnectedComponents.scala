@@ -47,8 +47,14 @@ object ConnectedComponents {
     var done = false
 
     while (!done && rounds < maxRounds) {
-      val ls = largeStar(e)
-      val ss = smallStar(ls)
+      // TWO star rounds per driver round-trip: the loop's wall cost at
+      // every scale we measured is round-trip latency (checkpoint +
+      // fingerprint jobs), not the joins — batching halves the trips for
+      // at most one wasted (cheap, already-converged) extra star round.
+      // The fixpoint is the same unique min-label star forest, so labels
+      // are bit-identical; `rounds` counts driver iterations (each = two
+      // star rounds), keeping the checkpointer's round-dir contract.
+      val ss = smallStar(largeStar(smallStar(largeStar(e))))
       val next = checkpointer match {
         case Some(cp) => cp(rounds, ss)
         case None     => ss.localCheckpoint(true)

@@ -122,14 +122,16 @@ object Flow {
   def upstreamFlowHybrid(
       edges: DataFrame,
       sizeThreshold: Long = 1000000,
-      maxRounds: Int = 100000): UpstreamResult = {
+      maxRounds: Int = 100000,
+      labels: Option[DataFrame] = None): UpstreamResult = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges.select(
       col("src").cast("long"), col("dst").cast("long"),
       col("len").cast("double"), col("tag").cast("string"))
       .localCheckpoint(true)
-    val weak = ConnectedComponents.run(e0.select("src", "dst")).labels
+    val weak = labels.getOrElse(
+      ConnectedComponents.run(e0.select("src", "dst")).labels)
     val labelled = e0.join(weak.withColumnRenamed("nid", "src"), Seq("src"))
     val sizes = labelled.groupBy("comp").agg(count(lit(1)).as("n"))
     val small = labelled.join(sizes.filter(col("n") <= sizeThreshold)

@@ -75,11 +75,15 @@ object Scc {
     *
     * @param edges DataFrame(src: Long, dst: Long)
     */
-  def run(edges: DataFrame): DataFrame = {
+  def run(edges: DataFrame, weakLabels: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val weak = ConnectedComponents.run(e).labels // (nid, comp)
+    // weakLabels: precomputed UNDIRECTED CC labels of this edge set (the
+    // caller often has them memoized; min-nid labels are a pure function
+    // of the component partition, so any edge set with the same
+    // undirected components yields identical labels)
+    val weak = weakLabels.getOrElse(ConnectedComponents.run(e).labels)
     e.join(weak.withColumnRenamed("nid", "src"), Seq("src"))
       .select(col("comp"), col("src"), col("dst"))
       .as[(Long, Long, Long)]

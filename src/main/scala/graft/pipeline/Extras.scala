@@ -152,9 +152,13 @@ object Extras {
       maxSamples: Int = 2000,
       minValue: Double = 0.0,
       minFraction: Double = 0.0,
-      sizeThreshold: Long = Local.MaxLocalGroupRows): DataFrame =
+      sizeThreshold: Long = Local.MaxLocalGroupRows,
+      labels: Option[DataFrame] = None): DataFrame =
     betweennessGrouped(
-      ConnectedComponents.run(edges.select("src", "dst")).labels
+      // callers that already hold this edge set's CC labels pass them in
+      // (identical min-nid labels by construction) instead of paying a
+      // second iterative CC run (guide §2.4: don't recompute)
+      labels.getOrElse(ConnectedComponents.run(edges.select("src", "dst")).labels)
         .withColumnRenamed("nid", "src").join(edges, Seq("src"))
         .select("comp", "src", "dst"),
       nodes, spark, maxSamples, minValue, minFraction, sizeThreshold)
@@ -473,11 +477,13 @@ object Extras {
     */
   def longestSourceMouth(
       edges: DataFrame, spark: SparkSession,
-      sizeThreshold: Long = 2000000L): DataFrame = {
+      sizeThreshold: Long = 2000000L,
+      labels: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("len").cast("double")).localCheckpoint(true)
-    val weak = ConnectedComponents.run(e0.select("src", "dst")).labels
+    val weak = labels.getOrElse(
+      ConnectedComponents.run(e0.select("src", "dst")).labels)
     val labelled = e0.join(weak.withColumnRenamed("nid", "src"), Seq("src"))
     val sizes = labelled.groupBy("comp").agg(count(lit(1)).as("n"))
     val big = labelled.join(sizes.filter(col("n") > sizeThreshold)

@@ -90,9 +90,29 @@ object LumpWays {
       lines: Seq[Seq[Long]], // peeled walks, pillar nids
       coords: Seq[Seq[(Double, Double)]]) // (lon, lat) per line
 
+  /** The threshold-independent prefix of [[features]] (steps 1-7): every
+    * frame here is a pure function of (ways, nodes, tag filters, group
+    * keys, length filters, top-N) — `shardThresholdEdges` and the P2
+    * split switches only steer the geometry stage. Callers running the
+    * SAME input at several shard thresholds (the q35/q119 gate pair)
+    * reuse one Stages instead of re-deriving census + contraction + CC +
+    * ranks per threshold (guide §2.4: shared work computed once).
+    * The heavy members are localCheckpoint'd inside, so reuse is free.
+    */
+  final case class Stages(
+      withGroup: DataFrame,  // filtered ways + grp array (inclWayIds path)
+      withRanks: DataFrame,  // kept components + lengths + rank props
+      keptEdges: DataFrame)  // (comp, src, dst, inter) checkpointed
+
   /** Run up to the per-component feature list (pre-sink). */
-  def features(ways: DataFrame, nodes: DataFrame, cfg: Config, spark: SparkSession): DataFrame = {
-    import spark.implicits._
+  def features(ways: DataFrame, nodes: DataFrame, cfg: Config, spark: SparkSession): DataFrame =
+    geometryStage(preludeStages(ways, nodes, cfg, spark), nodes, cfg, spark)
+
+  /** Steps 1-7: tag filter → groups → census+contraction → composite CC →
+    * lengths → length filters → top-N → rank props (+ the kept-component
+    * contracted edge set the geometry stage peels).
+    */
+  def preludeStages(ways: DataFrame, nodes: DataFrame, cfg: Config, spark: SparkSession): Stages = {
 
     // 1. tag filter + group keys
     val filtered = ways.filter(
@@ -194,14 +214,22 @@ object LumpWays {
       .withColumn("length_m_fraction_longest",
         Geo.roundHalfAway(col("length_m") / longest, 4))
 
-    // 8. geometry: expand each kept component's edges + positions, peel.
-    // Components above `shardThresholdEdges` contracted edges take the
-    // sharded path (DistPeel): no task ever materializes them whole.
     val keptEdges = composite
       .join(labels.withColumnRenamed("nid", "csrc"), Seq("csrc"))
       .join(withRanks.select("comp"), Seq("comp"))
       .select(col("comp"), col("src"), col("dst"), col("inter"))
       .localCheckpoint(true)
+    Stages(withGroup, withRanks, keptEdges)
+  }
+
+  /** Step 8: expand each kept component's edges + positions, peel.
+    * Components above `shardThresholdEdges` contracted edges take the
+    * sharded path (DistPeel): no task ever materializes them whole.
+    */
+  def geometryStage(
+      stages: Stages, nodes: DataFrame, cfg: Config, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val Stages(withGroup, withRanks, keptEdges) = stages
     // P2 split mode is a global farthest-pair + A* walk — inherently
     // unshardable, so it always takes the single-task path
     val shardAt =

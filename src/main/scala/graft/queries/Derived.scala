@@ -104,22 +104,29 @@ object Derived {
           |), (k, x) -> x IS NOT NULL) AS tags""".stripMargin.replace("\n", " "),
         "o_orderdate AS ts")
 
-  /** Canonical undirected edge set (src < dst, distinct). */
+  /** Canonical undirected edge set (src < dst, distinct) — memoised per
+    * dir: ~15 graph queries re-derived this identical union+distinct
+    * shuffle from parquet every time (guide §2.4). First caller in a rep
+    * computes it from the parquet inputs; Bench clears the memo per rep.
+    */
   def edgesDF(spark: SparkSession, dir: String): DataFrame =
-    waysDF(spark, dir)
-      .selectExpr("nids[0] AS u", "nids[1] AS v")
-      .union(waysDF(spark, dir).selectExpr("nids[1] AS u", "nids[2] AS v"))
-      .selectExpr("LEAST(u, v) AS src", "GREATEST(u, v) AS dst")
-      .distinct()
+    memoize(s"edges:$dir") {
+      waysDF(spark, dir)
+        .selectExpr("nids[0] AS u", "nids[1] AS v")
+        .union(waysDF(spark, dir).selectExpr("nids[1] AS u", "nids[2] AS v"))
+        .selectExpr("LEAST(u, v) AS src", "GREATEST(u, v) AS dst")
+        .distinct()
+    }
 
-  /** Node positions for every node referenced by an edge. */
-  def nodesDF(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesDF(spark, dir)
-    e.select(col("src").as("nid"))
-      .union(e.select(col("dst").as("nid")))
-      .distinct()
-      .selectExpr("nid", s"${latSql("nid")} AS lat", s"${lonSql("nid")} AS lon")
-  }
+  /** Node positions for every node referenced by an edge (memoised). */
+  def nodesDF(spark: SparkSession, dir: String): DataFrame =
+    memoize(s"nodes:$dir") {
+      val e = edgesDF(spark, dir)
+      e.select(col("src").as("nid"))
+        .union(e.select(col("dst").as("nid")))
+        .distinct()
+        .selectExpr("nid", s"${latSql("nid")} AS lat", s"${lonSql("nid")} AS lon")
+    }
 
   /** DAG orientation: every canonical edge flows low nid → high nid, with
     * a deterministic integer length. Acyclic by construction.
@@ -162,10 +169,21 @@ object Derived {
     */
   def clearMemo(): Unit = memo.clear()
 
-  /** Equal-split upstream over the DAG: (nodeUpstream, edgeFlow) memoised. */
+  /** Equal-split upstream over the DAG: (nodeUpstream, edgeFlow) memoised.
+    *
+    * Hybrid engine (Flow.upstreamFlowHybrid): components under the size
+    * threshold run the exact local Kahn walk in one shuffle instead of
+    * the per-depth frontier rounds — confluent, value-identical
+    * (GraphSpec "hybrid upstream == frontier upstream"), and the weak-CC
+    * labels it needs are exactly the memoised [[QueriesGraph.ccLabels]]
+    * (the DAG orientation is over the same canonical undirected edges).
+    */
   def dagUpstreamNodes(spark: SparkSession, dir: String): DataFrame =
     memoize(s"upnodes:$dir") {
-      val r = graft.graph.Flow.upstreamEqualSplit(dagEdgesDF(spark, dir))
+      val r = graft.graph.Flow.upstreamFlowHybrid(
+        dagEdgesDF(spark, dir)
+          .withColumn("tag", lit(null).cast("string")),
+        labels = Some(QueriesGraph.ccLabels(spark, dir)))
       memo.put(s"upflows:$dir", r.edgeFlow.localCheckpoint(true))
       r.nodeUpstream
     }
@@ -174,10 +192,15 @@ object Derived {
     memo.get(s"upflows:$dir")
   }
 
-  /** SCC of the cyclic orientation, memoised. */
+  /** SCC of the cyclic orientation, memoised. The weak-CC pass reuses the
+    * memoised [[QueriesGraph.ccLabels]]: the cyclic orientation adds only
+    * closing edges WITHIN a way (nc→na), so its undirected components —
+    * and hence the min-nid labels — equal the canonical edge set's.
+    */
   def sccCyclic(spark: SparkSession, dir: String): DataFrame =
     memoize(s"scc:$dir") {
-      graft.graph.Scc.run(cyclicEdgesDF(spark, dir).select("src", "dst"))
+      graft.graph.Scc.run(cyclicEdgesDF(spark, dir).select("src", "dst"),
+        weakLabels = Some(QueriesGraph.ccLabels(spark, dir)))
     }
 
   /** Tag-group CC over the canonical edges with the parity tag, memoised. */

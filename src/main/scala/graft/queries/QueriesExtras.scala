@@ -100,9 +100,11 @@ object QueriesExtras {
     "q45_betweenness" -> ((s, d) =>
       betweennessReplayable(s, d, graft.graph.Local.MaxLocalGroupRows)),
 
-    // D17 longest source→mouth per basin
+    // D17 longest source→mouth per basin (weak CC of the DAG orientation
+    // ≡ the canonical undirected CC — reuse the memoised labels)
     "q46_longest_source_mouth" -> ((s, d) =>
-      Extras.longestSourceMouth(dagEdgesDF(s, d), s)
+      Extras.longestSourceMouth(dagEdgesDF(s, d), s,
+          labels = Some(QueriesGraph.ccLabels(s, d)))
         .select(col("mouth"), col("source"),
           expr("CAST(FLOOR(dist_m * 10 + 0.5) AS BIGINT)").as("dist_dm"))),
 
@@ -125,13 +127,17 @@ object QueriesExtras {
   private def betweennessReplayable(
       s: SparkSession, d: String, sizeThreshold: Long): DataFrame = {
       val labels = QueriesGraph.ccLabels(s, d)
-      val nodesPos = labels.join(nodesDF(s, d), Seq("nid"))
-      val posOk = nodesPos.groupBy("comp").agg(
-          count(lit(1)).as("n_nodes"),
-          countDistinct(col("lat"), col("lon")).as("n_pos"))
-        .filter(col("n_pos") === col("n_nodes")).select("comp")
+      // posOk is threshold-independent — q45 and q120 share one copy
+      val posOk = Derived.memoize(s"posok:$d") {
+        labels.join(nodesDF(s, d), Seq("nid"))
+          .groupBy("comp").agg(
+            count(lit(1)).as("n_nodes"),
+            countDistinct(col("lat"), col("lon")).as("n_pos"))
+          .filter(col("n_pos") === col("n_nodes")).select("comp")
+      }
       val bres = Extras.betweenness(edgesDF(s, d), nodesDF(s, d), s,
-          sizeThreshold = sizeThreshold)
+          sizeThreshold = sizeThreshold,
+          labels = Some(labels))
         .localCheckpoint(true)
       val orderDependent = bres
         .select(col("comp"), explode(array(col("src"), col("dst"))).as("nid"))

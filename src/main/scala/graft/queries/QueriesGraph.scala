@@ -84,7 +84,7 @@ object QueriesGraph {
         groupKeys = Seq(Seq("status")))
       // Scalar-only projection: the driver sorts rows for hashing and
       // chokes on array columns (round-1 q35 err); doubles are integerised.
-      graft.pipeline.LumpWays.features(waysDF(s, d), nodesDF(s, d), cfg, s)
+      graft.pipeline.LumpWays.geometryStage(lumpStages(s, d), nodesDF(s, d), cfg, s)
         .select(
           concat_ws(";", col("grp")).as("grp_s"),
           col("root_nodeid"), col("num_nodes"),
@@ -111,6 +111,24 @@ object QueriesGraph {
   /** The q119 digest over [[graft.pipeline.LumpWays.features]] lines at a
     * given shard threshold — peel-invariant by construction, so the spec
     * cross-checks threshold=1 ≡ threshold=MaxValue (sharded ≡ exact). */
+  /** The shared steps 1-7 of the q35/q119 lump runs — threshold-
+    * independent by construction ([[graft.pipeline.LumpWays.Stages]]),
+    * so the gate pair derives census/contraction/CC/ranks ONCE per rep
+    * and each query pays only its own geometry path (q119 still forces
+    * every kept component through the sharded DistPeel).
+    */
+  private def lumpStages(
+      s: SparkSession, d: String): graft.pipeline.LumpWays.Stages =
+    stagesMemo.computeIfAbsent(s"lumpstages:$d", _ => {
+      val cfg = graft.pipeline.LumpWays.Config(
+        tagFilters = Seq(graft.tagfilter.TagFilter.unsafeParse("status")),
+        groupKeys = Seq(Seq("status")))
+      graft.pipeline.LumpWays.preludeStages(waysDF(s, d), nodesDF(s, d), cfg, s)
+    })
+
+  private val stagesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.LumpWays.Stages]()
+
   private[graft] def shardedGeomDigest(
       s: SparkSession, d: String, threshold: Long): DataFrame = {
       val cfg = graft.pipeline.LumpWays.Config(
@@ -120,7 +138,7 @@ object QueriesGraph {
       // eager checkpoint: three digest aggregations read this frame —
       // without it each join branch re-executes the whole lump pipeline
       val lines = graft.pipeline.LumpWays
-        .features(waysDF(s, d), nodesDF(s, d), cfg, s)
+        .geometryStage(lumpStages(s, d), nodesDF(s, d), cfg, s)
         .select(concat_ws(";", col("grp")).as("grp_s"), col("root_nodeid"),
           col("num_nodes"),
           explode(arrays_zip(col("lines"), col("coords"))).as("lc"))
@@ -172,7 +190,7 @@ object QueriesGraph {
     memo.computeIfAbsent(key, _ => f.localCheckpoint(true))
 
   /** Drop every memoised frame (Bench calls this between reps). */
-  def clearMemo(): Unit = memo.clear()
+  def clearMemo(): Unit = { memo.clear(); stagesMemo.clear() }
 
   def ccLabels(s: SparkSession, d: String): DataFrame =
     memoize(s"cc:$d") { ConnectedComponents.run(edgesDF(s, d)).labels }

@@ -31,14 +31,24 @@ object QueriesText {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     s.read.parquet(s"$d/$n.parquet")
 
-  /** The suffix array + windows frame q109/q110 share (the prefix
+  /** The suffix windows and rank frames q109/q110 share (the prefix
     * doubling runs once per input dir; Bench clears the memo per rep).
+    * Ranks and windows memoise SEPARATELY: q109 reads ranks alone, so
+    * the O(n·cap) win payload never crosses its exchanges; only q110's
+    * adjacent-LCP join pays for the strings.
     */
-  private def saMemo(s: SparkSession, d: String): DataFrame =
-    memoize(s"suffixarray:$d") {
-      graft.text.SuffixArray.saWithWindows(
-        t(s, d, "documents"), "doc_id", "text")
+  private def saWinsMemo(s: SparkSession, d: String): DataFrame =
+    memoize(s"suffixwins:$d") {
+      graft.text.SuffixArray.windows(t(s, d, "documents"), "doc_id", "text", 128)
     }
+
+  private def saRanksMemo(s: SparkSession, d: String): DataFrame =
+    memoize(s"suffixranks:$d") {
+      graft.text.SuffixArray.rankWindows(saWinsMemo(s, d))
+    }
+
+  private def saMemo(s: SparkSession, d: String): DataFrame =
+    saRanksMemo(s, d).join(saWinsMemo(s, d), Seq("doc_id", "pos"))
 
   /** q113's deterministic phrase blocklist — one single-token phrase
     * that occurs in the corpus, one multi-word phrase, one absent term
@@ -299,7 +309,7 @@ object QueriesText {
     // every doc-bounded suffix by its first 128 chars; the oracle is a
     // literal ORDER BY substr(text, pos, 128) sort in DuckDB
     "q109_suffix_array" -> ((s, d) =>
-      saMemo(s, d).select("doc_id", "pos", "sa_rank")),
+      saRanksMemo(s, d).select("doc_id", "pos", "sa_rank")),
 
     // ExactSubstr step 2: exact LCP of adjacent suffix-array entries
     // (one codegen'd byte loop per pair), aggregated per doc over

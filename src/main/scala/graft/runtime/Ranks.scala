@@ -198,9 +198,9 @@ object Ranks {
     */
   def withPairGroupMinRank(
       df: DataFrame, k1: String, k2: String, tie: Seq[Column],
-      out: String): (DataFrame, Boolean) = {
+      out: String, gen: Option[CheckpointGen] = None): (DataFrame, Boolean) = {
     val order = Seq(col(k1).asc, col(k2).asc) ++ tie
-    val local = sortedScan(df, order, Seq(pidField,
+    val local0 = sortedScan(df, order, Seq(pidField,
       StructField("__lrn", LongType, nullable = false),
       StructField("__new", BooleanType, nullable = false),
       StructField("__gs", LongType, nullable = false))) { s =>
@@ -221,7 +221,11 @@ object Ranks {
         pk2 = b
         Seq[Any](pid, n, isNew, gs)
       }
-    }.localCheckpoint(true)
+    }
+    // loop callers rotate this checkpoint so superseded generations are
+    // released (CheckpointGen contract); one-shot callers keep the plain
+    // eager checkpoint
+    val local = gen.map(_.rotate(local0)).getOrElse(local0.localCheckpoint(true))
     val stats = local.groupBy("__pid").agg(
       count(lit(1)).as("n"),
       min_by(struct(col(k1), col(k2)), col("__lrn")).as("fk"),

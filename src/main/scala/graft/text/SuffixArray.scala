@@ -71,15 +71,27 @@ object SuffixArray {
     * loop, only joined at the adjacent-pair step.
     */
   def windows(
-      docs: DataFrame, idCol: String, textCol: String, cap: Int): DataFrame =
-    docs
+      docs: DataFrame, idCol: String, textCol: String, cap: Int): DataFrame = {
+    val base = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .where(length(col("text")) > 0)
+    // The explode fans each doc into |text| rows with a cap-char substr
+    // INSIDE the scan stage: a small-file scan runs that in one task
+    // (measured 4 s single-task at sf0.1 — guide §2.5 input skew). Spread
+    // docs across the cluster first when the scan is under-parallel;
+    // deterministic (hash on doc_id, not round-robin). A large corpus
+    // already scans with >= cluster parallelism and skips the shuffle.
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions < want) base.repartition(want, col("doc_id"))
+      else base
+    spread
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos"), lit(cap)).as("win"))
+  }
 
   /** Suffix ranks by prefix doubling: (doc_id, pos, r) where r is
     * order-consistent over the first `cap` chars (equal iff the capped
@@ -92,6 +104,11 @@ object SuffixArray {
     // width-8 init rank: packed bytes, no shuffle, no densify needed
     var cur = gen.rotate(wins.select(col("doc_id"), col("pos"),
       pack8(col("win")).as("r")))
+    // the joined frame feeds a repartitionByRange, whose range sampling
+    // job recomputes its input — uncheckpointed, the round's sort-merge
+    // join ran TWICE (profiler: two near-equal 30 s-task jobs per round).
+    // One rotated checkpoint makes the sampling pass a cheap re-scan.
+    val joinGen = new CheckpointGen
     var w = 8
     var rounds = 0
     var allDistinct = false
@@ -101,18 +118,19 @@ object SuffixArray {
       // NUL-free string and every densified rank (>= 1)
       val partner = cur.select(col("doc_id"), (col("pos") - w).as("pos"),
         col("r").as("r2"))
-      val joined = cur.join(partner, Seq("doc_id", "pos"), "left")
+      val joined = joinGen.rotate(cur.join(partner, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("r"),
-          coalesce(col("r2"), lit(Long.MinValue)).as("r2"))
+          coalesce(col("r2"), lit(Long.MinValue)).as("r2")))
       // densify: rank class (r, r2) -> its min global row number, in ONE
       // range exchange (boundary-carried group ranks — the naive
       // row_number + groupBy-min + join-back costs two more shuffles of
       // the full frame per round); allDistinct doubles as the
-      // convergence signal
+      // convergence signal. The densify's own checkpoint rotates through
+      // `gen`, and `cur` is a cheap projection over it — no third
+      // materialization per round.
       val (ranked, allD) = Ranks.withPairGroupMinRank(joined, "r", "r2",
-        Seq(col("doc_id"), col("pos")), "__nr")
-      cur = gen.rotate(ranked
-        .select(col("doc_id"), col("pos"), col("__nr").as("r")))
+        Seq(col("doc_id"), col("pos")), "__nr", gen = Some(gen))
+      cur = ranked.select(col("doc_id"), col("pos"), col("__nr").as("r"))
       allDistinct = allD
       w *= 2
       rounds += 1
@@ -139,21 +157,29 @@ object SuffixArray {
   def saWithWindows(
       docs: DataFrame, idCol: String, textCol: String,
       cap: Int = 128): DataFrame = {
-    val gen = new CheckpointGen
     val wins = windows(docs, idCol, textCol, cap).localCheckpoint(true)
+    rankWindows(wins, cap).join(wins, Seq("doc_id", "pos"))
+  }
+
+  /** The rank side alone from a (checkpointed) [[windows]] frame:
+    * (doc_id, pos, sa_rank). Callers that only need ranks (q109) skip
+    * the O(n·cap) win payload join entirely — its exchange+sort moved
+    * ~200 MB of strings at sf0.1 for columns the query never reads.
+    */
+  def rankWindows(wins: DataFrame, cap: Int = 128): DataFrame = {
+    val gen = new CheckpointGen
     val r = doubledRanks(wins, cap, gen)
     Ranks.withGlobalRowNumber(r,
       Seq(col("r"), col("doc_id"), col("pos")), "sa_rank")
       .select("doc_id", "pos", "sa_rank")
-      .join(wins, Seq("doc_id", "pos"))
   }
 
   /** The suffix array: (doc_id, pos, sa_rank). */
   def suffixRanks(
       docs: DataFrame, idCol: String, textCol: String,
       cap: Int = 128): DataFrame =
-    saWithWindows(docs, idCol, textCol, cap)
-      .select("doc_id", "pos", "sa_rank")
+    rankWindows(
+      windows(docs, idCol, textCol, cap).localCheckpoint(true), cap)
 
   /** Adjacent suffix-array pairs with their exact LCP (≤ cap):
     * (doc_a, pos_a, doc_b, pos_b, lcp) for each consecutive pair in
