@@ -550,9 +550,18 @@ object Dedup {
       embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val vecs = embeddings
+    val vecs0 = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
+    // the query scan inherits the input's file splits — a small-file
+    // embeddings table runs the whole O(n²·d) scan in one task (measured
+    // 2.6 s single-task at sf0.1). Spread queries over the cluster when
+    // the scan is under-parallel; deterministic (hash on id).
+    val want = spark.sparkContext.defaultParallelism
+    val vecs =
+      if (vecs0.rdd.getNumPartitions < want)
+        vecs0.repartition(want, col("id")).as[(Long, Array[Float])]
+      else vecs0
     val ref = spark.sparkContext.broadcast(
       vecs.collect().sortBy(_._1).map { case (i, v) => (i, v) })
     vecs.mapPartitions { it =>

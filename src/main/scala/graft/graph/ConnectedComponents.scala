@@ -34,30 +34,38 @@ object ConnectedComponents {
   def run(
       edges: DataFrame,
       maxRounds: Int = 50,
-      checkpointer: Option[(Int, DataFrame) => DataFrame] = None): Result = {
+      checkpointer: Option[(Int, DataFrame) => DataFrame] = None,
+      assumeDistinct: Boolean = false): Result = {
 
-    var e = edges
+    // assumeDistinct: callers holding an already-canonical edge set (the
+    // memoised distinct frames, contraction outputs) skip the redundant
+    // full-shuffle distinct; the lazy checkpoint is materialized by the
+    // fingerprint aggregate in the same job (one round-trip, not two).
+    val e0 = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    var e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(false)
 
     var rounds = 0
     var prev = fingerprint(e)
     var done = false
 
     while (!done && rounds < maxRounds) {
-      // TWO star rounds per driver round-trip: the loop's wall cost at
-      // every scale we measured is round-trip latency (checkpoint +
-      // fingerprint jobs), not the joins — batching halves the trips for
-      // at most one wasted (cheap, already-converged) extra star round.
-      // The fixpoint is the same unique min-label star forest, so labels
-      // are bit-identical; `rounds` counts driver iterations (each = two
-      // star rounds), keeping the checkpointer's round-dir contract.
-      val ss = smallStar(largeStar(smallStar(largeStar(e))))
+      // NOTE (r6 measurement): batching TWO star rounds per driver
+      // round-trip was tried to cut checkpoint+fingerprint latency and
+      // is strictly SLOWER (q13 5.0→8.9 s, q40 4.0→6.9 s at sf0.1):
+      // both stars reference their input twice (self-union), so an
+      // un-checkpointed inner round is recomputed once per branch —
+      // the per-round checkpoint is what makes the self-unions cheap.
+      val ss = smallStar(largeStar(e))
+      // LAZY checkpoint: the fingerprint aggregate touches every
+      // partition, so it materializes the checkpoint in the same job —
+      // one driver round-trip per round instead of two (the eager form's
+      // count job + the fingerprint job). Durable checkpointers keep
+      // their own materialization contract.
       val next = checkpointer match {
         case Some(cp) => cp(rounds, ss)
-        case None     => ss.localCheckpoint(true)
+        case None     => ss.localCheckpoint(false)
       }
       val fp = fingerprint(next)
       done = fp == prev

@@ -115,7 +115,9 @@ object DistContract {
       .select(col("comp"), col("nid"), packed(col("nid")).as("cnid"))
     val labels =
       if (cc.isEmpty) chainNodesP.select(col("cnid"), col("cnid").as("chain"))
-      else ConnectedComponents.run(cc).labels
+      // cc derives from the canonical-deduped `classified` frame — the
+      // packed pairs are already distinct
+      else ConnectedComponents.run(cc, assumeDistinct = true).labels
         .select(col("nid").as("cnid"), col("comp").as("chain"))
     val chainId = chainNodesP
       .join(labels, Seq("cnid"), "left")

@@ -419,7 +419,10 @@ object DownOps {
       .withColumn("csrc", shiftleft(col("tid"), 40).bitwiseOR(col("src")))
       .withColumn("cdst", shiftleft(col("tid"), 40).bitwiseOR(col("dst")))
     val labels = ConnectedComponents.run(
-      e.select(col("csrc").as("src"), col("cdst").as("dst"))).labels
+      e.select(col("csrc").as("src"), col("cdst").as("dst")),
+      // one row per (src, dst, tag) input edge ⇒ packed pairs distinct;
+      // CC tolerates duplicates anyway (smallStar distincts round 1)
+      assumeDistinct = true).labels
     e.join(labels.withColumnRenamed("nid", "csrc"), Seq("csrc"))
       .withColumn("tag_group_nid",
         col("comp").bitwiseAND(lit((1L << 40) - 1)))

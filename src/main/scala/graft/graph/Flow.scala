@@ -387,6 +387,98 @@ object Flow {
     * iteration-order tie).
     * Reverse frontier propagation from the ends.
     */
+  /** Pure local biggest-end DP over one (small) DAG component — the
+    * exact fixpoint of [[biggestEndAssignment]]'s propagation: best(n) =
+    * better(n's own end entry, best over n's out-neighbours), a max over
+    * comparisons only (no float accumulation), so the hybrid split is
+    * bit-identical by construction.
+    */
+  def biggestEndLocal(
+      edges: Seq[(Long, Long)],
+      endUp: Seq[(Long, Double)]): Seq[(Long, Long, Double)] = {
+    val own = endUp.groupBy(_._1).map { case (n, xs) =>
+      // deterministic if duplicate end rows exist: keep the max value
+      (n, (xs.map(_._2).max, n))
+    }
+    def better(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      if (a._1 > b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+    val outAdj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val inAdj = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ endUp.map(_._1)).distinct
+    val outdeg = scala.collection.mutable.HashMap.empty[Long, Int]
+      .withDefaultValue(0)
+    edges.foreach(e => outdeg(e._1) += 1)
+    val best = scala.collection.mutable.HashMap.empty[Long, (Double, Long)]
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    nodes.filter(outdeg(_) == 0).foreach(queue.enqueue(_))
+    var processed = 0
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      processed += 1
+      val cands = own.get(v).toSeq ++
+        outAdj.getOrElse(v, Nil).flatMap(best.get)
+      if (cands.nonEmpty) best(v) = cands.reduce(better)
+      inAdj.getOrElse(v, Nil).foreach { p =>
+        outdeg(p) -= 1
+        if (outdeg(p) == 0) queue.enqueue(p)
+      }
+    }
+    require(processed == nodes.length,
+      s"cycle in component: processed $processed of ${nodes.length}")
+    best.iterator.map { case (n, (up, end)) => (n, end, up) }.toSeq
+  }
+
+  /** Hybrid D9 (the [[upstreamFlowHybrid]] pattern): weak-CC the DAG;
+    * components under `sizeThreshold` edges run [[biggestEndLocal]] in
+    * one `flatMapGroups` shuffle — zero driver rounds — and only giant
+    * components pay the co-partitioned Pregel. Values are bit-identical
+    * (comparison-only propagation; see [[biggestEndLocal]]).
+    */
+  def biggestEndAssignmentHybrid(
+      edges: DataFrame,          // (src, dst)
+      endUpstream: DataFrame,    // (nid, upstream_m) for end nodes
+      sizeThreshold: Long = 1000000,
+      labels: Option[DataFrame] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val weak = labels.getOrElse(ConnectedComponents.run(e0).labels)
+    val labelled = e0.join(weak.withColumnRenamed("nid", "src"), Seq("src"))
+    val sizes = labelled.groupBy("comp").agg(count(lit(1)).as("n"))
+    val smallComps = sizes.filter(col("n") <= sizeThreshold).select("comp")
+    val small = labelled.join(smallComps, Seq("comp"), "left_semi")
+    val endsTyped = endUpstream
+      .select(col("nid").cast("long"), col("upstream_m").cast("double"))
+    val endLab = endsTyped.join(weak, Seq("nid"))
+    // an end node touching no edge has no CC label but still emits its
+    // own (nid, nid, up) row in the Pregel — keep that contract
+    val orphanEnds = endsTyped.join(weak, Seq("nid"), "left_anti")
+      .groupBy("nid").agg(max("upstream_m").as("end_upstream_m"))
+      .select(col("nid"), col("nid").as("end_nid"), col("end_upstream_m"))
+    val smallEnds = endLab.join(smallComps, Seq("comp"), "left_semi")
+    val localRes = small
+      .select("comp", "src", "dst")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .cogroup(smallEnds.select("comp", "nid", "upstream_m")
+        .as[(Long, Long, Double)].groupByKey(_._1)) { (_, es0, ends0) =>
+        val es = es0.map(r => (r._2, r._3)).toSeq
+        val ends = ends0.map(r => (r._2, r._3)).toSeq
+        biggestEndLocal(es, ends).iterator
+      }
+      .toDF("nid", "end_nid", "end_upstream_m")
+    val bigComps = sizes.filter(col("n") > sizeThreshold).select("comp")
+    val smallSide = localRes.unionByName(orphanEnds)
+    if (bigComps.isEmpty) smallSide
+    else {
+      val big = labelled.join(bigComps, Seq("comp"), "left_semi")
+      val bigEnds = endLab.join(bigComps, Seq("comp"), "left_semi")
+      smallSide.unionByName(biggestEndAssignment(
+        big.select("src", "dst"), bigEnds.select("nid", "upstream_m")))
+    }
+  }
+
   def biggestEndAssignment(
       edges: DataFrame,          // (src, dst)
       endUpstream: DataFrame,    // (nid, upstream_m) for end nodes

@@ -279,7 +279,10 @@ object GraphBuild {
     val inte = e
       .join(intn.withColumnRenamed("nid", "src"), Seq("comp", "src"), "left_semi")
       .join(intn.withColumnRenamed("nid", "dst"), Seq("comp", "dst"), "left_semi")
-    val icLabels = ConnectedComponents.run(inte.select("src", "dst")).labels
+    val icLabels = ConnectedComponents
+      // input contract: canonical deduplicated edges — semi-joins keep
+      // distinctness
+      .run(inte.select("src", "dst"), assumeDistinct = true).labels
       .withColumnRenamed("comp", "ic")
     val ic = intn.join(icLabels, Seq("nid"), "left")
       .select(col("comp"), col("nid"), coalesce(col("ic"), col("nid")).as("ic"))

@@ -142,7 +142,10 @@ object LumpWays {
       .withColumn("csrc", shiftleft(col("gid"), NidBits).bitwiseOR(col("src")))
       .withColumn("cdst", shiftleft(col("gid"), NidBits).bitwiseOR(col("dst")))
     val labels = ConnectedComponents.run(
-      composite.select(col("csrc").as("src"), col("cdst").as("dst"))).labels
+      composite.select(col("csrc").as("src"), col("cdst").as("dst")),
+      // canonical dedup guarantees one row per (gid, src, dst): the
+      // packed composite pairs are already distinct
+      assumeDistinct = true).labels
 
     // 5. lengths on contracted endpoints (way_group.rs:38-44 — intermediates
     //    NOT expanded for length)

@@ -211,13 +211,23 @@ object Derived {
           "CASE WHEN (src + dst) % 2 = 0 THEN 'a' ELSE 'b' END AS tag"))
     }
 
-  /** Biggest-end assignment over the DAG, memoised. */
-  def dagEndAssignment(spark: SparkSession, dir: String): DataFrame =
-    memoize(s"assign:$dir") {
+  /** Biggest-end assignment over the DAG with DECIMETRE-integerised end
+    * upstreams (the tie-break the q39/q48 oracles rank on), memoised and
+    * shared by both queries. Hybrid engine with the memoised CC labels:
+    * small components run the exact local DP in one shuffle
+    * (comparison-only propagation — bit-identical to the Pregel
+    * fixpoint), zero driver rounds.
+    */
+  def dagEndAssignmentDm(spark: SparkSession, dir: String): DataFrame =
+    memoize(s"assigndm:$dir") {
       val dag = dagEdgesDF(spark, dir)
-      val ends = graft.graph.Flow.endPoints(dag)
-        .join(dagUpstreamNodes(spark, dir), Seq("nid"))
-      graft.graph.Flow.biggestEndAssignment(dag.select("src", "dst"), ends)
+      val up = dagUpstreamNodes(spark, dir)
+        .select(col("nid"),
+          expr("CAST(FLOOR(upstream_m * 10 + 0.5) AS BIGINT)").cast("double")
+            .as("upstream_m"))
+      val ends = graft.graph.Flow.endPoints(dag).join(up, Seq("nid"))
+      graft.graph.Flow.biggestEndAssignmentHybrid(dag.select("src", "dst"),
+        ends, labels = Some(QueriesGraph.ccLabels(spark, dir)))
     }
 
   /** Deterministic query points derived from customer (1 in 3). */

@@ -64,15 +64,12 @@ object QueriesDown {
     }),
 
     // D9 — biggest-end assignment over the DAG (integerised upstreams)
-    "q39_biggest_end" -> ((s, d) => {
-      val dag = dagEdgesDF(s, d)
-      val up = dagUpstreamNodes(s, d)
-        .select(col("nid"), (expr(dmSql("upstream_m")).cast("double")).as("upstream_m"))
-      val ends = Flow.endPoints(dag).join(up, Seq("nid"))
-      Flow.biggestEndAssignment(dag.select("src", "dst"), ends)
+    "q39_biggest_end" -> ((s, d) =>
+      // shared dm-integerised assignment memo (hybrid engine; q48's
+      // grouped-ends walk reads the same frame)
+      dagEndAssignmentDm(s, d)
         .select(col("nid"), col("end_nid"),
-          col("end_upstream_m").cast("long").as("end_up_dm"))
-    }),
+          col("end_upstream_m").cast("long").as("end_up_dm"))),
 
     // D12 — tag-group CC: connectivity AND same tag value
     "q40_tag_group_cc" -> ((s, d) => tagGroupTagged(s, d)),

@@ -193,7 +193,10 @@ object QueriesGraph {
   def clearMemo(): Unit = { memo.clear(); stagesMemo.clear() }
 
   def ccLabels(s: SparkSession, d: String): DataFrame =
-    memoize(s"cc:$d") { ConnectedComponents.run(edgesDF(s, d)).labels }
+    memoize(s"cc:$d") {
+      // edgesDF is already canonical-distinct — skip CC's intake shuffle
+      ConnectedComponents.run(edgesDF(s, d), assumeDistinct = true).labels
+    }
 
   /** Shared: per-component integerised lengths. */
   def compLengths(s: SparkSession, d: String): DataFrame =

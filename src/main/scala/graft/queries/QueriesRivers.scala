@@ -50,20 +50,11 @@ object QueriesRivers {
     }))
 
   /** q48's assignment uses decimetre-integerised end upstreams so the
-    * biggest-end tie-break matches the oracle's integer ranking exactly
-    * (same shape as q39).
+    * biggest-end tie-break matches the oracle's integer ranking exactly —
+    * the shared [[Derived.dagEndAssignmentDm]] memo (q39 reads it too).
     */
   private def dagEndAssignmentDm(s: SparkSession, d: String): DataFrame =
-    memoize(s"assigndm:$d") {
-      val dag = dagEdgesDF(s, d)
-      val up = dagUpstreamNodes(s, d)
-        .select(col("nid"),
-          expr("CAST(FLOOR(upstream_m * 10 + 0.5) AS BIGINT)").cast("double")
-            .as("upstream_m"))
-      val ends = Flow.endPoints(dag).join(up, Seq("nid"))
-      Flow.biggestEndAssignment(dag.select("src", "dst"), ends)
-        .select("nid", "end_nid")
-    }
+    Derived.dagEndAssignmentDm(s, d).select("nid", "end_nid")
 
   /** q49 oracle: the full D13 rule set in DuckDB SQL. Flow types per
     * (group, confluence) become boolean flags; each classify rule

@@ -50,6 +50,14 @@ object QueriesText {
   private def saMemo(s: SparkSession, d: String): DataFrame =
     saRanksMemo(s, d).join(saWinsMemo(s, d), Seq("doc_id", "pos"))
 
+  /** The exact cosine top-3 frame q31 projects and q89's margin scorer
+    * consumes — one O(n²·d) brute pass per rep, not two.
+    */
+  private def cosineTop3Memo(s: SparkSession, d: String): DataFrame =
+    memoize(s"cosinetop3:$d") {
+      Dedup.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+    }
+
   /** q113's deterministic phrase blocklist — one single-token phrase
     * that occurs in the corpus, one multi-word phrase, one absent term
     * (exercising the zero path). Inlined verbatim into the oracle SQL.
@@ -181,7 +189,7 @@ object QueriesText {
 
     // brute-force cosine top-3 neighbours per embedding
     "q31_cosine_topk" -> ((s, d) =>
-      Dedup.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+      cosineTop3Memo(s, d)
         .select(col("qid"), col("rank"), col("nid"),
           expr("CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT)").as("sim_e6"))),
 
@@ -195,8 +203,7 @@ object QueriesText {
     // margin-based neighbour mining (CCMatrix scorer) over the exact
     // top-3 frame; exact-integer margin so the oracle is float-order-proof
     "q89_margin_mine" -> ((s, d) =>
-      Dedup.marginMine(
-        Dedup.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3))),
+      Dedup.marginMine(cosineTop3Memo(s, d))),
 
     // BPE-ish subword pre-token count (GPT-2 pretokenizer regex)
     "q57_bpe_tokens" -> ((s, d) =>

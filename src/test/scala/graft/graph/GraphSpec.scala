@@ -212,6 +212,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == 2L)
   }
 
+  test("hybrid biggest-end == Pregel biggest-end on a seeded random DAG") {
+    val rng = new scala.util.Random(7)
+    val e = (0 until 400).map { _ =>
+      val a = rng.nextInt(120).toLong
+      val b = a + 1 + rng.nextInt(30) // ascending => acyclic
+      (a, b)
+    }.distinct.toDF("src", "dst")
+    val ends = Flow.endPoints(e)
+      .withColumn("upstream_m",
+        org.apache.spark.sql.functions.expr("CAST(nid * 7 % 50 AS DOUBLE)"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val pregel = m(Flow.biggestEndAssignment(e, ends))
+    val hybridLocal = m(Flow.biggestEndAssignmentHybrid(e, ends))
+    val hybridBig = m(Flow.biggestEndAssignmentHybrid(e, ends, sizeThreshold = 1))
+    assert(hybridLocal == pregel) // bit-identical: comparison-only values
+    assert(hybridBig == pregel)
+  }
+
   test("deep-chain upstream: append-only delta log survives compaction") {
     // 70-node chain → 69 frontier rounds, crossing the 64-round delta
     // compaction boundary; exact values prove no delta is lost or duped
