@@ -53,8 +53,18 @@ object SpatialJoins {
     val metresPerDegLat = math.Pi / 180.0 * Geo.EarthRadiusM // ≈ 111194.9
     val cellD = CellIndex.cellDeg(res)
 
-    val nodesCell = nodes
+    val nodesCell0 = nodes
       .withColumn("cell", CellIndex.cellCol(col("lat"), col("lon"), res))
+    // AQE coalesces a small upstream aggregation to one partition, which
+    // would serialize both the ring joins and the straggler scan below
+    // (measured: a 4.2 s single-task scan at sf0.1); spread by cell so
+    // the scan and the per-round joins parallelize. No-op when the node
+    // table already scans wide.
+    val want = spark.sparkContext.defaultParallelism
+    val nodesCell = (
+      if (nodesCell0.rdd.getNumPartitions < want)
+        nodesCell0.repartition(want, col("cell"))
+      else nodesCell0)
       .localCheckpoint(true)
 
     // only the NEW annulus (kPrev, k] each round — already-searched cells

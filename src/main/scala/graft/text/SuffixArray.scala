@@ -102,16 +102,33 @@ object SuffixArray {
     require(cap >= 8 && (cap & (cap - 1)) == 0,
       s"cap must be a power of two >= 8; got $cap")
     // width-8 init rank: packed bytes, no shuffle, no densify needed
-    var cur = gen.rotate(wins.select(col("doc_id"), col("pos"),
-      pack8(col("win")).as("r")))
     // the joined frame feeds a repartitionByRange, whose range sampling
     // job recomputes its input — uncheckpointed, the round's sort-merge
     // join ran TWICE (profiler: two near-equal 30 s-task jobs per round).
     // One rotated checkpoint makes the sampling pass a cheap re-scan.
     val joinGen = new CheckpointGen
+    // width-16 init: TWO packed 8-byte words (lexicographic pair order ==
+    // byte order over the first 16 bytes, 0-padded — the same NUL-free
+    // ASCII contract as pack8) densified in one range exchange. That is
+    // round 1's densify WITHOUT round 1's equi-join: one fewer join round
+    // for any cap ≥ 16 (3 rounds at cap=128 instead of 4).
+    var cur: DataFrame = null
     var w = 8
     var rounds = 0
     var allDistinct = false
+    if (cap == 8) {
+      cur = gen.rotate(wins.select(col("doc_id"), col("pos"),
+        pack8(col("win")).as("r")))
+    } else {
+      val init = wins.select(col("doc_id"), col("pos"),
+        pack8(col("win")).as("r"),
+        pack8(col("win").substr(lit(9), lit(8))).as("r2"))
+      val (ranked0, allD0) = Ranks.withPairGroupMinRank(init, "r", "r2",
+        Seq(col("doc_id"), col("pos")), "__nr", gen = Some(gen))
+      cur = ranked0.select(col("doc_id"), col("pos"), col("__nr").as("r"))
+      w = 16
+      allDistinct = allD0
+    }
     while (w < cap && !allDistinct) {
       // partner rank at pos+w; absent (suffix shorter than w) sorts
       // first: Long.MinValue is strictly below every packed value of a
