@@ -52,15 +52,30 @@ object DistContract {
     */
   def contract(
       edges: DataFrame, keep: DataFrame, spark: SparkSession,
-      what: String = "DistContract chain"): DataFrame = {
+      what: String = "DistContract chain",
+      assumeCanonical: Boolean = false,
+      keepKnownEmpty: Boolean = false,
+      compsOpt: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
-    val canon = edges
-      .select(col("comp").cast("long"),
-        least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    // assumeCanonical: the caller already holds this edge set canonical
+    // (src<=dst), distinct and materialized (betweennessGrouped derives
+    // exactly that frame for its size gate) — skip the redundant
+    // full-shuffle distinct + checkpoint (guide §2.4). keepKnownEmpty
+    // skips the keep anti-join when the caller statically passes no
+    // pillars to pin. compsOpt: a caller-held distinct comp frame (the
+    // size gate's output) replaces the comp-distinct shuffle feeding
+    // tinyDenseId.
+    val canon =
+      if (assumeCanonical)
+        edges.select(col("comp").cast("long"), col("src").cast("long").as("a"),
+          col("dst").cast("long").as("b"))
+      else edges
+        .select(col("comp").cast("long"),
+          least(col("src"), col("dst")).cast("long").as("a"),
+          greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+        .localCheckpoint(true)
     val selfLoops = canon.filter(col("a") === col("b"))
     val e = canon.filter(col("a") =!= col("b"))
 
@@ -72,9 +87,10 @@ object DistContract {
       .unionAll(selfLoops.select(col("comp"), col("a").as("nid")))
       .groupBy("comp", "nid").agg(count(lit(1)).as("deg"))
 
-    val chainNodes = deg.filter(col("deg") === 2)
-      .join(keep.select(col("comp"), col("nid")), Seq("comp", "nid"),
-        "left_anti")
+    val deg2 = deg.filter(col("deg") === 2)
+    val chainNodes = (if (keepKnownEmpty) deg2
+      else deg2.join(keep.select(col("comp"), col("nid")), Seq("comp", "nid"),
+        "left_anti"))
       .select("comp", "nid")
       .localCheckpoint(true)
 
@@ -102,8 +118,16 @@ object DistContract {
     // chains across groups. Same packed-composite contract as LumpWays:
     // dense group index << 40 | nid, loud on nids above 2^40.
     val compIdx = graft.runtime.Ranks.tinyDenseId(
-      canon.select("comp").distinct(), Seq(col("comp")), "gidx")
-    def packed(nid: Column) = shiftleft(col("gidx"), 40).bitwiseOR(
+      compsOpt.map(_.select("comp")).getOrElse(canon.select("comp").distinct()),
+      Seq(col("comp")), "gidx")
+    // gidx guarded like nid: >2^23 distinct comps would shift into the
+    // sign bit and corrupt the chain-CC min labels — fail loudly instead
+    def packed(nid: Column) = shiftleft(
+      when(col("gidx").between(0, (1L << 23) - 1), col("gidx"))
+        .otherwise(raise_error(concat(
+          lit("DistContract: more than 2^23 distinct comps — the packed "),
+          lit("composite key would overflow; gidx="),
+          col("gidx").cast("string")))), 40).bitwiseOR(
       when(nid.between(0, (1L << 40) - 1), nid).otherwise(raise_error(concat(
         lit("DistContract: nid outside the 40-bit composite range: "),
         nid.cast("string")))))

@@ -407,8 +407,71 @@ object DownOps {
     *         tag_group_nid = min nid within the same-tag component, plus
     *         the dense group key (tag, tag_group_nid).
     */
-  def tagGroupCC(edges: DataFrame): DataFrame = {
+  def tagGroupCC(
+      edges: DataFrame,
+      weakLabels: Option[DataFrame] = None,
+      sizeThreshold: Long = Local.MaxLocalGroupRows): DataFrame = {
     val spark = edges.sparkSession
+    import spark.implicits._
+    // HYBRID (guide §2.4/§1.2: fewest rounds wins): same-tag components
+    // never span an undirected weak component, so callers holding the
+    // weak-CC labels of this edge set (memoised elsewhere) localise the
+    // tag-CC to ONE shuffle — a per-weak-component union-find replaces
+    // the iterative composite-key CC's driver rounds, with identical
+    // min-nid labels (the label is a pure function of the component
+    // partition). Weak components above `sizeThreshold` edge rows keep
+    // the distributed path (scale guard, same split as betweenness).
+    weakLabels match {
+      case None => tagGroupCCDistributed(edges)
+      case Some(wl) =>
+        val keyed = edges.select(col("src"), col("dst"), col("tag"))
+          .join(wl.withColumnRenamed("nid", "src"), Seq("src"))
+          .select("comp", "src", "dst", "tag")
+        val big = keyed.groupBy("comp").agg(count(lit(1)).as("ne"))
+          .filter(col("ne") > sizeThreshold)
+          .select("comp").localCheckpoint(true)
+        val anyBig = big.limit(1).count() > 0L
+        val small = if (anyBig) keyed.join(big, Seq("comp"), "left_anti")
+          else keyed
+        val localRes = small
+          .as[(Long, Long, Long, Option[String])]
+          .groupByKey(_._1)
+          .flatMapGroups { (_, rows) =>
+            val es = rows.map(r => (r._2, r._3, r._4)).toSeq
+            // min-nid union-find per (tag, node); the control-char
+            // sentinel mirrors the distributed path's null-tag key
+            val sent = "\u0001"
+            val parent =
+              scala.collection.mutable.HashMap.empty[(String, Long), (String, Long)]
+            def find(x: (String, Long)): (String, Long) = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val n = parent(c); parent(c) = r; c = n
+              }
+              r
+            }
+            es.foreach { case (s0, d0, t) =>
+              val tk = t.getOrElse(sent)
+              val ra = find((tk, s0)); val rb = find((tk, d0))
+              if (ra != rb) {
+                if (ra._2 <= rb._2) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            es.iterator.map { case (s0, d0, t) =>
+              (s0, d0, t, find((t.getOrElse(sent), s0))._2)
+            }
+          }
+          .toDF("src", "dst", "tag", "tag_group_nid")
+        if (!anyBig) localRes
+        else localRes.unionByName(tagGroupCCDistributed(
+          keyed.join(big, Seq("comp"), "left_semi")
+            .select("src", "dst", "tag")))
+    }
+  }
+
+  private def tagGroupCCDistributed(edges: DataFrame): DataFrame = {
     // null-safe tag key: the equal-split mode runs with tag = NULL, which
     // a plain equi-join would drop; the control-char sentinel keeps a
     // genuine empty-string tag VALUE distinct from a missing tag

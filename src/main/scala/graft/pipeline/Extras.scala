@@ -190,14 +190,23 @@ object Extras {
     // midpoints) — a documented deviation reachable only above the
     // threshold, where the round-4 code failed loudly instead of
     // answering (README deviations list).
-    val canonE = e0.select(col("comp"),
+    // ONE canonical distinct, shared: the size gate reads it, and the
+    // scale path feeds it straight into DistContract (which would
+    // otherwise redo the same least/greatest+distinct+checkpoint).
+    // bigGroups is checkpointed because it is read three times (size
+    // gate action, local anti-join, scale semi-join) — uncheckpointed it
+    // re-derived the distinct+groupBy once per consumer.
+    val canonAll = e0.select(col("comp"),
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .distinct().localCheckpoint(true)
+    val canonE = canonAll.filter(col("a") =!= col("b"))
     val bigGroups = canonE.groupBy("comp").agg(count(lit(1)).as("ne"))
       .filter(col("ne") > sizeThreshold)
-      .select("comp")
-    val localEdges = e0.join(bigGroups, Seq("comp"), "left_anti")
+      .select("comp").localCheckpoint(true)
+    val anyBig = bigGroups.limit(1).count() > 0L
+    val localEdges =
+      if (anyBig) e0.join(bigGroups, Seq("comp"), "left_anti") else e0
 
     val localRes = localEdges
       .join(nodes.select(col("nid").as("src"), col("lat").as("lat1"),
@@ -229,10 +238,12 @@ object Extras {
       .toDF("comp", "src", "dst", "chain", "value", "value_fraction",
         "value_fraction_max", "comp_max_value")
 
-    if (bigGroups.isEmpty) localRes
+    if (!anyBig) localRes
     else localRes.unionByName(betweennessAtScale(
-      e0.join(bigGroups, Seq("comp"), "left_semi"), nodes, spark,
-      maxSamples, minValue, minFraction))
+      canonAll.join(bigGroups, Seq("comp"), "left_semi")
+        .select(col("comp"), col("a").as("src"), col("b").as("dst")),
+      nodes, spark, maxSamples, minValue, minFraction,
+      bigGroupsOpt = Some(bigGroups)))
   }
 
   /** Steps 2-5 of the reference betweenness pipeline over an already
@@ -297,12 +308,18 @@ object Extras {
     */
   private def betweennessAtScale(
       big: DataFrame, nodes: DataFrame, spark: SparkSession,
-      maxSamples: Int, minValue: Double, minFraction: Double): DataFrame = {
+      maxSamples: Int, minValue: Double, minFraction: Double,
+      bigGroupsOpt: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    // `big` arrives canonical+distinct from the caller's shared frame;
+    // no pillars are pinned, and the size gate's comp list seeds the
+    // dense comp ids — three shuffles DistContract no longer repeats
     val contracted = graft.graph.DistContract.simplify(
       graft.graph.DistContract.contract(
         big, Seq.empty[(Long, Long)].toDF("comp", "nid"), spark,
-        "P8 betweenness contraction"), spark)
+        "P8 betweenness contraction",
+        assumeCanonical = true, keepKnownEmpty = true,
+        compsOpt = bigGroupsOpt), spark)
     chainWeighted(contracted, nodes)
       .as[(Long, Long, Long, Seq[Long], Double,
         Double, Double, Double, Double)]

@@ -203,12 +203,17 @@ object Derived {
         weakLabels = Some(QueriesGraph.ccLabels(spark, dir)))
     }
 
-  /** Tag-group CC over the canonical edges with the parity tag, memoised. */
+  /** Tag-group CC over the canonical edges with the parity tag, memoised.
+    * Passes the memoised weak-CC labels (same canonical edge set), so the
+    * hybrid engine localises small components to one shuffle instead of
+    * re-running the iterative composite CC.
+    */
   def tagGroupTagged(spark: SparkSession, dir: String): DataFrame =
     memoize(s"tgcc:$dir") {
       graft.graph.DownOps.tagGroupCC(edgesDF(spark, dir)
         .selectExpr("src", "dst",
-          "CASE WHEN (src + dst) % 2 = 0 THEN 'a' ELSE 'b' END AS tag"))
+          "CASE WHEN (src + dst) % 2 = 0 THEN 'a' ELSE 'b' END AS tag"),
+        weakLabels = Some(QueriesGraph.ccLabels(spark, dir)))
     }
 
   /** Biggest-end assignment over the DAG with DECIMETRE-integerised end

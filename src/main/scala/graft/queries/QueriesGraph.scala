@@ -147,12 +147,19 @@ object QueriesGraph {
         .localCheckpoint(true)
       val segs = lines
         .filter(size(col("line")) >= 2)
-        .select(col("grp_s"), col("root_nodeid"), explode(expr(
+        .select(col("grp_s"), col("root_nodeid"), col("num_nodes"),
+          explode(expr(
           "transform(slice(line, 1, size(line) - 1), (x, i) -> " +
             "struct(least(x, line[i + 1]) AS p, greatest(x, line[i + 1]) AS q))"))
           .as("sg"))
-        .select(col("grp_s"), col("root_nodeid"), col("sg.p"), col("sg.q"))
+        .select(col("grp_s"), col("root_nodeid"), col("num_nodes"),
+          col("sg.p"), col("sg.q"))
+      // num_nodes is constant per (grp_s, root_nodeid): riding max()
+      // through the segment explode replaces the separate nnAgg scan +
+      // its join (the final join is inner, so groups with no >=2-point
+      // line — invisible to the oracle — drop out identically)
       val segAgg = segs.groupBy("grp_s", "root_nodeid").agg(
+        max("num_nodes").as("num_nodes"),
         count(lit(1)).as("n_seg_rows"),
         countDistinct(col("p"), col("q")).as("n_segs"),
         sum("p").as("seg_p_sum"), sum("q").as("seg_q_sum"))
@@ -172,10 +179,7 @@ object QueriesGraph {
         .groupBy("grp_s", "root_nodeid").agg(
           count(lit(1)).as("nid_cnt"),
           sum("lat_dm").as("lat_dm_sum"), sum("lon_dm").as("lon_dm_sum"))
-      val nnAgg = lines.groupBy("grp_s", "root_nodeid")
-        .agg(max("num_nodes").as("num_nodes"))
-      nnAgg
-        .join(segAgg, Seq("grp_s", "root_nodeid"))
+      segAgg
         .join(ptAgg, Seq("grp_s", "root_nodeid"))
         .select("grp_s", "root_nodeid", "num_nodes", "n_seg_rows", "n_segs",
           "seg_p_sum", "seg_q_sum", "nid_cnt", "lat_dm_sum", "lon_dm_sum")

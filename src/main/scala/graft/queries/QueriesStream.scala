@@ -94,24 +94,24 @@ object QueriesStream {
       val dir = java.nio.file.Files.createTempDirectory("q34_events")
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val q = s.readStream
-        .schema(schema)
-        .parquet(dir.toString)
-        .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr(QueriesRelational.centsSql("value"))).as("sum_cents"))
-        .select(unix_micros(col("window.start").cast("timestamp")).as("bucket_us"),
-          col("event_type"), col("n"), col("sum_cents"))
-        .writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sinkName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      // materialise before the stream's temp view goes away
-      val out = s.table(sinkName).localCheckpoint(true)
-      out
+      // small-state run (the q79 fix): the complete-mode agg state store
+      // commits session-partition-count files per batch otherwise
+      runSmallStateStream(s, sinkName) { ckpt =>
+        s.readStream
+          .schema(schema)
+          .parquet(dir.toString)
+          .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr(QueriesRelational.centsSql("value"))).as("sum_cents"))
+          .select(unix_micros(col("window.start").cast("timestamp")).as("bucket_us"),
+            col("event_type"), col("n"), col("sum_cents"))
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .queryName(sinkName)
+          .start()
+      }
     }),
 
     // watermarked APPEND-mode windowed aggregation — the third streaming
@@ -170,20 +170,22 @@ object QueriesStream {
       val dir = stageQuartileFiles(ev, "q60")
       counter += 1
       val sinkName = s"q60_sink_$counter"
-      val q = s.readStream
-        .schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-        .select("user_id", "event_type")
-        .dropDuplicates("user_id", "event_type")
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sinkName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(sinkName).localCheckpoint(true)
+      // small-state run: the dedup state store otherwise commits
+      // session-partition-count files per micro-batch (the q79 fix)
+      runSmallStateStream(s, sinkName) { ckpt =>
+        s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          .select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .queryName(sinkName)
+          .start()
+      }
     }),
 
     // custom streaming state: per-user SESSIONIZATION via
@@ -205,7 +207,10 @@ object QueriesStream {
       counter += 1
       val sinkName = s"q53_sink_$counter"
       val GapUs = 300000000L
-      val q = s.readStream
+      // small-state run (the q79 fix): flatMapGroupsWithState commits
+      // session-partition-count state files per micro-batch otherwise
+      runSmallStateStream(s, sinkName) { ckpt =>
+      s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
@@ -234,11 +239,10 @@ object QueriesStream {
         .writeStream
         .outputMode("append")
         .format("memory")
+        .option("checkpointLocation", ckpt)
         .queryName(sinkName)
         .start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(sinkName).localCheckpoint(true)
+      }
     }),
 
     // stream-stream INTERVAL JOIN with watermarks on both sides — the

@@ -198,27 +198,46 @@ object Ranks {
     */
   def withPairGroupMinRank(
       df: DataFrame, k1: String, k2: String, tie: Seq[Column],
-      out: String, gen: Option[CheckpointGen] = None): (DataFrame, Boolean) = {
-    val order = Seq(col(k1).asc, col(k2).asc) ++ tie
+      out: String, gen: Option[CheckpointGen] = None): (DataFrame, Boolean) =
+    withGroupMinRank(df, Seq(k1, k2), tie, out, gen)
+
+  /** [[withPairGroupMinRank]] generalized to 2..4 long key columns —
+    * one range exchange ranks a 32-byte packed prefix (4 words) exactly
+    * like the 16-byte pair, so the suffix sort's init covers two more
+    * doubling widths for free. `rnOut`, when set, additionally emits the
+    * GLOBAL row number of the scan order (off(pid) + local rn) — free
+    * from the same pass, and equal to row_number() OVER (ORDER BY keys…,
+    * tie…); the suffix sort's final rank is exactly that number of its
+    * last densify, so emitting it here removes the closing full-frame
+    * row-number exchange.
+    */
+  def withGroupMinRank(
+      df: DataFrame, keys: Seq[String], tie: Seq[Column],
+      out: String, gen: Option[CheckpointGen] = None,
+      rnOut: Option[String] = None): (DataFrame, Boolean) = {
+    require(keys.nonEmpty && keys.length <= 4, s"1..4 keys, got ${keys.length}")
+    val order = keys.map(col(_).asc) ++ tie
     val local0 = sortedScan(df, order, Seq(pidField,
       StructField("__lrn", LongType, nullable = false),
       StructField("__new", BooleanType, nullable = false),
       StructField("__gs", LongType, nullable = false))) { s =>
-      val i1 = s.fieldIndex(k1)
-      val i2 = s.fieldIndex(k2)
+      val idx = keys.map(s.fieldIndex).toArray
+      val k = idx.length
       val pid = TaskContext.getPartitionId()
       var n = 0L
       var gs = 0L
-      var pk1 = 0L
-      var pk2 = 0L
+      val pk = new Array[Long](k)
       r => {
         n += 1L
-        val a = r.getLong(i1)
-        val b = r.getLong(i2)
-        val isNew = n == 1L || a != pk1 || b != pk2
+        var isNew = n == 1L
+        var i = 0
+        while (i < k) {
+          val v = r.getLong(idx(i))
+          if (v != pk(i)) isNew = true
+          pk(i) = v
+          i += 1
+        }
         if (isNew) gs = n
-        pk1 = a
-        pk2 = b
         Seq[Any](pid, n, isNew, gs)
       }
     }
@@ -226,22 +245,23 @@ object Ranks {
     // released (CheckpointGen contract); one-shot callers keep the plain
     // eager checkpoint
     val local = gen.map(_.rotate(local0)).getOrElse(local0.localCheckpoint(true))
+    val keyStruct = struct(keys.map(col): _*)
     val stats = local.groupBy("__pid").agg(
       count(lit(1)).as("n"),
-      min_by(struct(col(k1), col(k2)), col("__lrn")).as("fk"),
-      max_by(struct(col(k1), col(k2)), col("__lrn")).as("lk"),
+      min_by(keyStruct, col("__lrn")).as("fk"),
+      max_by(keyStruct, col("__lrn")).as("lk"),
       max(when(col("__new"), col("__lrn"))).as("lastStart"),
       sum(when(col("__new"), 1L).otherwise(0L)).as("nStarts"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1),
-        (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)),
-        (r.getStruct(3).getLong(0), r.getStruct(3).getLong(1)),
+        keys.indices.map(r.getStruct(2).getLong).toSeq,
+        keys.indices.map(r.getStruct(3).getLong).toSeq,
         r.getLong(4), r.getLong(5)))
       .sortBy(_._1)
     if (stats.isEmpty)
       return (df.withColumn(out, lit(1L)).limit(0), true)
     var cum = 0L
-    var prevLast: Option[(Long, Long)] = None
+    var prevLast: Option[Seq[Long]] = None
     var trueLastStart = 0L
     var totalStarts = 0L
     val offB = Map.newBuilder[Int, Long]
@@ -261,12 +281,15 @@ object Ranks {
     val carry =
       if (carries.isEmpty) lit(null).cast("long")
       else element_at(typedLit(carries), col("__pid"))
-    val ranked = local
+    val withMin = local
       .withColumn(out,
         when(carry.isNotNull && col("__gs") === 1L, carry)
           .otherwise(col("__gs") +
             element_at(typedLit(offsets), col("__pid"))))
-      .drop("__pid", "__lrn", "__new", "__gs")
+    val ranked = rnOut.fold(withMin) { rc =>
+      withMin.withColumn(rc,
+        col("__lrn") + element_at(typedLit(offsets), col("__pid")))
+    }.drop("__pid", "__lrn", "__new", "__gs")
     (ranked, totalStarts == cum)
   }
 

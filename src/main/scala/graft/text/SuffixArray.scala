@@ -34,7 +34,8 @@ import graft.runtime.{CheckpointGen, Ranks}
   *   global row_number, no groupBy-min, no join-back, and no reduce key
   *   at all for the huge early rank classes of a duplicate-heavy
   *   corpus).
-  * - log2(cap/8) rounds total (4 at cap=128), each localCheckpointed
+  * - log2(cap/32) rounds total after the width-32 packed init (2 at
+  *   cap=128), each localCheckpointed
   *   with superseded generations released (O(1) resident state), with
   *   early exit as soon as every rank class is a singleton.
   * - Rank state is 3 longs/suffix; the only O(n·cap) frame is the
@@ -107,11 +108,15 @@ object SuffixArray {
     // join ran TWICE (profiler: two near-equal 30 s-task jobs per round).
     // One rotated checkpoint makes the sampling pass a cheap re-scan.
     val joinGen = new CheckpointGen
-    // width-16 init: TWO packed 8-byte words (lexicographic pair order ==
-    // byte order over the first 16 bytes, 0-padded — the same NUL-free
-    // ASCII contract as pack8) densified in one range exchange. That is
-    // round 1's densify WITHOUT round 1's equi-join: one fewer join round
-    // for any cap ≥ 16 (3 rounds at cap=128 instead of 4).
+    // width-32 init: FOUR packed 8-byte words (lexicographic tuple order
+    // == byte order over the first 32 bytes, 0-padded — the same
+    // NUL-free ASCII contract as pack8) densified in one range exchange.
+    // That is rounds 1 AND 2's densifies WITHOUT their equi-joins: two
+    // fewer join rounds for any cap ≥ 32 (2 rounds at cap=128, where
+    // round 4 needed 4). Every densify also emits the scan's GLOBAL row
+    // number (__sarn — free from the same pass): the final suffix rank
+    // is exactly the last densify's row number, so rankWindows skips the
+    // closing full-frame row-number exchange entirely.
     var cur: DataFrame = null
     var w = 8
     var rounds = 0
@@ -119,14 +124,30 @@ object SuffixArray {
     if (cap == 8) {
       cur = gen.rotate(wins.select(col("doc_id"), col("pos"),
         pack8(col("win")).as("r")))
-    } else {
+    } else if (cap == 16) {
       val init = wins.select(col("doc_id"), col("pos"),
         pack8(col("win")).as("r"),
         pack8(col("win").substr(lit(9), lit(8))).as("r2"))
-      val (ranked0, allD0) = Ranks.withPairGroupMinRank(init, "r", "r2",
-        Seq(col("doc_id"), col("pos")), "__nr", gen = Some(gen))
-      cur = ranked0.select(col("doc_id"), col("pos"), col("__nr").as("r"))
+      val (ranked0, allD0) = Ranks.withGroupMinRank(init, Seq("r", "r2"),
+        Seq(col("doc_id"), col("pos")), "__nr", gen = Some(gen),
+        rnOut = Some("__sarn"))
+      cur = ranked0.select(col("doc_id"), col("pos"), col("__nr").as("r"),
+        col("__sarn"))
       w = 16
+      allDistinct = allD0
+    } else {
+      val init = wins.select(col("doc_id"), col("pos"),
+        pack8(col("win")).as("r"),
+        pack8(col("win").substr(lit(9), lit(8))).as("r2"),
+        pack8(col("win").substr(lit(17), lit(8))).as("r3"),
+        pack8(col("win").substr(lit(25), lit(8))).as("r4"))
+      val (ranked0, allD0) = Ranks.withGroupMinRank(init,
+        Seq("r", "r2", "r3", "r4"),
+        Seq(col("doc_id"), col("pos")), "__nr", gen = Some(gen),
+        rnOut = Some("__sarn"))
+      cur = ranked0.select(col("doc_id"), col("pos"), col("__nr").as("r"),
+        col("__sarn"))
+      w = 32
       allDistinct = allD0
     }
     while (w < cap && !allDistinct) {
@@ -135,7 +156,8 @@ object SuffixArray {
       // NUL-free string and every densified rank (>= 1)
       val partner = cur.select(col("doc_id"), (col("pos") - w).as("pos"),
         col("r").as("r2"))
-      val joined = joinGen.rotate(cur.join(partner, Seq("doc_id", "pos"), "left")
+      val joined = joinGen.rotate(cur.select("doc_id", "pos", "r")
+        .join(partner, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("r"),
           coalesce(col("r2"), lit(Long.MinValue)).as("r2")))
       // densify: rank class (r, r2) -> its min global row number, in ONE
@@ -145,9 +167,11 @@ object SuffixArray {
       // convergence signal. The densify's own checkpoint rotates through
       // `gen`, and `cur` is a cheap projection over it — no third
       // materialization per round.
-      val (ranked, allD) = Ranks.withPairGroupMinRank(joined, "r", "r2",
-        Seq(col("doc_id"), col("pos")), "__nr", gen = Some(gen))
-      cur = ranked.select(col("doc_id"), col("pos"), col("__nr").as("r"))
+      val (ranked, allD) = Ranks.withGroupMinRank(joined, Seq("r", "r2"),
+        Seq(col("doc_id"), col("pos")), "__nr", gen = Some(gen),
+        rnOut = Some("__sarn"))
+      cur = ranked.select(col("doc_id"), col("pos"), col("__nr").as("r"),
+        col("__sarn"))
       allDistinct = allD
       w *= 2
       rounds += 1
@@ -186,9 +210,17 @@ object SuffixArray {
   def rankWindows(wins: DataFrame, cap: Int = 128): DataFrame = {
     val gen = new CheckpointGen
     val r = doubledRanks(wins, cap, gen)
-    Ranks.withGlobalRowNumber(r,
-      Seq(col("r"), col("doc_id"), col("pos")), "sa_rank")
-      .select("doc_id", "pos", "sa_rank")
+    // the last densify's scan row number IS row_number() OVER
+    // (ORDER BY final rank, doc_id, pos): the scan order refines every
+    // later width's order and breaks ties by (doc_id, pos) — reuse it
+    // instead of paying one more full-frame range exchange (cap == 8 is
+    // the only densify-free path left)
+    if (r.columns.contains("__sarn"))
+      r.select(col("doc_id"), col("pos"), col("__sarn").as("sa_rank"))
+    else
+      Ranks.withGlobalRowNumber(r,
+        Seq(col("r"), col("doc_id"), col("pos")), "sa_rank")
+        .select("doc_id", "pos", "sa_rank")
   }
 
   /** The suffix array: (doc_id, pos, sa_rank). */

@@ -788,12 +788,17 @@ object TextOps {
     */
   def countMinSketch(docs: DataFrame, textCol: String,
                      depth: Int = 4, width: Int = 1024): DataFrame =
+    // collapse to (token, count) BEFORE hashing (guide §2.3 "aggregate
+    // before you shuffle"): depth× md5 per DISTINCT token instead of per
+    // occurrence — a Zipf corpus repeats its head tokens millions of
+    // times, and the counter merge is exact under the regroup
     docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r.toLong).as("row_id"),
           pmod(graft.dedup.Dedup.md5h63(
             concat(lit(s"$r:"), col("tok"))), lit(width.toLong))
-            .as("col_id"))): _*)).as("rc"))
+            .as("col_id"))): _*)).as("rc"), col("n"))
       .groupBy(col("rc.row_id").as("row_id"), col("rc.col_id").as("col_id"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("n").as("cnt"))
 }
