@@ -31,24 +31,18 @@ object QueriesText {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     s.read.parquet(s"$d/$n.parquet")
 
-  /** The suffix windows and rank frames q109/q110 share (the prefix
-    * doubling runs once per input dir; Bench clears the memo per rep).
-    * Ranks and windows memoise SEPARATELY: q109 reads ranks alone, so
-    * the O(n·cap) win payload never crosses its exchanges; only q110's
-    * adjacent-LCP join pays for the strings.
+  /** The suffix-array frame q109/q110 share (ranked once per input dir;
+    * Bench clears the memo per rep). At cap=128 the ranking is ONE range
+    * exchange sorting the windows themselves (SuffixArray.DirectSortCap),
+    * so the win payload already rode the only exchange — one full frame
+    * (doc_id, pos, win, sa_rank) serves q109 (projection, no join) and
+    * q110 (adjacent-LCP, no rank⋈window join either).
     */
-  private def saWinsMemo(s: SparkSession, d: String): DataFrame =
-    memoize(s"suffixwins:$d") {
-      graft.text.SuffixArray.windows(t(s, d, "documents"), "doc_id", "text", 128)
-    }
-
-  private def saRanksMemo(s: SparkSession, d: String): DataFrame =
-    memoize(s"suffixranks:$d") {
-      graft.text.SuffixArray.rankWindows(saWinsMemo(s, d))
-    }
-
   private def saMemo(s: SparkSession, d: String): DataFrame =
-    saRanksMemo(s, d).join(saWinsMemo(s, d), Seq("doc_id", "pos"))
+    memoize(s"suffixfull:$d") {
+      graft.text.SuffixArray.saWithAdjacent(
+        t(s, d, "documents"), "doc_id", "text", 128)
+    }
 
   /** The exact cosine top-3 frame q31 projects and q89's margin scorer
     * consumes — one O(n²·d) brute pass per rep, not two.
@@ -316,7 +310,7 @@ object QueriesText {
     // every doc-bounded suffix by its first 128 chars; the oracle is a
     // literal ORDER BY substr(text, pos, 128) sort in DuckDB
     "q109_suffix_array" -> ((s, d) =>
-      saRanksMemo(s, d).select("doc_id", "pos", "sa_rank")),
+      saMemo(s, d).select("doc_id", "pos", "sa_rank")),
 
     // ExactSubstr step 2: exact LCP of adjacent suffix-array entries
     // (one codegen'd byte loop per pair), aggregated per doc over

@@ -1,8 +1,11 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, GraftColumnBridge, Row}
 import org.apache.spark.sql.functions._
-import graft.functions.{CommonPrefixLen, PackedPrefix8}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{CommonPrefixLen, PackedPrefix8, SuffixExprs}
 import graft.runtime.{CheckpointGen, Ranks}
 
 /** Distributed suffix array + adjacent-suffix LCP — the ExactSubstr
@@ -189,25 +192,51 @@ object SuffixArray {
     override def initialValue(): Int = 0
   }
 
+  /** Caps at or below this sort DIRECTLY: sa_rank is by definition
+    * row_number() OVER (ORDER BY win, doc_id, pos), so one range
+    * exchange carrying the window itself replaces the packed init plus
+    * every doubling round. Byte math at cap=128: the direct exchange
+    * moves ~(cap+16) B/row ONCE, the doubling path moves ~200 B/row
+    * across 5 exchanges (init densify 48 B + 2×(equi-join ~48 B +
+    * densify ~32 B)) and pays a sort per exchange — fewer bytes AND one
+    * stage instead of ~10 (guide §2.4), at every scale, not just
+    * locally. Doubling remains the scale shape for larger caps, where
+    * O(n·cap) exchange bytes overtake O(n·log(cap/8)·24 B).
+    */
+  private val DirectSortCap = 128
+
   /** The full suffix array with its comparison windows:
     * (doc_id, pos, sa_rank, win) — sa_rank is the global 1-based
     * position in capped-suffix order (ties by (doc_id, pos)). The one
     * frame q109 (ranks) and q110 (adjacent-pair LCP) both read, so the
-    * doubling loop runs once per input.
+    * ranking runs once per input.
     */
   def saWithWindows(
       docs: DataFrame, idCol: String, textCol: String,
       cap: Int = 128): DataFrame = {
     val wins = windows(docs, idCol, textCol, cap).localCheckpoint(true)
-    rankWindows(wins, cap).join(wins, Seq("doc_id", "pos"))
+    if (cap <= DirectSortCap) {
+      // the two-phase row number preserves the win column — no join back
+      lastDoublingRounds.set(0)
+      Ranks.withGlobalRowNumber(wins,
+        Seq(col("win").asc, col("doc_id").asc, col("pos").asc), "sa_rank")
+    } else rankWindows(wins, cap).join(wins, Seq("doc_id", "pos"))
   }
 
   /** The rank side alone from a (checkpointed) [[windows]] frame:
-    * (doc_id, pos, sa_rank). Callers that only need ranks (q109) skip
-    * the O(n·cap) win payload join entirely — its exchange+sort moved
-    * ~200 MB of strings at sf0.1 for columns the query never reads.
+    * (doc_id, pos, sa_rank). Callers that only need ranks (q109) drop
+    * the O(n·cap) win payload right after the one ranking exchange.
+    * `forceDoubling` is the spec hook pinning direct ≡ doubling ranks.
     */
-  def rankWindows(wins: DataFrame, cap: Int = 128): DataFrame = {
+  def rankWindows(
+      wins: DataFrame, cap: Int = 128,
+      forceDoubling: Boolean = false): DataFrame = {
+    if (cap <= DirectSortCap && !forceDoubling) {
+      lastDoublingRounds.set(0)
+      return Ranks.withGlobalRowNumber(wins,
+          Seq(col("win").asc, col("doc_id").asc, col("pos").asc), "sa_rank")
+        .select("doc_id", "pos", "sa_rank")
+    }
     val gen = new CheckpointGen
     val r = doubledRanks(wins, cap, gen)
     // the last densify's scan row number IS row_number() OVER
@@ -229,6 +258,109 @@ object SuffixArray {
       cap: Int = 128): DataFrame =
     rankWindows(
       windows(docs, idCol, textCol, cap).localCheckpoint(true), cap)
+
+  /** Direct-path suffix array WITH adjacency inline:
+    * (doc_id, pos, win, sa_rank, doc_a, pos_a, lcp) where (doc_a, pos_a)
+    * is the suffix at sa_rank−1 and lcp its exact common prefix with
+    * this row (nulls on the global first row). The pairs are read off
+    * the SAME range-exchange scan that assigns sa_rank — adjacency is
+    * physically free once the sort has run, so [[adjacentLcp]]'s
+    * self-join (two more full-frame exchanges + sorts of the window
+    * payload) disappears; partition-boundary pairs are patched from the
+    * same O(#partitions) driver stats that chain the rank offsets.
+    * Requires cap ≤ [[DirectSortCap]] (the doubling path has no single
+    * sorted scan to read pairs from).
+    */
+  def saWithAdjacent(
+      docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 128): DataFrame = {
+    require(cap <= DirectSortCap,
+      s"saWithAdjacent needs the direct-sort path (cap <= $DirectSortCap)")
+    lastDoublingRounds.set(0)
+    val wins = windows(docs, idCol, textCol, cap).localCheckpoint(true)
+    val order = Seq(col("win").asc, col("doc_id").asc, col("pos").asc)
+    val sorted = wins.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val inSchema = sorted.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      StructField("__lrn", LongType, nullable = false),
+      StructField("__pd", LongType, nullable = true),
+      StructField("__pp", IntegerType, nullable = true),
+      StructField("__pl", LongType, nullable = true)))
+    val di = inSchema.fieldIndex("doc_id")
+    val pi = inSchema.fieldIndex("pos")
+    val wi = inSchema.fieldIndex("win")
+    val scanned = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var n = 0L
+      var pd: Any = null
+      var pp: Any = null
+      var pw: String = null
+      it.map { r =>
+        n += 1L
+        val w = r.getString(wi)
+        val lcp: Any =
+          if (pw == null) null
+          else SuffixExprs.commonPrefixChars(
+            UTF8String.fromString(pw), UTF8String.fromString(w))
+        val out = Row.fromSeq(r.toSeq ++ Seq(pid, n, pd, pp, lcp))
+        pd = r.getLong(di); pp = r.getInt(pi); pw = w
+        out
+      }
+    }(Encoders.row(outSchema)).localCheckpoint(true)
+    val st = scanned.groupBy("__pid").agg(
+        count(lit(1)).as("n"),
+        min_by(struct(col("doc_id"), col("pos"), col("win")), col("__lrn"))
+          .as("first"),
+        max_by(struct(col("doc_id"), col("pos"), col("win")), col("__lrn"))
+          .as("last"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getStruct(2), r.getStruct(3)))
+      .sortBy(_._1)
+    if (st.isEmpty)
+      return scanned.select(col("doc_id"), col("pos"), col("win"))
+        .withColumn("sa_rank", lit(1L))
+        .withColumn("doc_a", lit(null).cast("long"))
+        .withColumn("pos_a", lit(null).cast("int"))
+        .withColumn("lcp", lit(null).cast("long"))
+        .limit(0)
+    var cum = 0L
+    var prevLast: Row = null
+    val offB = Map.newBuilder[Int, Long]
+    val pdB = Map.newBuilder[Int, Long]
+    val ppB = Map.newBuilder[Int, Int]
+    val plB = Map.newBuilder[Int, Long]
+    for ((pid, n, first, last) <- st) {
+      offB += pid -> cum
+      if (prevLast != null) {
+        pdB += pid -> prevLast.getLong(0)
+        ppB += pid -> prevLast.getInt(1)
+        plB += pid -> SuffixExprs.commonPrefixChars(
+          UTF8String.fromString(prevLast.getString(2)),
+          UTF8String.fromString(first.getString(2)))
+      }
+      prevLast = last
+      cum += n
+    }
+    val offsets = offB.result()
+    // ANSI-safe boundary patch: the branch guard (pid present in the
+    // carry map) keeps element_at off the one partition with no
+    // predecessor, whose first row keeps null prev columns
+    def patch(m: Map[Int, _], mapLit: => Column, inPart: Column): Column =
+      if (m.isEmpty) inPart
+      else when(col("__lrn") =!= 1L, inPart)
+        .when(array_contains(lit(m.keys.toArray), col("__pid")),
+          element_at(mapLit, col("__pid")))
+    val (pdM, ppM, plM) = (pdB.result(), ppB.result(), plB.result())
+    scanned
+      .withColumn("sa_rank",
+        col("__lrn") + element_at(typedLit(offsets), col("__pid")))
+      .withColumn("doc_a", patch(pdM, typedLit(pdM), col("__pd")))
+      .withColumn("pos_a", patch(ppM, typedLit(ppM), col("__pp")))
+      .withColumn("lcp", patch(plM, typedLit(plM), col("__pl")))
+      .drop("__pid", "__lrn", "__pd", "__pp", "__pl")
+  }
 
   /** Adjacent suffix-array pairs with their exact LCP (≤ cap):
     * (doc_a, pos_a, doc_b, pos_b, lcp) for each consecutive pair in
@@ -255,7 +387,16 @@ object SuffixArray {
   def dupSubstrStats(
       docs: DataFrame, sa: DataFrame, idCol: String,
       minLen: Int = 20): DataFrame = {
-    val dup = adjacentLcp(sa)
+    // a [[saWithAdjacent]] frame already carries each row's predecessor
+    // and exact LCP — project the pairs instead of re-deriving them with
+    // the rank self-join
+    val pairs =
+      if (sa.columns.contains("doc_a"))
+        sa.where(col("doc_a").isNotNull)
+          .select(col("doc_a"), col("pos_a"),
+            col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("lcp"))
+      else adjacentLcp(sa)
+    val dup = pairs
       .where(col("doc_a") =!= col("doc_b") && col("lcp") >= minLen)
       .localCheckpoint(true)
     val sides = dup.select(col("doc_a").as("doc_id"), col("lcp"))

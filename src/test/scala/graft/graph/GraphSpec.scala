@@ -98,6 +98,15 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val got = r1.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == expected)
     assert(r1.rounds == r2.rounds, "round count must be deterministic")
+    // hybrid gate: the single-task union-find path (default at this size)
+    // and the star loop (forced via localMaxEdges = 0) emit identical
+    // min-nid labels; the loop path reports its real round count
+    val iter = ConnectedComponents.run(es.toDF("src", "dst"), localMaxEdges = 0L)
+    val gotIter = iter.labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotIter == expected)
+    assert(iter.rounds > 0)
+    assert(r1.rounds == 0) // the local path is round-free by construction
   }
 
   test("fx-confluence: two streams joining (D5 upstream sums)") {

@@ -108,6 +108,54 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestBase {
     assert(lcp("日本", "日生") == 1L) // diff inside a 3-byte char: no partial
   }
 
+  test("saWithAdjacent: inline pairs == adjacentLcp self-join; ranks match") {
+    for (c <- Seq(32, 128)) {
+      val adj = SuffixArray.saWithAdjacent(df, "doc_id", "text", c)
+        .localCheckpoint(true)
+      val ranks = adj.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")) ->
+          r.getAs[Long]("sa_rank")).toMap
+      val wantRanks = SuffixArray.suffixRanks(df, "doc_id", "text", c)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(ranks == wantRanks, s"cap=$c ranks")
+      val pairs = adj.where(col("doc_a").isNotNull)
+        .select("doc_a", "pos_a", "doc_id", "pos", "lcp")
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)),
+          r.getLong(4))).toMap
+      val want = SuffixArray.adjacentLcp(
+          SuffixArray.saWithWindows(df, "doc_id", "text", c))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)),
+          r.getLong(4))).toMap
+      assert(pairs == want, s"cap=$c pairs")
+      // exactly one row (the global first) has no predecessor
+      assert(adj.where(col("doc_a").isNull).count() == 1L)
+    }
+  }
+
+  test("direct sort ranks == prefix-doubling ranks (forceDoubling hook)") {
+    // the cap<=128 fast path sorts the window itself in one range
+    // exchange; the doubling loop must produce the same total order —
+    // pinned on the adversarial fixture AND a seeded random corpus with
+    // fat rank classes (repeated 4-grams survive several widths)
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcd"
+    val rand = (1L to 40L).map { id =>
+      (id, Seq.fill(30 + rng.nextInt(40))(
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    for (corpus <- Seq(docs, rand); c <- Seq(16, 32, 128)) {
+      val w = SuffixArray.windows(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", c).localCheckpoint(true)
+      def m(dfr: org.apache.spark.sql.DataFrame) = dfr.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val direct = m(SuffixArray.rankWindows(w, c))
+      val doubled = m(SuffixArray.rankWindows(w, c, forceDoubling = true))
+      assert(direct == doubled, s"cap=$c corpus=${corpus.head._1}")
+    }
+  }
+
   test("early exit: all-distinct corpus converges in one round") {
     // distinct 8-char prefixes everywhere → round 1 sees singleton
     // classes and the loop stops (result identical either way)
