@@ -337,11 +337,14 @@ object Dedup {
     * codepoints, DuckDB bytes); the synthetic corpus is pure ASCII.
     */
   def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-                        maxEdPpm: Long = 200000L): DataFrame = {
+                        maxEdPpm: Long = 200000L,
+                        candOpt: Option[DataFrame] = None): DataFrame = {
     val txts = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
-    val cand = minhashCandidatesFromHashes(
-      docs.select(col(idCol).as("id"),
-        distinctShingleHashes(col(textCol)).as("hs")))
+    // callers already holding the LSH candidate frame (the cross-query
+    // memo) pass it in instead of re-hashing + re-banding the corpus
+    val cand = candOpt.getOrElse(minhashCandidatesFromHashes(
+        docs.select(col(idCol).as("id"),
+          distinctShingleHashes(col(textCol)).as("hs"))))
       .select("id_a", "id_b")
     val withA = txts.select(col("id").as("id_a"), col("txt").as("txt_a"))
       .join(broadcast(cand), Seq("id_a"))

@@ -166,7 +166,7 @@ object ConnectedComponents {
     val spark = e.sparkSession
     import spark.implicits._
     e.select(col("src"), col("dst")).as[(Long, Long)]
-      .repartition(1)
+      .coalesce(1) // narrow (no exchange): the one-task gate is the point
       .mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x0: Long): Long = {

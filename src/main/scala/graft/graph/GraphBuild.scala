@@ -259,14 +259,54 @@ object GraphBuild {
     * Used by the sharded geometry path, where the whole component never
     * fits one task so `Local.compress` cannot run.
     *
+    * HYBRID: components at or below `localPerCompMax` edges run
+    * `Local.compress` + distinct-vertex count in ONE shuffle
+    * (groupByKey per comp) instead of the ~15-exchange closed form —
+    * the values are identical by the closed form's own contract (it was
+    * derived from, and is spec-pinned against, `Local.compress`;
+    * DistPeelSpec). The default matches the shard threshold that routes
+    * components here: in production only >2M-edge components reach this
+    * function and keep the distributed form; the q119 gate (threshold 1)
+    * routes fixture components, which localise.
+    *
     * @param edges (comp, src, dst) canonical (deduplicated) undirected
     * @return (comp, num_nodes)
     */
-  def compressedNumNodes(edges: DataFrame): DataFrame = {
-    val e = edges.select(
+  def compressedNumNodes(
+      edges: DataFrame, localPerCompMax: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(
       col("comp"),
       least(col("src"), col("dst")).as("src"),
       greatest(col("src"), col("dst")).as("dst"))
+      .localCheckpoint(true)
+    val sizes = e0.groupBy("comp").agg(count(lit(1)).as("n"))
+    val bigComps = sizes.filter(col("n") > localPerCompMax)
+      .select("comp").localCheckpoint(true)
+    val anyBig = bigComps.limit(1).count() > 0L
+    val smallE =
+      if (anyBig) e0.join(bigComps, Seq("comp"), "left_anti") else e0
+    val localRes = smallE
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (comp, rows) =>
+        val es = Local.boundedSeq(rows, s"num_nodes (component $comp)")
+        val compressed = Local.compress(
+          es.map(e => (e._2, e._3, Seq.empty[Long])), _ => false)
+        (comp, compressed.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong)
+      }
+      .toDF("comp", "num_nodes")
+    if (!anyBig) return localRes
+    localRes.unionByName(
+      compressedNumNodesDist(e0.join(bigComps, Seq("comp"), "left_semi")))
+  }
+
+  /** The distributed closed form over pre-canonicalized (comp, src, dst)
+    * edges — see [[compressedNumNodes]].
+    */
+  private[graph] def compressedNumNodesDist(edges: DataFrame): DataFrame = {
+    val e = edges
     val deg = e.select(col("comp"), col("src").as("nid"))
       .union(e.select(col("comp"), col("dst").as("nid")))
       .groupBy("comp", "nid").agg(count(lit(1)).as("d"))

@@ -166,8 +166,13 @@ object Derived {
 
   /** Drop every memoised frame (Bench calls this between reps so each
     * rep pays the full iterative cost instead of reusing warm caches).
+    * Also drops the shared stream staging dir for the same reason —
+    * every rep re-stages the quartile files once.
     */
-  def clearMemo(): Unit = memo.clear()
+  def clearMemo(): Unit = {
+    memo.clear()
+    QueriesStream.clearStaging()
+  }
 
   /** Equal-split upstream over the DAG: (nodeUpstream, edgeFlow) memoised.
     *

@@ -59,6 +59,35 @@ object QueriesStream {
     dir.toString
   }
 
+  /** The four time-quartile files every stateful stream replay shares:
+    * ONE staging pass (events scan + percentile + partitioned write)
+    * carrying the superset of columns any consumer projects — q62, q60,
+    * q53 and q79 staged the same row set separately before (three
+    * redundant full passes + checkpoints per rep). Quartile boundaries
+    * and per-file row sets are unchanged, so batch boundaries, state
+    * transitions and every output row are identical; each stream
+    * projects its own columns after `readStream`. Keyed by input dir;
+    * [[Derived.clearMemo]] drops it between bench reps so every rep
+    * pays the staging exactly once.
+    */
+  private val stagedShared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def clearStaging(): Unit = stagedShared.clear()
+
+  private def sharedQuartileDir(s: SparkSession, d: String): String =
+    stagedShared.computeIfAbsent(d, _ => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          expr(QueriesRelational.centsSql("value")).as("cents"))
+        // two consumers (percentile probe + partitioned write): one scan
+        .localCheckpoint(true)
+      stageQuartileFiles(ev, "sharedq")
+    })
+
   /** Start-and-drain a bounded stateful stream with a SMALL
     * state-partition count and a tmpfs checkpoint, then return the
     * materialized memory-sink table. Stateful operators commit
@@ -124,19 +153,16 @@ object QueriesStream {
     // Deterministic: the quartile files fix the batch boundaries, and
     // watermark progression is a pure function of per-batch max ts.
     "q62_stream_late" -> ((s, d) => {
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_type"),
-          unix_micros(col("ts").cast("timestamp")).as("tus"),
-          expr(QueriesRelational.centsSql("value")).as("cents"))
-        .localCheckpoint(true)
-      val dir = stageQuartileFiles(ev, "q62")
+      val dir = sharedQuartileDir(s, d)
+      val schema = s.read.parquet(dir).schema
       counter += 1
       val sinkName = s"q62_sink_$counter"
       runSmallStateStream(s, sinkName) { ckpt =>
         s.readStream
-          .schema(ev.schema)
+          .schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(dir)
+          .select("event_type", "tus", "cents")
           .withColumn("ets", timestamp_micros(col("tus")))
           .withWatermark("ets", "10 minutes")
           .groupBy(window(col("ets"), "300 seconds"), col("event_type"))
@@ -161,20 +187,15 @@ object QueriesStream {
     // keeps the emitted row set deterministic (dropDuplicates keeps an
     // arbitrary first row; the key set is a pure function of the data).
     "q60_stream_dedup" -> ((s, d) => {
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id").cast("long").as("user_id"),
-          col("event_type"),
-          unix_micros(col("ts").cast("timestamp")).as("tus"),
-          col("event_id").cast("long").as("event_id"))
-        .localCheckpoint(true)
-      val dir = stageQuartileFiles(ev, "q60")
+      val dir = sharedQuartileDir(s, d)
+      val schema = s.read.parquet(dir).schema
       counter += 1
       val sinkName = s"q60_sink_$counter"
       // small-state run: the dedup state store otherwise commits
       // session-partition-count files per micro-batch (the q79 fix)
       runSmallStateStream(s, sinkName) { ckpt =>
         s.readStream
-          .schema(ev.schema)
+          .schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(dir)
           .select("user_id", "event_type")
@@ -197,13 +218,8 @@ object QueriesStream {
     "q53_stream_sessions" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id").cast("long").as("user_id"),
-          col("event_id").cast("long").as("event_id"),
-          unix_micros(col("ts").cast("timestamp")).as("tus"),
-          expr(QueriesRelational.centsSql("value")).as("cents"))
-        .localCheckpoint(true)
-      val dir = stageQuartileFiles(ev, "q53")
+      val dir = sharedQuartileDir(s, d)
+      val schema = s.read.parquet(dir).schema
       counter += 1
       val sinkName = s"q53_sink_$counter"
       val GapUs = 300000000L
@@ -211,9 +227,10 @@ object QueriesStream {
       // session-partition-count state files per micro-batch otherwise
       runSmallStateStream(s, sinkName) { ckpt =>
       s.readStream
-        .schema(ev.schema)
+        .schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
+        .select("user_id", "event_id", "tus", "cents")
         .as[(Long, Long, Long, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -257,20 +274,16 @@ object QueriesStream {
     // watermark, outside the join range), so the bounded-stream output
     // equals the batch interval join exactly.
     "q79_stream_join" -> ((s, d) => {
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id").cast("long").as("user_id"),
-          col("event_id").cast("long").as("event_id"),
-          col("event_type"),
-          unix_micros(col("ts").cast("timestamp")).as("tus"))
-        .localCheckpoint(true)
-      val dir = stageQuartileFiles(ev, "q79")
+      val dir = sharedQuartileDir(s, d)
+      val schema = s.read.parquet(dir).schema
       counter += 1
       val sinkName = s"q79_sink_$counter"
       runSmallStateStream(s, sinkName) { ckpt =>
         val src = s.readStream
-          .schema(ev.schema)
+          .schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(dir)
+          .select("user_id", "event_id", "event_type", "tus")
         val views = src.filter(col("event_type") === "view")
           .select(col("user_id").as("v_user"),
             col("event_id").as("view_event_id"),

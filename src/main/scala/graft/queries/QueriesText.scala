@@ -337,8 +337,7 @@ object QueriesText {
 
     // MinHash-LSH near-dup candidates (md5-derived hashes — fully
     // DuckDB-oracled; DedupSpec pins the semantics too)
-    "q32_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text")),
+    "q32_minhash_lsh" -> ((s, d) => minhashCandMemo(s, d)),
 
     // exact n-gram Jaccard verification of the LSH candidate pairs —
     // the LSH→verify stage of the near-dup pipeline (3-shingle md5
@@ -392,7 +391,8 @@ object QueriesText {
     // character-level second verifier beside q59's Jaccard (catches
     // shingle-order rewrites); exact-integer Levenshtein ppm
     "q90_edit_verify" -> ((s, d) =>
-      Dedup.editVerifiedPairs(t(s, d, "documents"), "doc_id", "text")),
+      Dedup.editVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
+        candOpt = Some(minhashCandMemo(s, d)))),
 
     // near-dup CLUSTER COLLAPSE — the final dedup stage: q59's verified
     // pairs transitively closed with the shuffle CC operator, min-id
@@ -624,6 +624,25 @@ object QueriesText {
     * the full table never shuffles; if candidates ever outgrow the
     * broadcast limit, drop the hints and AQE picks a shuffle join.
     */
+  /** The distinct shingle-hash sets and the MinHash-LSH candidate pairs
+    * the whole near-dup family shares (q32 emits the candidates, q59
+    * Jaccard-verifies them, q96 computes containment, q90 edit-verifies;
+    * q64/q65/q95 consume q59's memo). Both memoised: hashing + the
+    * 64-perm banding ran up to four times per rep before. Signatures on
+    * the DISTINCT set equal signatures on the raw multiset (a per-hash
+    * min is duplicate-insensitive), so q32's output is unchanged.
+    */
+  private def shingleSetsMemo(s: SparkSession, d: String): DataFrame =
+    memoize(s"shinglesets:$d") {
+      t(s, d, "documents").select(col("doc_id").as("id"),
+        Dedup.distinctShingleHashes(col("text")).as("hs"))
+    }
+
+  private def minhashCandMemo(s: SparkSession, d: String): DataFrame =
+    memoize(s"minhashcand:$d") {
+      Dedup.minhashCandidatesFromHashes(shingleSetsMemo(s, d))
+    }
+
   private def jaccardVerifiedPairs(s: SparkSession, d: String): DataFrame =
     memoize(s"jaccardverified:$d") { jaccardVerifiedPairsBody(s, d) }
 
@@ -633,9 +652,8 @@ object QueriesText {
     // on the distinct set); re-hashing text per candidate pair was 48 s
     // of a 140 s 500k-doc pipeline (BENCH.md round 4); memoised (like
     // saMemo) because q59 AND q95 both run the full pipeline
-    val sets = t(s, d, "documents").select(col("doc_id").as("id"),
-      Dedup.distinctShingleHashes(col("text")).as("hs"))
-    val cand = Dedup.minhashCandidatesFromHashes(sets)
+    val sets = shingleSetsMemo(s, d)
+    val cand = minhashCandMemo(s, d)
     val withA = sets
       .select(col("id").as("id_a"), col("hs").as("hs_a"))
       .join(broadcast(cand), Seq("id_a"))
@@ -657,9 +675,8 @@ object QueriesText {
     * divisor).
     */
   private def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val sets = t(s, d, "documents").select(col("doc_id").as("id"),
-      Dedup.distinctShingleHashes(col("text")).as("hs"))
-    val cand = Dedup.minhashCandidatesFromHashes(sets)
+    val sets = shingleSetsMemo(s, d)
+    val cand = minhashCandMemo(s, d)
     val withA = sets
       .select(col("id").as("id_a"), col("hs").as("hs_a"))
       .join(broadcast(cand), Seq("id_a"))

@@ -1,5 +1,6 @@
 package graft.web
 
+import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -69,10 +70,98 @@ object LinkGraph {
     * released ([[graft.runtime.CheckpointGen]]) so resident state is
     * O(1) generations, not O(rounds).
     */
+  /** Single-task replay gate for the fixed-round loops below (k-core,
+    * LPA, BFS, HyperBall): at or below this many nodes AND edges the
+    * whole graph fits one task, and each loop replays its EXACT
+    * per-round integer semantics locally — identical outputs with ~2
+    * driver round-trips instead of 2-3 per round of checkpoint latency
+    * (guide §2.4; the same hybrid contract as ConnectedComponents'
+    * local union-find). The node count gates first (a cheap count) so
+    * an at-scale caller never pays the edge-count scan.
+    */
+  private val LocalMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_WEB_LOCAL_MAX").map(_.toLong).getOrElse(500000L)
+
+  /** The one-partition tagged (nodes ++ edges) dataset the local paths
+    * replay from — None when the graph is above the gate. Rows:
+    * (isNode, a, b) with node rows (true, nid, 0) and edge rows
+    * (false, src, dst).
+    */
+  private def taggedLocal(
+      nodes: DataFrame, edges: DataFrame, localMax: Long)
+      : Option[org.apache.spark.sql.Dataset[(Boolean, Long, Long)]] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    if (localMax < 0 || nodes.count() > localMax) return None
+    val e0 = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    if (e0.count() > localMax) return None
+    Some(nodes
+      .select(lit(true).as("n"), col("doc_id").cast("long").as("a"),
+        lit(0L).as("b"))
+      .unionByName(e0.select(lit(false).as("n"), col("src").as("a"),
+        col("dst").as("b")))
+      .as[(Boolean, Long, Long)]
+      .coalesce(1)) // narrow (no exchange): the one-task gate is the point
+  }
+
+  /** Drain a tagged iterator into (node ids, edge pairs). */
+  private def drainTagged(
+      it: Iterator[(Boolean, Long, Long)])
+      : (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[(Long, Long)]) = {
+    val ns = mutable.ArrayBuffer.empty[Long]
+    val es = mutable.ArrayBuffer.empty[(Long, Long)]
+    it.foreach { case (isN, a, b) => if (isN) ns += a else es += ((a, b)) }
+    (ns, es)
+  }
+
+  /** Canonical undirected distinct adjacency of raw edge pairs. */
+  private def undAdj(
+      es: Seq[(Long, Long)]): mutable.HashMap[Long, mutable.ArrayBuffer[Long]] = {
+    val und = mutable.HashSet.empty[(Long, Long)]
+    es.foreach { case (a, b) =>
+      if (a != b) und += ((math.min(a, b), math.max(a, b)))
+    }
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    und.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      adj.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u
+    }
+    adj
+  }
+
   def kcorePeel(
       nodes: DataFrame, edges: DataFrame,
-      k: Int = 3, rounds: Int = 4): DataFrame = {
+      k: Int = 3, rounds: Int = 4,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1; got $k, $rounds")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    taggedLocal(nodes, edges, localMaxEdges).foreach { tagged =>
+      return tagged.mapPartitions { it =>
+        val (ns, es) = drainTagged(it)
+        val adj = undAdj(es.toSeq)
+        val deg = mutable.HashMap.empty[Long, Long]
+        adj.foreach { case (x, nb) => deg(x) = nb.length.toLong }
+        val active = mutable.HashSet.empty[Long] ++ ns
+        val removedRound = mutable.HashMap.empty[Long, Long]
+        for (r <- 1 to rounds) {
+          val toRemove = active.iterator
+            .filter(x => deg.getOrElse(x, 0L) < k).toArray
+          toRemove.foreach { x => active -= x; removedRound(x) = r.toLong }
+          toRemove.foreach { x =>
+            adj.getOrElse(x, mutable.ArrayBuffer.empty).foreach { y =>
+              deg(y) = deg.getOrElse(y, 0L) - 1L
+            }
+          }
+        }
+        ns.iterator.map { x =>
+          (x, removedRound.getOrElse(x, 0L),
+            if (active(x)) deg.getOrElse(x, 0L) else 0L)
+        }
+      }.toDF("doc_id", "removed_round", "deg_final")
+    }
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -131,8 +220,35 @@ object LinkGraph {
     * state).
     */
   def labelPropagation(
-      nodes: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
+      nodes: DataFrame, edges: DataFrame, rounds: Int = 3,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1; got $rounds")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    taggedLocal(nodes, edges, localMaxEdges).foreach { tagged =>
+      return tagged.mapPartitions { it =>
+        val (ns, es) = drainTagged(it)
+        val adj = undAdj(es.toSeq)
+        var lbl = mutable.HashMap.empty[Long, Long]
+        ns.foreach(x => lbl(x) = x)
+        for (_ <- 1 to rounds) {
+          val next = mutable.HashMap.empty[Long, Long]
+          ns.foreach { x =>
+            val votes = mutable.HashMap.empty[Long, Long]
+            adj.getOrElse(x, mutable.ArrayBuffer.empty).foreach { y =>
+              // ghost neighbours (edge endpoints outside `nodes`) carry
+              // no label — the distributed join drops their votes too
+              lbl.get(y).foreach(l => votes(l) = votes.getOrElse(l, 0L) + 1L)
+            }
+            next(x) =
+              if (votes.isEmpty) lbl(x)
+              else votes.maxBy { case (l, c) => (c, -l) }._1
+          }
+          lbl = next
+        }
+        ns.iterator.map(x => (x, lbl(x)))
+      }.toDF("doc_id", "label")
+    }
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -174,9 +290,35 @@ object LinkGraph {
     */
   def bfsDepth(
       nodes: DataFrame, edges: DataFrame,
-      seedMod: Long = 97L, rounds: Int = 3): DataFrame = {
+      seedMod: Long = 97L, rounds: Int = 3,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     require(seedMod >= 1 && rounds >= 1,
       s"seedMod and rounds must be >= 1; got $seedMod, $rounds")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    taggedLocal(nodes, edges, localMaxEdges).foreach { tagged =>
+      return tagged.mapPartitions { it =>
+        val (ns, es) = drainTagged(it)
+        // DIRECTED adjacency, raw pairs (the frontier dedups via the set)
+        val out = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+        es.foreach { case (s0, d0) =>
+          out.getOrElseUpdate(s0, mutable.ArrayBuffer.empty) += d0
+        }
+        val depth = mutable.HashMap.empty[Long, Long]
+        var frontier = ns.filter(x => math.floorMod(x, seedMod) == 0L).toArray
+        frontier.foreach(depth(_) = 0L)
+        for (r <- 1 to rounds) {
+          // ghost dsts participate as frontier members exactly like the
+          // distributed delta log; only `nodes` rows are emitted below
+          val next = frontier.iterator
+            .flatMap(x => out.getOrElse(x, mutable.ArrayBuffer.empty))
+            .toArray.distinct.filterNot(depth.contains)
+          next.foreach(depth(_) = r.toLong)
+          frontier = next
+        }
+        ns.iterator.map(x => (x, depth.getOrElse(x, -1L)))
+      }.toDF("doc_id", "depth")
+    }
     val seeds = nodes
       .select(col("doc_id").as("x"), lit(0L).as("depth"))
       .where(pmod(col("x"), lit(seedMod)) === 0L)
@@ -335,10 +477,73 @@ object LinkGraph {
     * map-side combine, the canonical distributed HyperBall round; the
     * counter frame is localCheckpointed so rounds don't re-derive.
     */
+  /** JVM twin of [[graft.dedup.Dedup.md5h63]] (same MD5 bytes, same
+    * (h32 & 0x7FFFFFFF)·2³² + h32b packing) for the local replay path. */
+  private def md5h63Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def u32(off: Int): Long =
+      ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
+        ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
+    (u32(0) & 0x7FFFFFFFL) * 4294967296L + u32(4)
+  }
+
   def hyperBallRegisters(
       nodes: DataFrame, edges: DataFrame,
-      m: Int = 16, rounds: Int = 2): DataFrame = {
+      m: Int = 16, rounds: Int = 2,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     require(m >= 2 && m % 2 == 0, s"m must be even and >= 2; got $m")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    taggedLocal(nodes, edges, localMaxEdges).foreach { tagged =>
+      return tagged.mapPartitions { it =>
+        val (ns, es) = drainTagged(it)
+        var state = mutable.HashMap.empty[Long, Array[Int]]
+        ns.foreach { x =>
+          val h = md5h63Local(x.toString)
+          val j = math.floorMod(h, m.toLong).toInt
+          val w = h / m
+          val rho =
+            if (w == 0L) 60
+            else 60 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          val regs = new Array[Int](m)
+          regs(j) = rho
+          state(x) = regs
+        }
+        for (_ <- 1 to rounds) {
+          // newState = groupBy-max over (own regs ∪ each out-neighbour's
+          // regs) — the exact distributed round, including srcs outside
+          // `nodes` gaining a state row once a dst of theirs has one
+          val next = mutable.HashMap.empty[Long, Array[Int]]
+          def mergeInto(x: Long, r: Array[Int]): Unit = next.get(x) match {
+            case Some(cur) =>
+              var i = 0
+              while (i < m) { if (r(i) > cur(i)) cur(i) = r(i); i += 1 }
+            case None => next(x) = r.clone()
+          }
+          state.foreach { case (x, r) => mergeInto(x, r) }
+          es.foreach { case (s0, d0) =>
+            state.get(d0).foreach(r => mergeInto(s0, r))
+          }
+          state = next
+        }
+        state.iterator.map { case (x, regs) =>
+          var lo = 0L
+          var hi = 0L
+          var zeros = 0L
+          var sum = 0L
+          var i = 0
+          while (i < m) {
+            if (i < m / 2) lo += regs(i).toLong << (6 * i)
+            else hi += regs(i).toLong << (6 * (i - m / 2))
+            if (regs(i) == 0) zeros += 1L
+            sum += regs(i)
+            i += 1
+          }
+          (x, lo, hi, zeros, sum)
+        }
+      }.toDF("doc_id", "regs_lo", "regs_hi", "v_zero", "sum_m")
+    }
     val init = nodes
       .select(col("doc_id").as("nid"),
         graft.dedup.Dedup.md5h63(col("doc_id").cast("string")).as("h"))

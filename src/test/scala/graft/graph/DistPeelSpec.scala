@@ -18,10 +18,18 @@ class DistPeelSpec extends AnyFunSuite with SparkTestBase {
     Local.compress(edges.map(e => (e._1, e._2, Seq.empty[Long])), _ => false)
       .flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
 
-  private def distNumNodes(edges: Seq[(Long, Long)]): Long =
-    GraphBuild.compressedNumNodes(
-      edges.toDF("src", "dst").withColumn("comp", lit(1L)))
+  // localPerCompMax = 0 forces the distributed closed form; the default
+  // routes fixture-size components through the hybrid local path — both
+  // are asserted against Local.compress below
+  private def distNumNodes(edges: Seq[(Long, Long)]): Long = {
+    val df = edges.toDF("src", "dst").withColumn("comp", lit(1L))
+    val dist = GraphBuild.compressedNumNodes(df, localPerCompMax = 0L)
       .collect().head.getAs[Long]("num_nodes")
+    val hybrid = GraphBuild.compressedNumNodes(df)
+      .collect().head.getAs[Long]("num_nodes")
+    assert(dist == hybrid, "hybrid local path must equal the closed form")
+    dist
+  }
 
   private val structuralCases: Seq[(String, Seq[(Long, Long)])] = Seq(
     "chain" -> Seq((1L, 2L), (2L, 3L), (3L, 4L)),
@@ -58,9 +66,13 @@ class DistPeelSpec extends AnyFunSuite with SparkTestBase {
       .join(labels.withColumnRenamed("nid", "src"), Seq("src"))
     val got = GraphBuild.compressedNumNodes(byComp.select("comp", "src", "dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gotDist = GraphBuild.compressedNumNodes(
+        byComp.select("comp", "src", "dst"), localPerCompMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val compOf = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val expected = edges.groupBy(e => compOf(e._1)).view.mapValues(localNumNodes).toMap
     assert(got == expected)
+    assert(gotDist == expected)
   }
 
   // --- multigraph stitcher ------------------------------------------------

@@ -33,7 +33,10 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     val edges = Seq.fill(200)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
       .filter(p => p._1 != p._2).toDF("src", "dst")
 
-    val plain = ConnectedComponents.run(edges)
+    // localMaxEdges = 0 forces the star loop: this spec pins the DURABLE
+    // checkpointer against the iterative path it wraps (the hybrid local
+    // path never checkpoints — it has no rounds to resume)
+    val plain = ConnectedComponents.run(edges, localMaxEdges = 0L)
     val dir = Files.createTempDirectory("ccckpt").toString
     val cp = new IterationCheckpointer(spark, dir)
     val ckpted = ConnectedComponents.run(edges, checkpointer = Some(cp.hook))

@@ -10,6 +10,30 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("local single-task replay == distributed rounds (all four hybrids)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // seeded random directed graph WITH ghost endpoints (dst div-ed below
+    // the node range) — the adversarial case for the gate parity
+    val rng = new scala.util.Random(11)
+    val nodes = (1L to 60L).toDF("doc_id")
+    val edges = Seq.fill(150)(
+      (1L + rng.nextInt(60).toLong, rng.nextInt(75).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    def m(df: DataFrame) = df.collect()
+      .map(r => r.toSeq.head -> r.toSeq.tail).toMap
+    // localMaxEdges = -1 forces the distributed loop; default localises
+    assert(m(LinkGraph.kcorePeel(nodes, edges, 3, 4)) ==
+      m(LinkGraph.kcorePeel(nodes, edges, 3, 4, localMaxEdges = -1L)))
+    assert(m(LinkGraph.labelPropagation(nodes, edges, 3)) ==
+      m(LinkGraph.labelPropagation(nodes, edges, 3, localMaxEdges = -1L)))
+    assert(m(LinkGraph.bfsDepth(nodes, edges, 7L, 3)) ==
+      m(LinkGraph.bfsDepth(nodes, edges, 7L, 3, localMaxEdges = -1L)))
+    assert(m(LinkGraph.hyperBallRegisters(nodes, edges, 16, 2)) ==
+      m(LinkGraph.hyperBallRegisters(nodes, edges, 16, 2,
+        localMaxEdges = -1L)))
+  }
+
   test("triangleCounts: K4 + pendant + isolated node, exact counts and cc") {
     import spark.implicits._
     // K4 on {0,1,2,3}, pendant 4-0, isolated 5
