@@ -176,9 +176,13 @@ object DistPeel {
     * even in a dense cell. `edges` needs (comp, src, dst, lat1, lon1).
     */
   def withChunk(edges: DataFrame, maxChunk: Long, cellDeg: Double = 0.25): DataFrame = {
+    // two consumers (the sub-bucket counts and the join back): without
+    // the checkpoint the caller's per-edge geometry aggregation ran
+    // twice — the two branches don't share an exchange
     val celled = edges.withColumn("cell",
       (floor(col("lat1") / cellDeg) * 1441 + floor(col("lon1") / cellDeg))
         .cast("long"))
+      .localCheckpoint(true)
     val counts = celled.groupBy("comp", "cell")
       .agg(count(lit(1)).as("n"))
       .withColumn("nsub",

@@ -211,23 +211,30 @@ object GraphBuild {
               ("l", if (l.src <= l.dst) l
                 else KeyedEdge(l.gid, l.dst, l.src, l.inter.reverse, l.wid)))
         }
-      val winners = resolved.filter(_._1 == "w").map(_._2).toDF()
-      val newEdges = resolved.filter(_._1 == "l").map(_._2).toDF()
+      // ONE checkpoint of the groupByKey output per round: winners and
+      // newEdges are filters over it — uncheckpointed, the back-off
+      // shuffle re-ran once per consumer branch (4× per round)
+      val resolvedC = resolved.localCheckpoint(true)
+      val winners = resolvedC.filter(_._1 == "w").map(_._2).toDF()
+      val newEdges = resolvedC.filter(_._1 == "l").map(_._2).toDF()
 
-      uniq = uniq.union(winners).localCheckpoint(true)
+      // accepted-set update is built lazily against the round's winners
+      // and checkpointed ONCE with the fresh clean edges folded in (the
+      // two-checkpoint form materialized the union twice per round)
+      val uniqW = uniq.union(winners)
       // split edges that collide (with uniq or each other) go back around
       val collideWithUniq = newEdges
-        .join(uniq, Seq("gid", "src", "dst"), "left_semi")
+        .join(uniqW, Seq("gid", "src", "dst"), "left_semi")
         .withColumn("taken", lit(true))
       val fresh = newEdges
-        .join(uniq, Seq("gid", "src", "dst"), "left_anti")
+        .join(uniqW, Seq("gid", "src", "dst"), "left_anti")
       val freshDupKeys = fresh.groupBy("gid", "src", "dst")
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)
         .select("gid", "src", "dst")
       val freshClean = fresh.join(freshDupKeys, Seq("gid", "src", "dst"), "left_anti")
       val freshDups = fresh.join(freshDupKeys, Seq("gid", "src", "dst"), "left_semi")
         .withColumn("taken", lit(false))
-      uniq = uniq.union(freshClean).localCheckpoint(true)
+      uniq = uniqW.union(freshClean).localCheckpoint(true)
       pending = collideWithUniq.union(freshDups)
         .as[PendingEdge].localCheckpoint(true)
       round += 1
