@@ -35,6 +35,26 @@ object SpatialJoins {
     *
     * @return (pid, nn_nid, dist_m) with deterministic (dist, nid) tie-break.
     */
+  /** The cell-indexed, parallelism-spread node frame [[knnJoin]]
+    * searches — exposed so several kNN queries over the SAME node table
+    * build it once (checkpointed) instead of once per call.
+    *
+    * AQE coalesces a small upstream aggregation to one partition, which
+    * would serialize both the ring joins and the straggler scan
+    * (measured: a 4.2 s single-task scan at sf0.1); spread by cell so
+    * the scan and the per-round joins parallelize. No-op when the node
+    * table already scans wide.
+    */
+  def cellIndexedNodes(nodes: DataFrame, res: Int): DataFrame = {
+    val nodesCell0 = nodes
+      .withColumn("cell", CellIndex.cellCol(col("lat"), col("lon"), res))
+    val want = nodes.sparkSession.sparkContext.defaultParallelism
+    (if (nodesCell0.rdd.getNumPartitions < want)
+      nodesCell0.repartition(want, col("cell"))
+    else nodesCell0)
+      .localCheckpoint(true)
+  }
+
   def knnJoin(
       points: DataFrame, // (pid, plat, plon)
       nodes: DataFrame,  // (nid, lat, lon)
@@ -47,25 +67,16 @@ object SpatialJoins {
       // is small (measured: 500 pts × 840 k nodes = 4·10⁸ pairs took
       // ~60 s/rep — far worse than 4 ring rounds). Exactness and the
       // (dist, nid) tie-break are identical on both paths.
-      scanPairBudget: Long = 10000000L): DataFrame = {
+      scanPairBudget: Long = 10000000L,
+      // a caller-held [[cellIndexedNodes]] frame (same nodes, same res),
+      // already checkpointed — shared across kNN queries
+      nodesCellOpt: Option[DataFrame] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val metresPerDegLat = math.Pi / 180.0 * Geo.EarthRadiusM // ≈ 111194.9
     val cellD = CellIndex.cellDeg(res)
 
-    val nodesCell0 = nodes
-      .withColumn("cell", CellIndex.cellCol(col("lat"), col("lon"), res))
-    // AQE coalesces a small upstream aggregation to one partition, which
-    // would serialize both the ring joins and the straggler scan below
-    // (measured: a 4.2 s single-task scan at sf0.1); spread by cell so
-    // the scan and the per-round joins parallelize. No-op when the node
-    // table already scans wide.
-    val want = spark.sparkContext.defaultParallelism
-    val nodesCell = (
-      if (nodesCell0.rdd.getNumPartitions < want)
-        nodesCell0.repartition(want, col("cell"))
-      else nodesCell0)
-      .localCheckpoint(true)
+    val nodesCell = nodesCellOpt.getOrElse(cellIndexedNodes(nodes, res))
 
     // only the NEW annulus (kPrev, k] each round — already-searched cells
     // are never regenerated or re-scored (round-1 bench: one outlier point

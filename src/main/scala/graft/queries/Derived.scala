@@ -164,6 +164,19 @@ object Derived {
   def memoize(key: String)(f: => DataFrame): DataFrame =
     memo.computeIfAbsent(key, _ => f.localCheckpoint(true))
 
+  /** [[memoize]] for frames the builder already materialized (its own
+    * localCheckpoint) — no second checkpoint copy. */
+  def memoizeRaw(key: String)(f: => DataFrame): DataFrame =
+    memo.computeIfAbsent(key, _ => f)
+
+  /** The cell-indexed node frame the kNN queries search (q22, q36) —
+    * built and checkpointed once per (res, dir) via
+    * [[graft.geo.SpatialJoins.cellIndexedNodes]]. */
+  def nodesCellMemo(spark: SparkSession, dir: String, res: Int): DataFrame =
+    memoizeRaw(s"nodescell:$res:$dir") {
+      graft.geo.SpatialJoins.cellIndexedNodes(nodesDF(spark, dir), res)
+    }
+
   /** Drop every memoised frame (Bench calls this between reps so each
     * rep pays the full iterative cost instead of reusing warm caches).
     * Also drops the shared stream staging dir for the same reason —

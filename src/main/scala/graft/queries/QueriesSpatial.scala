@@ -40,7 +40,8 @@ object QueriesSpatial {
 
     // exact kNN via expanding cell rings vs brute-force oracle
     "q22_knn" -> ((s, d) =>
-      SpatialJoins.knnJoin(pointsDF(s, d), nodesDF(s, d), KnnRes)
+      SpatialJoins.knnJoin(pointsDF(s, d), nodesDF(s, d), KnnRes,
+          nodesCellOpt = Some(Derived.nodesCellMemo(s, d, KnnRes)))
         .select(col("pid"), col("nn_nid"), expr(mmSql("dist_m")).as("dist_mm"))),
 
     // vector → raster: way-density tiling (north rule raster path)

@@ -19,7 +19,8 @@ object QueriesWeb {
     // pages → geocode → exact kNN to way nodes, text checksum carried
     "q36_pages_knn" -> ((s, d) => {
       val pages = Pages.synthesizeFromDocuments(s, d)
-      Pages.nearestWayNode(pages, nodesDF(s, d), KnnRes)
+      Pages.nearestWayNode(pages, nodesDF(s, d), KnnRes,
+        nodesCellOpt = Some(Derived.nodesCellMemo(s, d, KnnRes)))
         .select(col("url"), col("nn_nid"),
           expr(mmSql("dist_m")).as("dist_mm"),
           md5(col("text")).as("text_md5"))

@@ -63,13 +63,15 @@ object Pages {
     * Ungeocoded pages are left out (the reference-equivalent of
     * unpositioned input).
     */
-  def nearestWayNode(pages: DataFrame, nodes: DataFrame, res: Int): DataFrame = {
+  def nearestWayNode(pages: DataFrame, nodes: DataFrame, res: Int,
+      nodesCellOpt: Option[DataFrame] = None): DataFrame = {
     val geocoded = geocode(pages)
       .filter(col("plat").isNotNull)
       .select(col("url").as("pid"), col("plat"), col("plon"),
         col("text"), col("warc_ts"), col("lang"))
     SpatialJoins.knnJoin(
-        geocoded.select("pid", "plat", "plon"), nodes, res)
+        geocoded.select("pid", "plat", "plon"), nodes, res,
+        nodesCellOpt = nodesCellOpt)
       .join(geocoded, Seq("pid"))
       .select(col("pid").as("url"), col("nn_nid"), col("dist_m"),
         col("text"), col("lang"))
