@@ -298,6 +298,12 @@ object Ranks {
     * intentionally single-partition (the input is a handful of rows) and
     * window-free, so no "No Partition Defined" stage appears in any plan
     * (a constant partitionBy key would be folded away by Catalyst).
+    *
+    * CONTRACT: the caller guarantees the distinct set is tiny (group
+    * keys, comp lists at fixture-forced thresholds — not data-scale
+    * sets). A caller whose id set grows with the data needs a
+    * distributed dense rank (two-phase row number) instead; the q120
+    * gate's threshold-1 comp list is fixture-sized by construction.
     */
   def tinyDenseId(df: DataFrame, order: Seq[Column], out: String): DataFrame =
     df.repartition(1)
