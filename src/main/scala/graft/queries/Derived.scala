@@ -111,10 +111,13 @@ object Derived {
     */
   def edgesDF(spark: SparkSession, dir: String): DataFrame =
     memoize(s"edges:$dir") {
+      // one scan: explode both way segments instead of a self-union that
+      // read the parquet twice (same row set — the union was positional)
       waysDF(spark, dir)
-        .selectExpr("nids[0] AS u", "nids[1] AS v")
-        .union(waysDF(spark, dir).selectExpr("nids[1] AS u", "nids[2] AS v"))
-        .selectExpr("LEAST(u, v) AS src", "GREATEST(u, v) AS dst")
+        .selectExpr(
+          "explode(array(struct(nids[0] AS u, nids[1] AS v), " +
+            "struct(nids[1] AS u, nids[2] AS v))) AS e")
+        .selectExpr("LEAST(e.u, e.v) AS src", "GREATEST(e.u, e.v) AS dst")
         .distinct()
     }
 
