@@ -130,12 +130,16 @@ object LumpWays {
     // deterministic dense group ids (few distinct groups — tiny frame)
     val groups = graft.runtime.Ranks.tinyDenseId(
       withGroup.select(col("grp")).distinct(), Seq(col("grp")), "gid")
+    // checkpointed: contractedEdgesKeyed reads its ways input three
+    // times (degree census, pillar hits, final regroup join) — without
+    // this the parquet scan + tag filter + group join ran 3×
     val wg = withGroup.join(groups, Seq("grp"))
+      .select("wid", "nids", "gid").localCheckpoint(true)
 
     // 2-3. census + contraction per group (nids must fit 40 bits for the
     // composite CC key; OSM ids are < 2^40 for the foreseeable future)
     val edges = GraphBuild.canonicalUndirectedKeyed(
-      GraphBuild.contractedEdgesKeyed(wg.select("wid", "nids", "gid"), spark))
+      GraphBuild.contractedEdgesKeyed(wg, spark))
 
     // 4. CC on composite ids
     val composite = edges

@@ -124,9 +124,9 @@ object Derived {
   /** Node positions for every node referenced by an edge (memoised). */
   def nodesDF(spark: SparkSession, dir: String): DataFrame =
     memoize(s"nodes:$dir") {
-      val e = edgesDF(spark, dir)
-      e.select(col("src").as("nid"))
-        .union(e.select(col("dst").as("nid")))
+      // one pass over the edges checkpoint (the union read it twice)
+      edgesDF(spark, dir)
+        .select(explode(array(col("src"), col("dst"))).as("nid"))
         .distinct()
         .selectExpr("nid", s"${latSql("nid")} AS lat", s"${lonSql("nid")} AS lon")
     }
